@@ -1,0 +1,90 @@
+"""The backend interface contract.
+
+A backend is any object (class or module) exposing the attributes below.  This
+mirrors the reference's abstract interface (minidiff/backend/__init__.py:88-759)
+with two deliberate deviations, both required for an immutable-array (XLA)
+backend and documented in README.md:
+
+1. *Mutation-style functions return the result.*  ``index_add``,
+   ``put_along_axis``, ``setitem`` and ``shuffle`` cannot mutate a
+   ``jax.Array`` in place, so every backend returns the updated array and the
+   Tensor layer rebinds ``._data``.  (The NumPy backend still updates in place
+   *and* returns the same array, so aliasing behavior matches the reference.)
+2. ``full(shape, fill_value)`` takes the fill value; the reference's
+   ``full(shape)`` (minidiff/tensor.py:480-481) passes no fill value and always
+   raises — a latent bug we fix rather than reproduce.
+
+Required attributes
+-------------------
+Identity / construction:
+    tensor_class, tensor_constructor, as_numpy, nan
+
+Elementwise unary:  absolute, ceil, copy, cos, cosh, exp, floor, invert, log,
+    logical_not, sign, sin, sinh, sqrt, square, tan, tanh
+Shape unary:        atleast_1d, atleast_2d, atleast_3d, flatten, flip, ravel,
+    squeeze, transpose
+Reductions:         all, any, argmax, argmin, max, mean, min, prod, std, sum
+Search:             argwhere
+Binary:             add, astype, broadcast_to, dot, equal, expand_dims,
+    floor_divide, getitem, greater, greater_equal, less, less_equal,
+    logical_and, logical_or, logical_xor, matmul, mod, multiply, not_equal,
+    power, reshape, subtract, tensordot, true_divide
+Ternary:            clip, swapaxes, where
+Creation:           ones_like, ones, zeros_like, zeros, full_like, full,
+    concatenate, arange, stack, tile, repeat
+Indexing/scatter:   index_add, put_along_axis, take_along_axis, setitem,
+    isin, unravel_index, split
+Random:             choice, rand, randint, randn, binomial, permutation,
+    shuffle, seed
+IO:                 save, load
+Functional:         vmap
+Properties:         tensor_shape, tensor_size, tensor_ndim, tensor_dtype,
+    tensor_item, repr, len, array_interface, array
+Dtypes:             dtype, float64, float32, float16, bfloat16, uint64,
+    uint32, uint16, uint8, int64, int32, int16, int8, bool
+"""
+
+from __future__ import annotations
+
+# Names every backend must expose; used by tests to verify interface coverage.
+REQUIRED_ATTRS = [
+    # identity / construction
+    "tensor_class", "tensor_constructor", "as_numpy", "nan",
+    # elementwise unary
+    "absolute", "ceil", "copy", "cos", "cosh", "exp", "floor", "invert",
+    "log", "logical_not", "sign", "sin", "sinh", "sqrt", "square", "tan",
+    "tanh",
+    # shape unary
+    "atleast_1d", "atleast_2d", "atleast_3d", "flatten", "flip", "ravel",
+    "squeeze", "transpose",
+    # reductions / search
+    "all", "any", "argmax", "argmin", "max", "mean", "min", "prod", "std",
+    "sum", "argwhere",
+    # binary
+    "add", "astype", "broadcast_to", "dot", "equal", "expand_dims",
+    "floor_divide", "getitem", "greater", "greater_equal", "less",
+    "less_equal", "logical_and", "logical_or", "logical_xor", "matmul",
+    "mod", "multiply", "not_equal", "power", "reshape", "subtract",
+    "tensordot", "true_divide",
+    # ternary
+    "clip", "swapaxes", "where",
+    # creation
+    "ones_like", "ones", "zeros_like", "zeros", "full_like", "full",
+    "concatenate", "arange", "stack", "tile", "repeat",
+    # indexing / scatter
+    "index_add", "scatter_add", "put_along_axis", "take_along_axis",
+    "setitem", "isin", "unravel_index", "split",
+    # random
+    "choice", "rand", "randint", "randn", "binomial", "permutation",
+    "shuffle", "seed",
+    # io
+    "save", "load",
+    # functional
+    "vmap",
+    # properties
+    "tensor_shape", "tensor_size", "tensor_ndim", "tensor_dtype",
+    "tensor_item", "repr", "len", "array_interface", "array",
+    # dtypes
+    "dtype", "float64", "float32", "float16", "bfloat16", "uint64",
+    "uint32", "uint16", "uint8", "int64", "int32", "int16", "int8", "bool",
+]

@@ -1,0 +1,267 @@
+"""NumPy reference backend — the numerical oracle.
+
+Plays the role of the reference's CPU backend (minidiff/backend/numpy.py) and
+exists primarily so every XLA/Pallas op can be cross-checked against plain
+NumPy by the finite-difference gradcheck suite.  Mutation-style functions
+(``index_add``, ``put_along_axis``, ``setitem``, ``shuffle``) update in place
+*and* return the array, per the interface contract in
+:mod:`minidiff_tpu.backend.interface`.
+"""
+
+from __future__ import annotations
+
+from builtins import bool as py_bool
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+try:  # bfloat16 exists via ml_dtypes (a jax dependency); optional here.
+    import ml_dtypes
+
+    _bfloat16 = ml_dtypes.bfloat16
+except Exception:  # pragma: no cover
+    _bfloat16 = np.float32
+
+if TYPE_CHECKING:
+    from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+
+class NumpyBackend:
+    name = "numpy"
+
+    tensor_class = np.ndarray
+    tensor_constructor = staticmethod(np.array)
+
+    # ---- elementwise unary ----
+    absolute = staticmethod(np.absolute)
+    ceil = staticmethod(np.ceil)
+    copy = staticmethod(np.copy)
+    cos = staticmethod(np.cos)
+    cosh = staticmethod(np.cosh)
+    exp = staticmethod(np.exp)
+    floor = staticmethod(np.floor)
+    invert = staticmethod(np.invert)
+    log = staticmethod(np.log)
+    logical_not = staticmethod(np.logical_not)
+    sign = staticmethod(np.sign)
+    sin = staticmethod(np.sin)
+    sinh = staticmethod(np.sinh)
+    sqrt = staticmethod(np.sqrt)
+    square = staticmethod(np.square)
+    tan = staticmethod(np.tan)
+    tanh = staticmethod(np.tanh)
+
+    # ---- shape unary ----
+    atleast_1d = staticmethod(np.atleast_1d)
+    atleast_2d = staticmethod(np.atleast_2d)
+    atleast_3d = staticmethod(np.atleast_3d)
+
+    @staticmethod
+    def flatten(a: np.ndarray, order: str = "C") -> np.ndarray:
+        return np.asarray(a).flatten(order=order)
+
+    flip = staticmethod(np.flip)
+
+    @staticmethod
+    def ravel(a: np.ndarray, order: str = "C") -> np.ndarray:
+        return np.ravel(a, order=order)
+
+    squeeze = staticmethod(np.squeeze)
+    transpose = staticmethod(np.transpose)
+
+    # ---- reductions / search ----
+    all = staticmethod(np.all)
+    any = staticmethod(np.any)
+    argmax = staticmethod(np.argmax)
+    argmin = staticmethod(np.argmin)
+    argwhere = staticmethod(np.argwhere)
+    max = staticmethod(np.max)
+    mean = staticmethod(np.mean)
+    min = staticmethod(np.min)
+    prod = staticmethod(np.prod)
+    std = staticmethod(np.std)
+    sum = staticmethod(np.sum)
+
+    # ---- binary ----
+    add = staticmethod(np.add)
+
+    @staticmethod
+    def astype(a: np.ndarray, dtype: Any, **kwargs: Any) -> np.ndarray:
+        return np.asarray(a).astype(dtype, **kwargs)
+
+    broadcast_to = staticmethod(np.broadcast_to)
+    dot = staticmethod(np.dot)
+    equal = staticmethod(np.equal)
+    expand_dims = staticmethod(np.expand_dims)
+    floor_divide = staticmethod(np.floor_divide)
+
+    @staticmethod
+    def getitem(a: np.ndarray, key: Any) -> np.ndarray:
+        return a[key]
+
+    greater = staticmethod(np.greater)
+    greater_equal = staticmethod(np.greater_equal)
+    less = staticmethod(np.less)
+    less_equal = staticmethod(np.less_equal)
+    logical_and = staticmethod(np.logical_and)
+    logical_or = staticmethod(np.logical_or)
+    logical_xor = staticmethod(np.logical_xor)
+    matmul = staticmethod(np.matmul)
+    mod = staticmethod(np.mod)
+    multiply = staticmethod(np.multiply)
+    not_equal = staticmethod(np.not_equal)
+    power = staticmethod(np.power)
+    reshape = staticmethod(np.reshape)
+    subtract = staticmethod(np.subtract)
+    tensordot = staticmethod(np.tensordot)
+    true_divide = staticmethod(np.true_divide)
+
+    # ---- ternary ----
+    clip = staticmethod(np.clip)
+    swapaxes = staticmethod(np.swapaxes)
+    where = staticmethod(np.where)
+
+    # ---- creation ----
+    ones_like = staticmethod(np.ones_like)
+    ones = staticmethod(np.ones)
+    zeros_like = staticmethod(np.zeros_like)
+    zeros = staticmethod(np.zeros)
+    full_like = staticmethod(np.full_like)
+    full = staticmethod(np.full)
+    concatenate = staticmethod(np.concatenate)
+    arange = staticmethod(np.arange)
+    stack = staticmethod(np.stack)
+    tile = staticmethod(np.tile)
+    repeat = staticmethod(np.repeat)
+
+    # ---- indexing / scatter (return-the-result contract) ----
+    @staticmethod
+    def index_add(a: np.ndarray, indices: Any, b: Any) -> np.ndarray:
+        np.add.at(a, indices, b)
+        return a
+
+    @staticmethod
+    def scatter_add(a: np.ndarray, indices: Any, b: Any) -> np.ndarray:
+        out = np.zeros_like(a)
+        np.add.at(out, indices, b)
+        return out
+
+    @staticmethod
+    def put_along_axis(
+        arr: np.ndarray, indices: np.ndarray, values: Any, axis: Optional[int]
+    ) -> np.ndarray:
+        np.put_along_axis(arr, indices, values, axis)
+        return arr
+
+    take_along_axis = staticmethod(np.take_along_axis)
+
+    @staticmethod
+    def setitem(a: np.ndarray, key: Any, value: Any) -> np.ndarray:
+        a[key] = value
+        return a
+
+    isin = staticmethod(np.isin)
+    unravel_index = staticmethod(np.unravel_index)
+    split = staticmethod(np.split)
+
+    # ---- random ----
+    choice = staticmethod(np.random.choice)
+    rand = staticmethod(np.random.rand)
+    randint = staticmethod(np.random.randint)
+    randn = staticmethod(np.random.randn)
+    binomial = staticmethod(np.random.binomial)
+    permutation = staticmethod(np.random.permutation)
+
+    @staticmethod
+    def shuffle(x: np.ndarray) -> np.ndarray:
+        np.random.shuffle(x)
+        return x
+
+    @staticmethod
+    def seed(value: int) -> None:
+        np.random.seed(value)
+
+    # ---- io ----
+    save = staticmethod(np.save)
+    load = staticmethod(np.load)
+
+    # ---- functional ----
+    @staticmethod
+    def vmap(fun: Callable) -> Callable:
+        def mapped(arr: np.ndarray, *args: Any, **kwargs: Any) -> np.ndarray:
+            return np.stack([fun(row, *args, **kwargs) for row in arr])
+
+        return mapped
+
+    # ---- properties ----
+    @staticmethod
+    def tensor_shape(data: np.ndarray) -> Tuple[int, ...]:
+        return data.shape
+
+    @staticmethod
+    def tensor_size(data: np.ndarray) -> int:
+        return data.size
+
+    @staticmethod
+    def tensor_ndim(data: np.ndarray) -> int:
+        return data.ndim
+
+    @staticmethod
+    def tensor_dtype(data: np.ndarray) -> np.dtype:
+        return data.dtype
+
+    @staticmethod
+    def tensor_item(data: np.ndarray) -> Any:
+        return data.item()
+
+    @staticmethod
+    def repr(data: np.ndarray) -> str:
+        return data.__repr__()
+
+    @staticmethod
+    def len(data: np.ndarray) -> int:
+        return data.__len__()
+
+    @staticmethod
+    def array_interface(data: np.ndarray) -> dict:
+        return data.__array_interface__
+
+    @staticmethod
+    def array(
+        data: np.ndarray,
+        dtype: Optional[np.dtype] = None,
+        copy: Optional[py_bool] = None,
+    ) -> np.ndarray:
+        if dtype is not None and dtype != data.dtype:
+            if copy is False:
+                raise ValueError("attempted cast, but copies are not permitted")
+            return data.astype(dtype)
+        if copy:
+            return data.copy()
+        return data
+
+    @staticmethod
+    def as_numpy(a: Any) -> np.ndarray:
+        return np.asarray(a)
+
+    # ---- dtypes ----
+    dtype = np.dtype
+    float64 = np.float64
+    float32 = np.float32
+    float16 = np.float16
+    bfloat16 = _bfloat16
+    uint64 = np.uint64
+    uint32 = np.uint32
+    uint16 = np.uint16
+    uint8 = np.uint8
+    int64 = np.int64
+    int32 = np.int32
+    int16 = np.int16
+    int8 = np.int8
+    bool = np.bool_
+    nan = np.nan
+
+
+from minidiff_tpu.backend import register_backend
+
+register_backend("numpy", NumpyBackend)

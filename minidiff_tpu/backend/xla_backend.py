@@ -1,0 +1,361 @@
+"""XLA/TPU backend — jax.numpy compute with Pallas kernels for hot ops.
+
+This is the TPU-native analog of the reference's GPU backend
+(minidiff/backend/cupy.py delegates every op to the CuPy library; here we
+delegate to jax.numpy so every op is XLA-compiled, and route the
+performance-bearing ops through hand-written Pallas TPU kernels in
+:mod:`minidiff_tpu.kernels`).
+
+Design notes:
+
+* Arrays are immutable ``jax.Array``s.  Mutation-style interface functions
+  return the updated array (see backend/interface.py); the Tensor layer
+  rebinds ``._data``.
+* Randomness is a stateful splitting PRNG key (seeded via ``seed()`` or the
+  ``MINIDIFF_TPU_SEED`` env var).  Inside a traced/jitted region the draws
+  become trace-time constants — use explicit keys via jax directly for traced
+  randomness.
+* Ops run eagerly op-by-op here; whole-graph compilation happens one level up
+  (minidiff_tpu.func.jit traces the tape into a single XLA executable).
+"""
+
+from __future__ import annotations
+
+import os
+from builtins import bool as py_bool
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if TYPE_CHECKING:
+    from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+
+class _PRNG:
+    """Stateful splitting PRNG over jax.random keys."""
+
+    def __init__(self) -> None:
+        self._key = None
+
+    def seed(self, value: int) -> None:
+        self._key = jax.random.PRNGKey(value)
+
+    def next_key(self) -> jax.Array:
+        if self._key is None:
+            self.seed(int(os.environ.get("MINIDIFF_TPU_SEED", "0")))
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+
+_prng = _PRNG()
+
+
+def _float_dtype() -> Any:
+    # canonicalizes to float64 under x64, float32 otherwise
+    return jnp.result_type(float)
+
+
+def _as_shape(size: Any) -> Tuple[int, ...]:
+    if size is None:
+        return ()
+    if isinstance(size, int):
+        return (size,)
+    return tuple(size)
+
+
+class XlaBackend:
+    name = "xla"
+
+    tensor_class = jax.Array
+    tensor_constructor = staticmethod(jnp.asarray)
+
+    # ---- elementwise unary ----
+    absolute = staticmethod(jnp.absolute)
+    ceil = staticmethod(jnp.ceil)
+
+    @staticmethod
+    def copy(a: jax.Array) -> jax.Array:
+        return jnp.array(a, copy=True)
+
+    cos = staticmethod(jnp.cos)
+    cosh = staticmethod(jnp.cosh)
+    exp = staticmethod(jnp.exp)
+    floor = staticmethod(jnp.floor)
+    invert = staticmethod(jnp.invert)
+    log = staticmethod(jnp.log)
+    logical_not = staticmethod(jnp.logical_not)
+    sign = staticmethod(jnp.sign)
+    sin = staticmethod(jnp.sin)
+    sinh = staticmethod(jnp.sinh)
+    sqrt = staticmethod(jnp.sqrt)
+    square = staticmethod(jnp.square)
+    tan = staticmethod(jnp.tan)
+    tanh = staticmethod(jnp.tanh)
+
+    # ---- shape unary ----
+    atleast_1d = staticmethod(jnp.atleast_1d)
+    atleast_2d = staticmethod(jnp.atleast_2d)
+    atleast_3d = staticmethod(jnp.atleast_3d)
+
+    @staticmethod
+    def flatten(a: jax.Array, order: str = "C") -> jax.Array:
+        return jnp.ravel(a, order=order)
+
+    flip = staticmethod(jnp.flip)
+
+    @staticmethod
+    def ravel(a: jax.Array, order: str = "C") -> jax.Array:
+        return jnp.ravel(a, order=order)
+
+    squeeze = staticmethod(jnp.squeeze)
+    transpose = staticmethod(jnp.transpose)
+
+    # ---- reductions / search ----
+    all = staticmethod(jnp.all)
+    any = staticmethod(jnp.any)
+    argmax = staticmethod(jnp.argmax)
+    argmin = staticmethod(jnp.argmin)
+    argwhere = staticmethod(jnp.argwhere)
+    max = staticmethod(jnp.max)
+    mean = staticmethod(jnp.mean)
+    min = staticmethod(jnp.min)
+    prod = staticmethod(jnp.prod)
+    std = staticmethod(jnp.std)
+    sum = staticmethod(jnp.sum)
+
+    # ---- binary ----
+    add = staticmethod(jnp.add)
+
+    @staticmethod
+    def astype(a: jax.Array, dtype: Any, **kwargs: Any) -> jax.Array:
+        return jnp.asarray(a).astype(dtype)
+
+    broadcast_to = staticmethod(jnp.broadcast_to)
+    dot = staticmethod(jnp.dot)
+    equal = staticmethod(jnp.equal)
+    expand_dims = staticmethod(jnp.expand_dims)
+    floor_divide = staticmethod(jnp.floor_divide)
+
+    @staticmethod
+    def getitem(a: jax.Array, key: Any) -> jax.Array:
+        return a[key]
+
+    greater = staticmethod(jnp.greater)
+    greater_equal = staticmethod(jnp.greater_equal)
+    less = staticmethod(jnp.less)
+    less_equal = staticmethod(jnp.less_equal)
+    logical_and = staticmethod(jnp.logical_and)
+    logical_or = staticmethod(jnp.logical_or)
+    logical_xor = staticmethod(jnp.logical_xor)
+
+    @staticmethod
+    def matmul(x: jax.Array, y: jax.Array) -> jax.Array:
+        # Routed through the kernel dispatcher: Pallas tiled matmul on TPU for
+        # large aligned shapes, jnp.matmul otherwise.
+        from minidiff_tpu.kernels import matmul as _mm
+
+        return _mm.matmul(x, y)
+
+    mod = staticmethod(jnp.mod)
+    multiply = staticmethod(jnp.multiply)
+    not_equal = staticmethod(jnp.not_equal)
+    power = staticmethod(jnp.power)
+    reshape = staticmethod(jnp.reshape)
+    subtract = staticmethod(jnp.subtract)
+    tensordot = staticmethod(jnp.tensordot)
+    true_divide = staticmethod(jnp.true_divide)
+
+    # ---- ternary ----
+    @staticmethod
+    def clip(a: jax.Array, a_min: Any = None, a_max: Any = None) -> jax.Array:
+        # normalizes the numpy-style a_min/a_max keyword names onto jnp.clip
+        return jnp.clip(a, a_min, a_max)
+    swapaxes = staticmethod(jnp.swapaxes)
+    where = staticmethod(jnp.where)
+
+    # ---- creation ----
+    ones_like = staticmethod(jnp.ones_like)
+    ones = staticmethod(jnp.ones)
+    zeros_like = staticmethod(jnp.zeros_like)
+    zeros = staticmethod(jnp.zeros)
+    full_like = staticmethod(jnp.full_like)
+    full = staticmethod(jnp.full)
+    concatenate = staticmethod(jnp.concatenate)
+    arange = staticmethod(jnp.arange)
+    stack = staticmethod(jnp.stack)
+    tile = staticmethod(jnp.tile)
+    repeat = staticmethod(jnp.repeat)
+
+    # ---- indexing / scatter (functional; return the result) ----
+    @staticmethod
+    def index_add(a: jax.Array, indices: Any, b: Any) -> jax.Array:
+        return a.at[indices].add(b)
+
+    @staticmethod
+    def scatter_add(a: jax.Array, indices: Any, b: Any) -> jax.Array:
+        return jnp.zeros_like(a).at[indices].add(b)
+
+    @staticmethod
+    def put_along_axis(
+        arr: jax.Array, indices: jax.Array, values: Any, axis: Optional[int]
+    ) -> jax.Array:
+        if axis is None:
+            flat = jnp.ravel(arr)
+            out = flat.at[jnp.ravel(indices)].set(jnp.ravel(jnp.asarray(values)))
+            return out.reshape(arr.shape)
+        return jnp.put_along_axis(arr, indices, values, axis, inplace=False)
+
+    take_along_axis = staticmethod(jnp.take_along_axis)
+
+    @staticmethod
+    def setitem(a: jax.Array, key: Any, value: Any) -> jax.Array:
+        return a.at[key].set(value)
+
+    isin = staticmethod(jnp.isin)
+    unravel_index = staticmethod(jnp.unravel_index)
+    split = staticmethod(jnp.split)
+
+    # ---- random ----
+    @staticmethod
+    def seed(value: int) -> None:
+        _prng.seed(value)
+
+    @staticmethod
+    def choice(
+        a: Any,
+        size: Any = None,
+        replace: py_bool = True,
+        p: Any = None,
+    ) -> jax.Array:
+        a = a if isinstance(a, jax.Array) else jnp.asarray(a)
+        return jax.random.choice(
+            _prng.next_key(), a, shape=_as_shape(size), replace=replace, p=p
+        )
+
+    @staticmethod
+    def rand(*dims: int) -> jax.Array:
+        return jax.random.uniform(_prng.next_key(), dims, dtype=_float_dtype())
+
+    @staticmethod
+    def randint(low: Any, high: Any = None, size: Any = None) -> jax.Array:
+        if high is None:
+            low, high = 0, low
+        low = jnp.asarray(low)
+        high = jnp.asarray(high)
+        if size is None:
+            shape = jnp.broadcast_shapes(low.shape, high.shape)
+        else:
+            shape = _as_shape(size)
+        return jax.random.randint(_prng.next_key(), shape, low, high)
+
+    @staticmethod
+    def randn(*dims: int) -> jax.Array:
+        return jax.random.normal(_prng.next_key(), dims, dtype=_float_dtype())
+
+    @staticmethod
+    def binomial(n: Any, p: Any, size: Any = None) -> jax.Array:
+        n = jnp.asarray(n, dtype=_float_dtype())
+        p = jnp.asarray(p, dtype=_float_dtype())
+        if size is None:
+            shape = jnp.broadcast_shapes(n.shape, p.shape)
+        else:
+            shape = _as_shape(size)
+        out = jax.random.binomial(_prng.next_key(), n, p, shape=shape)
+        return out.astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+
+    @staticmethod
+    def permutation(x: Any) -> jax.Array:
+        if isinstance(x, int):
+            x = jnp.arange(x)
+        return jax.random.permutation(_prng.next_key(), x)
+
+    @staticmethod
+    def shuffle(x: jax.Array) -> jax.Array:
+        return jax.random.permutation(_prng.next_key(), x)
+
+    # ---- io ----
+    @staticmethod
+    def save(file: Any, arr: jax.Array) -> None:
+        np.save(file, np.asarray(arr))
+
+    @staticmethod
+    def load(file: Any) -> jax.Array:
+        return jnp.asarray(np.load(file))
+
+    # ---- functional ----
+    @staticmethod
+    def vmap(fun: Callable) -> Callable:
+        return jax.vmap(fun)
+
+    # ---- properties ----
+    @staticmethod
+    def tensor_shape(data: jax.Array) -> Tuple[int, ...]:
+        return tuple(data.shape)
+
+    @staticmethod
+    def tensor_size(data: jax.Array) -> int:
+        return int(np.prod(data.shape)) if data.shape else 1
+
+    @staticmethod
+    def tensor_ndim(data: jax.Array) -> int:
+        return data.ndim
+
+    @staticmethod
+    def tensor_dtype(data: jax.Array) -> Any:
+        return data.dtype
+
+    @staticmethod
+    def tensor_item(data: jax.Array) -> Any:
+        return data.item()
+
+    @staticmethod
+    def repr(data: jax.Array) -> str:
+        return data.__repr__()
+
+    @staticmethod
+    def len(data: jax.Array) -> int:
+        return data.__len__()
+
+    @staticmethod
+    def array_interface(data: jax.Array) -> dict:
+        return np.asarray(data).__array_interface__
+
+    @staticmethod
+    def array(
+        data: jax.Array,
+        dtype: Optional[Any] = None,
+        copy: Optional[py_bool] = None,
+    ) -> np.ndarray:
+        if dtype is not None and dtype != data.dtype:
+            if copy is False:
+                raise ValueError("attempted cast, but copies are not permitted")
+            return np.asarray(data).astype(dtype)
+        return np.asarray(data)
+
+    @staticmethod
+    def as_numpy(a: Any) -> np.ndarray:
+        return np.asarray(a)
+
+    # ---- dtypes ----
+    dtype = jnp.dtype
+    float64 = jnp.float64
+    float32 = jnp.float32
+    float16 = jnp.float16
+    bfloat16 = jnp.bfloat16
+    uint64 = jnp.uint64
+    uint32 = jnp.uint32
+    uint16 = jnp.uint16
+    uint8 = jnp.uint8
+    int64 = jnp.int64
+    int32 = jnp.int32
+    int16 = jnp.int16
+    int8 = jnp.int8
+    bool = jnp.bool_
+    nan = jnp.nan
+
+
+from minidiff_tpu.backend import register_backend
+
+register_backend("xla", XlaBackend)

@@ -1,0 +1,197 @@
+"""Functional transforms: engine-driven grad + whole-graph XLA compilation.
+
+This is the TPU-native evolution of the reference's toposort cache
+(minidiff/caching.py): where the reference memoizes a traversal *order* and
+still executes the backward op-by-op in Python, ``md.jit`` runs the entire
+Tensor program — forward build, backward sweep, optimizer update, all of it —
+on JAX tracers, so the whole thing lowers to one fused XLA executable.  The
+per-op Python overhead (reference call stack minidiff/ops/wrapping.py:153-173
+per scalar op) is paid once at trace time and never again.
+
+``grad`` / ``value_and_grad`` use the tape engine (OpNode.backward), NOT
+jax.grad — composing them under ``md.jit`` demonstrates that the tape's
+reverse sweep lowers to the same XLA graph jax's own AD would emit.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+import minidiff_tpu as md
+import minidiff_tpu.backend as backend
+
+if TYPE_CHECKING:
+    from typing import Any, Callable, Sequence, Tuple, Union
+
+
+def _is_tensor(x: "Any") -> bool:
+    return isinstance(x, md.Tensor)
+
+
+def _tree_detach(tree: "Any", allow_grad: bool) -> "Any":
+    import jax
+
+    return jax.tree.map(
+        lambda t: t.detach(allow_grad=allow_grad) if _is_tensor(t) else t,
+        tree,
+        is_leaf=_is_tensor,
+    )
+
+
+def _tree_grads(tree: "Any") -> "Any":
+    import jax
+
+    return jax.tree.map(
+        lambda t: t.grad if _is_tensor(t) else None, tree, is_leaf=_is_tensor
+    )
+
+
+def value_and_grad(
+    fn: "Callable[..., md.Tensor]", argnums: "Union[int, Sequence[int]]" = 0
+):
+    """Engine-driven value_and_grad: fresh leaves, tape build, backward sweep.
+
+    ``argnums`` entries may be Tensors or pytrees of Tensors; returned grads
+    mirror their structure.  Non-selected args pass through untouched (their
+    allow_grad flags decide whether they also accumulate grads).
+    """
+    single = isinstance(argnums, int)
+    nums = (argnums,) if single else tuple(argnums)
+
+    def wrapper(*args: "Any", **kwargs: "Any"):
+        copies = list(args)
+        for i in nums:
+            copies[i] = _tree_detach(args[i], allow_grad=True)
+        with md.enable_grad(True):
+            out = fn(*copies, **kwargs)
+            out.backward()
+        grads = tuple(_tree_grads(copies[i]) for i in nums)
+        return out, (grads[0] if single else grads)
+
+    return wrapper
+
+
+def grad(fn: "Callable[..., md.Tensor]", argnums: "Union[int, Sequence[int]]" = 0):
+    vag = value_and_grad(fn, argnums)
+
+    def wrapper(*args: "Any", **kwargs: "Any"):
+        return vag(*args, **kwargs)[1]
+
+    return wrapper
+
+
+def hvp(fn: "Callable[[md.Tensor], md.Tensor]"):
+    """Hessian-vector product via double backward (tape re-tracing).
+
+    Mirrors the README's higher-order pattern: the first backward runs with
+    ``allow_higher_order=True`` so the gradient itself carries a tape, then
+    d(g·v)/dx is a second engine sweep.
+    """
+
+    def wrapper(x: "md.Tensor", v: "md.Tensor") -> "md.Tensor":
+        x = x.detach(allow_grad=True)
+        with md.enable_grad(True):
+            out = fn(x)
+            out.backward(allow_higher_order=True)
+            g = x.grad
+            s = md.sum(g * v.detach())
+            s.backward()
+        return x.grad
+
+    return wrapper
+
+
+def _is_dynamic_leaf(x: "Any") -> bool:
+    import jax
+
+    return isinstance(
+        x, (md.Tensor, jax.Array, np.ndarray, np.generic, int, float, complex, bool)
+    )
+
+
+def jit(
+    fn: "Callable[..., Any]",
+    in_shardings: "Any" = None,
+    out_shardings: "Any" = None,
+    donate: bool = False,
+):
+    """Compile a Tensor program into a single XLA executable.
+
+    The wrapped ``fn`` may build tapes, call ``backward()``, mutate leaf
+    ``._data`` (optimizer steps) — anything the eager engine supports except
+    data-dependent Python control flow.  Tensor leaves in args/kwargs are
+    unwrapped to raw arrays, the program is traced once per (structure,
+    allow_grad flags, shapes/dtypes), and replays as compiled XLA.
+
+    Notes:
+    * XLA backend only (there is nothing to compile on the NumPy oracle).
+    * Returned Tensors are detached results (no tape survives compilation).
+    * Library RNG draws inside ``fn`` become trace-time constants.
+    * ``in_shardings`` / ``out_shardings`` (pytrees of jax shardings aligned
+      with the flattened tensor leaves / outputs) ride through to jax.jit —
+      this is how minidiff_tpu.parallel expresses dp/tp over a Mesh.
+    """
+    import jax
+
+    if backend.backend_name() != "xla":
+        raise RuntimeError("md.jit requires the xla backend")
+
+    cache: dict = {}
+
+    def wrapper(*args: "Any", **kwargs: "Any"):
+        leaves, treedef = jax.tree.flatten((args, kwargs), is_leaf=_is_tensor)
+        meta = []
+        dynamic = []
+        for leaf in leaves:
+            if _is_tensor(leaf):
+                meta.append(("tensor", leaf.allow_grad))
+                dynamic.append(leaf._data)
+            elif _is_dynamic_leaf(leaf):
+                meta.append(("array", None))
+                dynamic.append(leaf)
+            else:
+                # hashable non-array (str, dtype, shape tuple, ...) → static
+                meta.append(("static", leaf))
+        meta = tuple(meta)
+        key = (treedef, meta)
+
+        if key not in cache:
+
+            def pure(dyn: "list") -> "Any":
+                it = iter(dyn)
+                rebuilt = []
+                for m in meta:
+                    kind, info = m
+                    if kind == "tensor":
+                        rebuilt.append(md.Tensor(next(it), allow_grad=info))
+                    elif kind == "array":
+                        rebuilt.append(next(it))
+                    else:
+                        rebuilt.append(info)
+                a, k = jax.tree.unflatten(treedef, rebuilt)
+                out = fn(*a, **k)
+                return jax.tree.map(
+                    lambda t: t._data if _is_tensor(t) else t, out, is_leaf=_is_tensor
+                )
+
+            jit_kwargs: dict = {}
+            if in_shardings is not None:
+                jit_kwargs["in_shardings"] = (in_shardings,)
+            if out_shardings is not None:
+                jit_kwargs["out_shardings"] = out_shardings
+            if donate:
+                jit_kwargs["donate_argnums"] = (0,)
+            cache[key] = jax.jit(pure, **jit_kwargs)
+
+        out_raw = cache[key](dynamic)
+        return jax.tree.map(
+            lambda r: md.Tensor(r) if isinstance(r, jax.Array) else r, out_raw
+        )
+
+    wrapper._cache = cache  # exposed for tests / cache inspection
+    return wrapper
+
+
+__all__ = ["grad", "value_and_grad", "hvp", "jit"]

@@ -1,0 +1,638 @@
+"""Every op exported by the framework: forwards + per-input VJPs.
+
+Op-surface parity with the reference registry (minidiff/ops/definitions.py:
+561-627 lists the same 63 public names).  All VJPs are written in terms of
+framework ops, so backward sweeps re-tape under grad mode and higher-order
+differentiation works by construction (see tape.OpNode.backward).
+
+VJP math is re-derived TPU-first rather than translated:
+
+* Reduction grads (sum/mean/std/prod) use reshape-to-keepdims + broadcast —
+  pure data movement XLA folds away (the reference builds them from
+  tile + inverse-permutation index gymnastics, definitions.py:224-262).
+* max/min grads use an equality mask instead of argmax + put_along_axis
+  scatter (definitions.py:98-127) — no scatter on TPU; ties share the
+  gradient evenly (reference sends it to the first index; finite differences
+  are ill-defined at ties either way).
+* matmul grads handle batched operands via swapaxes(-1,-2) (the reference's
+  full-transpose grads, definitions.py:487-492, are wrong above 2-D).
+* dot grads delegate to the general tensordot VJP, so >1-D dot differentiates
+  correctly (the reference's elementwise grads, definitions.py:437-441, only
+  hold for 1-D).
+* mod keeps the reference's (nonstandard) semantics: both grads pass `grad`
+  through except where x % y == 0 (definitions.py:493-497).
+"""
+
+from __future__ import annotations
+
+from builtins import bool as py_bool
+from builtins import max as py_max
+from math import prod as py_prod
+from typing import TYPE_CHECKING
+
+import minidiff_tpu as md
+import minidiff_tpu.ops.wrapping as wrapping
+from minidiff_tpu.ops.wrapping import as_tensor_func, backend_fn
+
+if TYPE_CHECKING:
+    from typing import Any, Optional, Sequence, Tuple, Union
+
+
+# ---------------------------------------------------------------------------
+# axis helpers
+# ---------------------------------------------------------------------------
+
+def _normalize_axes(
+    axis: "Optional[Union[int, Sequence[int]]]", ndim: int
+) -> "Optional[Tuple[int, ...]]":
+    """None stays None (= all axes); ints/sequences become sorted non-negative tuples."""
+    if axis is None:
+        return None
+    if isinstance(axis, int):
+        axis = (axis,)
+    return tuple(sorted(a % ndim if a < 0 else a for a in axis))
+
+
+def _keepdims_shape(shape: "Tuple[int, ...]", axes: "Optional[Tuple[int, ...]]"):
+    if axes is None:
+        return (1,) * len(shape)
+    return tuple(1 if i in axes else d for i, d in enumerate(shape))
+
+
+def _grad_as_keepdims(x: "md.Tensor", grad: "md.Tensor", axes) -> "md.Tensor":
+    """Reshape an incoming reduction cotangent to the keepdims shape.
+
+    Works whether the forward was called with keepdims=True or False — the
+    element count is the same either way.
+    """
+    kd = _keepdims_shape(x.shape, axes)
+    if grad.shape == kd:
+        return grad
+    return grad.reshape(kd)
+
+
+# ---------------------------------------------------------------------------
+# nontrivial VJPs
+# ---------------------------------------------------------------------------
+
+def sum_grad(x, grad, axis=None, **kwargs):
+    """d(sum)/dx: broadcast the cotangent back over the reduced axes."""
+    axes = _normalize_axes(axis, x.ndim)
+    if axes == ():
+        return grad.reshape(x.shape)
+    return broadcast_to(_grad_as_keepdims(x, grad, axes), x.shape)
+
+
+def mean_grad(x, grad, axis=None, **kwargs):
+    axes = _normalize_axes(axis, x.ndim)
+    if axes == ():
+        return grad.reshape(x.shape)
+    kd = _keepdims_shape(x.shape, axes)
+    n = x.size // py_prod(kd) if x.size else 1
+    return broadcast_to(_grad_as_keepdims(x, grad, axes) / n, x.shape)
+
+
+def max_grad(x, grad, axis=None, **kwargs):
+    """Equality-mask VJP for max: ties share the cotangent evenly (no scatter)."""
+    return _extremum_grad(max, x, grad, axis)
+
+
+def min_grad(x, grad, axis=None, **kwargs):
+    return _extremum_grad(min, x, grad, axis)
+
+
+def _extremum_grad(extremum_op, x, grad, axis):
+    axes = _normalize_axes(axis, x.ndim)
+    if axes == ():
+        return grad.reshape(x.shape)
+    m = extremum_op(x, axis=axes, keepdims=True)
+    mask = (x == m).astype(x.dtype)
+    counts = md.sum(mask, axis=axes, keepdims=True)
+    return _grad_as_keepdims(x, grad, axes) * mask / counts
+
+
+def prod_grad(x, grad, axis=None, **kwargs):
+    axes = _normalize_axes(axis, x.ndim)
+    if axes == ():
+        return grad.reshape(x.shape)
+    total = prod(x, axis=axes, keepdims=True)
+    grad_kd = _grad_as_keepdims(x, grad, axes)
+    # zero where x == 0 for stability; reference keeps the same convention
+    return md.where(x == 0, 0, grad_kd * total / x)
+
+
+def std_grad(x, grad, axis=None, **kwargs):
+    """d(std)/dx_i = (x_i - mu) / (N * sigma), broadcast over reduced axes."""
+    axes = _normalize_axes(axis, x.ndim)
+    if axes == ():
+        return md.zeros_like(x)
+    kd = _keepdims_shape(x.shape, axes)
+    n = x.size // py_prod(kd) if x.size else 1
+    mu = mean(x, axis=axes, keepdims=True)
+    sigma = std(x, axis=axes, keepdims=True)
+    return _grad_as_keepdims(x, grad, axes) * (x - mu) / (sigma * n)
+
+
+def squeeze_grad(a, grad, axis=None, **kwargs):
+    if axis is None:
+        axis = tuple(i for i, dim in enumerate(a.shape) if dim == 1)
+    if isinstance(axis, int):
+        axis = (axis,)
+    if not axis:
+        return grad
+    return expand_dims(grad, tuple(axis))
+
+
+def transpose_grad(x, grad, axes=None):
+    if axes is None:
+        return transpose(grad)
+    inverse = [0] * len(axes)
+    for i, dim in enumerate(axes):
+        inverse[int(dim)] = i
+    return transpose(grad, axes=inverse)
+
+
+def unbroadcast_forward(x: "md.Tensor", target_shape: "Sequence[int]") -> "md.Tensor":
+    """Undo NumPy-style broadcasting: sum prepended axes, then stretched ones.
+
+    Used both as the public `unbroadcast` op and by the engine whenever a VJP
+    result's shape disagrees with its input (tape.py update_grads).
+    """
+    target_shape = tuple(target_shape)
+    if x.shape == target_shape:
+        return x
+    n_prepended = x.ndim - len(target_shape)
+    if n_prepended > 0:
+        x = x.sum(axis=tuple(range(n_prepended)))
+    stretched = tuple(
+        i
+        for i, (xd, td) in enumerate(zip(x.shape, target_shape))
+        if td == 1 and xd > 1
+    )
+    if stretched:
+        x = x.sum(axis=stretched, keepdims=True)
+    if x.size == py_prod(target_shape):
+        return x.reshape(target_shape)
+    return broadcast_to(x, target_shape)
+
+
+def getitem_grad(x, key, grad):
+    # scatter_add is itself a differentiable op (VJP = gather at key), so
+    # second-order gradients flow through indexing — the reference's
+    # index_add-mutation VJP (definitions.py:186-189) silently breaks the
+    # higher-order chain there.
+    return scatter_add(x, key, grad)
+
+
+def _tensordot_axes(x_ndim: int, y_ndim: int, axes) -> "Tuple[Tuple[int, ...], Tuple[int, ...]]":
+    if isinstance(axes, int):
+        return tuple(range(x_ndim - axes, x_ndim)), tuple(range(axes))
+    ax, ay = axes
+    if isinstance(ax, int):
+        ax = (ax,)
+    if isinstance(ay, int):
+        ay = (ay,)
+    ax = tuple(a % x_ndim if a < 0 else a for a in ax)
+    ay = tuple(a % y_ndim if a < 0 else a for a in ay)
+    return ax, ay
+
+
+def tensordot_grad_x(x, y, grad, axes=2):
+    """dL/dx = tensordot(grad, y over y's free dims), permuted back to x order.
+
+    tensordot(x, y, (ax, ay)) has dims [x_free..., y_free...]; contracting
+    grad's trailing dims with y's free dims leaves [x_free..., sorted(ay) dims
+    of y], where y dim ay[k] pairs with x dim ax[k] — a permutation lookup
+    instead of the reference's index bookkeeping (definitions.py:28-60).
+    """
+    ax, ay = _tensordot_axes(x.ndim, y.ndim, axes)
+    x_free = tuple(i for i in range(x.ndim) if i not in ax)
+    y_free = tuple(i for i in range(y.ndim) if i not in ay)
+    grad_trailing = tuple(range(grad.ndim - len(y_free), grad.ndim))
+    raw = tensordot(grad, y, axes=(grad_trailing, y_free))
+    # raw dim i corresponds to x dim perm[i]
+    perm = list(x_free) + [ax[ay.index(d)] for d in sorted(ay)]
+    return transpose(raw, axes=[perm.index(d) for d in range(x.ndim)])
+
+
+def tensordot_grad_y(x, y, grad, axes=2):
+    ax, ay = _tensordot_axes(x.ndim, y.ndim, axes)
+    x_free = tuple(i for i in range(x.ndim) if i not in ax)
+    y_free = tuple(i for i in range(y.ndim) if i not in ay)
+    grad_leading = tuple(range(len(x_free)))
+    raw = tensordot(x, grad, axes=(x_free, grad_leading))
+    # raw dims: [sorted(ax) dims of x (≙ y dims via the pairing), y_free...]
+    perm = [ay[ax.index(d)] for d in sorted(ax)] + list(y_free)
+    return transpose(raw, axes=[perm.index(d) for d in range(y.ndim)])
+
+
+def matmul_grad_x(x, y, grad):
+    """Batched-correct matmul VJP; batch broadcasting is undone by the engine."""
+    if x.ndim == 1 and y.ndim == 1:
+        return grad * y
+    if y.ndim == 1:
+        # out = x @ y contracts x's last dim: dx = grad ⊗ y over the last axes
+        return expand_dims(grad, -1) * y
+    return matmul(grad, swapaxes(y, -1, -2))
+
+
+def matmul_grad_y(x, y, grad):
+    if x.ndim == 1 and y.ndim == 1:
+        return grad * x
+    if x.ndim == 1:
+        # out = x @ y: dy = outer(x, grad) over the matrix axes
+        return matmul(expand_dims(x, -1), expand_dims(grad, -2))
+    if y.ndim == 1:
+        # np.matmul promotes 1-D y to a column; its grad is x^T @ grad
+        return matmul(swapaxes(x, -1, -2), grad)
+    return matmul(swapaxes(x, -1, -2), grad)
+
+
+def _dot_axes(x, y):
+    # np.dot contracts the last axis of x with the second-to-last of y (or the
+    # only axis when y is 1-D)
+    return ((x.ndim - 1,), (py_max(y.ndim - 2, 0),))
+
+
+def dot_grad_x(x, y, grad):
+    return tensordot_grad_x(x, y, grad, axes=_dot_axes(x, y))
+
+
+def dot_grad_y(x, y, grad):
+    return tensordot_grad_y(x, y, grad, axes=_dot_axes(x, y))
+
+
+def clip_grad_x(*args, **kwargs):
+    """VJP of clip wrt x; pass-through inside the active interval.
+
+    Robust to both positional clip(x, lo, hi) and keyword clip(x, a_min=lo,
+    a_max=hi) call forms (the engine appends the cotangent after op_inputs).
+    """
+    grad = args[-1]
+    x = args[0]
+    rest = args[1:-1]
+    a_min = rest[0] if len(rest) > 0 else kwargs.get("a_min")
+    a_max = rest[1] if len(rest) > 1 else kwargs.get("a_max")
+    if a_min is None and a_max is None:
+        return grad
+    if a_min is None:
+        return grad * (x < a_max)
+    if a_max is None:
+        return grad * (x > a_min)
+    return grad * logical_and(x > a_min, x < a_max)
+
+
+# ---------------------------------------------------------------------------
+# unary ops
+# ---------------------------------------------------------------------------
+
+absolute = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("absolute")),
+    grad=lambda x, grad: grad * sign(x),
+)
+abs = absolute
+all = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("all")), is_differentiable=False
+)
+any = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("any")), is_differentiable=False
+)
+argmax = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("argmax")), is_differentiable=False
+)
+argmin = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("argmin")), is_differentiable=False
+)
+argwhere = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("argwhere")), is_differentiable=False
+)
+atleast_1d = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("atleast_1d")),
+    grad=lambda x, grad: grad.reshape(x.shape),
+)
+atleast_2d = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("atleast_2d")),
+    grad=lambda x, grad: grad.reshape(x.shape),
+)
+atleast_3d = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("atleast_3d")),
+    grad=lambda x, grad: grad.reshape(x.shape),
+)
+ceil = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("ceil")), is_differentiable=False
+)
+copy = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("copy")),
+    grad=lambda x, grad: grad,
+)
+cos = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("cos")),
+    grad=lambda x, grad: grad * -sin(x),
+)
+cosh = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("cosh")),
+    grad=lambda x, grad: grad * sinh(x),
+)
+exp = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("exp")),
+    grad=lambda x, grad: grad * exp(x),
+)
+flatten = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("flatten")),
+    grad=lambda x, grad, order="C": reshape(grad, x.shape, order=order),
+)
+flip = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("flip")),
+    grad=lambda x, grad, **kwargs: flip(grad, **kwargs),
+    propagate_kwargs=True,
+)
+floor = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("floor")), is_differentiable=False
+)
+invert = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("invert")), is_differentiable=False
+)
+log = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("log")),
+    grad=lambda x, grad: grad / x,
+)
+logical_not = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("logical_not")), is_differentiable=False
+)
+max = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("max")),
+    grad=max_grad,
+    propagate_kwargs=True,
+)
+mean = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("mean")),
+    grad=mean_grad,
+    propagate_kwargs=True,
+)
+min = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("min")),
+    grad=min_grad,
+    propagate_kwargs=True,
+)
+prod = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("prod")),
+    grad=prod_grad,
+    propagate_kwargs=True,
+)
+ravel = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("ravel")),
+    grad=lambda x, grad, order="C": reshape(grad, x.shape, order=order),
+)
+sign = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("sign")), is_differentiable=False
+)
+sin = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("sin")),
+    grad=lambda x, grad: grad * cos(x),
+)
+sinh = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("sinh")),
+    grad=lambda x, grad: grad * cosh(x),
+)
+squeeze = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("squeeze")),
+    grad=squeeze_grad,
+)
+std = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("std")),
+    grad=std_grad,
+    propagate_kwargs=True,
+)
+sum = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("sum")),
+    grad=sum_grad,
+    propagate_kwargs=True,
+)
+tan = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("tan")),
+    grad=lambda x, grad: grad * (1 / cos(x) ** 2),
+)
+tanh = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("tanh")),
+    grad=lambda x, grad: grad * (1 / cosh(x) ** 2),
+)
+transpose = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("transpose")),
+    grad=transpose_grad,
+    propagate_kwargs=True,
+)
+
+def sqrt(a: "md.Tensor", **kwargs: "Any") -> "md.Tensor":
+    return power(a, 0.5, **kwargs)
+
+
+def square(a: "md.Tensor", **kwargs: "Any") -> "md.Tensor":
+    return power(a, 2, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# binary ops
+# ---------------------------------------------------------------------------
+
+add = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("add")),
+    grad_x=lambda x, y, grad: grad,
+    grad_y=lambda x, y, grad: grad,
+)
+astype = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("astype")),
+    grad_x=lambda x, dtype, grad: grad.astype(x.dtype),
+)
+broadcast_to = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("broadcast_to")),
+    grad_x=lambda x, shape, grad: unbroadcast(grad, x.shape),
+)
+dot = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("dot")),
+    grad_x=dot_grad_x,
+    grad_y=dot_grad_y,
+)
+equal = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("equal")), is_differentiable=False
+)
+expand_dims = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("expand_dims")),
+    grad_x=lambda x, axis, grad: squeeze(grad, axis=axis),
+)
+floor_divide = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("floor_divide")), is_differentiable=False
+)
+getitem = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("getitem")),
+    grad_x=getitem_grad,
+    op_name="index",
+)
+greater = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("greater")), is_differentiable=False
+)
+greater_equal = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("greater_equal")), is_differentiable=False
+)
+less = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("less")), is_differentiable=False
+)
+less_equal = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("less_equal")), is_differentiable=False
+)
+logical_and = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("logical_and")), is_differentiable=False
+)
+logical_or = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("logical_or")), is_differentiable=False
+)
+logical_xor = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("logical_xor")), is_differentiable=False
+)
+matmul = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("matmul")),
+    grad_x=matmul_grad_x,
+    grad_y=matmul_grad_y,
+    tensor_only=True,
+)
+mod = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("mod")),
+    grad_x=lambda x, y, grad: md.where(x % y == 0, 0, grad),
+    grad_y=lambda x, y, grad: md.where(x % y == 0, 0, grad),
+)
+multiply = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("multiply")),
+    grad_x=lambda x, y, grad: grad * y,
+    grad_y=lambda x, y, grad: grad * x,
+)
+not_equal = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("not_equal")), is_differentiable=False
+)
+power = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("power")),
+    grad_x=lambda x, y, grad: grad * y * (x ** (y - 1)),
+    grad_y=lambda x, y, grad: grad * log(x) * x**y,
+)
+reshape = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("reshape")),
+    grad_x=lambda x, shape, grad, **kwargs: grad.reshape(x.shape),
+)
+subtract = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("subtract")),
+    grad_x=lambda x, y, grad: grad,
+    grad_y=lambda x, y, grad: -grad,
+)
+tensordot = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("tensordot")),
+    grad_x=tensordot_grad_x,
+    grad_y=tensordot_grad_y,
+    tensor_only=True,
+    propagate_kwargs=True,
+)
+true_divide = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("true_divide")),
+    grad_x=lambda x, y, grad: grad / y,
+    grad_y=lambda x, y, grad: grad * (-x / y**2),
+)
+unbroadcast = wrapping.create_binary_op_func(
+    forward_func=unbroadcast_forward,
+    grad_x=lambda x, shape, grad: broadcast_to(grad, x.shape),
+)
+# scatter_add(template, key, values): zeros shaped like `template` with
+# `values` scatter-added at `key` (repeats accumulate).  Extension op beyond
+# the reference surface; exists so getitem's VJP is differentiable.
+scatter_add = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("scatter_add")),
+    grad_z=lambda x, key, values, grad: getitem(grad, key),
+)
+
+# ---------------------------------------------------------------------------
+# ternary ops
+# ---------------------------------------------------------------------------
+
+clip = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("clip")),
+    grad_x=clip_grad_x,
+    propagate_kwargs=True,
+)
+swapaxes = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("swapaxes")),
+    grad_x=lambda x, axis1, axis2, grad, **kwargs: swapaxes(grad, axis1, axis2, **kwargs),
+    propagate_kwargs=True,
+)
+where = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("where")),
+    # select-based VJPs: dtype-safe for bool conditions (the reference's
+    # `grad * (1 - condition)` breaks on numpy bool subtract) and themselves
+    # differentiable wrt grad for higher-order sweeps.
+    grad_y=lambda condition, y, z, grad: md.where(condition, grad, 0),
+    grad_z=lambda condition, y, z, grad: md.where(condition, 0, grad),
+)
+
+__all__ = [
+    "absolute",
+    "abs",
+    "all",
+    "any",
+    "argmax",
+    "argmin",
+    "argwhere",
+    "atleast_1d",
+    "atleast_2d",
+    "atleast_3d",
+    "ceil",
+    "copy",
+    "cos",
+    "cosh",
+    "exp",
+    "flatten",
+    "flip",
+    "floor",
+    "invert",
+    "log",
+    "logical_not",
+    "max",
+    "min",
+    "mean",
+    "prod",
+    "ravel",
+    "sign",
+    "sin",
+    "sinh",
+    "sqrt",
+    "square",
+    "squeeze",
+    "std",
+    "sum",
+    "tan",
+    "tanh",
+    "transpose",
+    "add",
+    "astype",
+    "broadcast_to",
+    "dot",
+    "equal",
+    "expand_dims",
+    "floor_divide",
+    "getitem",
+    "greater",
+    "greater_equal",
+    "less",
+    "less_equal",
+    "logical_and",
+    "logical_or",
+    "logical_xor",
+    "matmul",
+    "mod",
+    "multiply",
+    "not_equal",
+    "power",
+    "reshape",
+    "subtract",
+    "tensordot",
+    "true_divide",
+    "unbroadcast",
+    "scatter_add",
+    "clip",
+    "swapaxes",
+    "where",
+]

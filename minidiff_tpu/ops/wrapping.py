@@ -1,0 +1,252 @@
+"""Op factory: wraps backend array functions into differentiable Tensor ops.
+
+Parity with the reference factory (minidiff/ops/wrapping.py): an op is a
+callable that (1) validates inputs, (2) decides grad tracking from the inputs
+and the ambient grad mode, (3) runs the forward on unwrapped arrays, and
+(4) attaches an OpNode carrying per-input VJP callables.  VJPs are written in
+terms of *framework* ops, so a backward sweep under grad mode re-tapes and
+higher-order differentiation works by construction.
+
+TPU-build addition: forwards resolve the backend function dynamically
+(``backend_fn('sin')``), so the op table is not frozen against one array
+library at import time (the reference binds at import,
+minidiff/ops/definitions.py:266+, which makes backends unswappable at runtime).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import minidiff_tpu as md
+import minidiff_tpu.backend as backend
+from minidiff_tpu.tape import OpNode
+
+if TYPE_CHECKING:
+    from typing import Any, Callable, Optional, Sequence, Type
+
+    import minidiff_tpu.typing as mdt
+
+
+def backend_fn(name: str) -> "Callable[..., Any]":
+    """A forward that looks up ``backend.<name>`` at call time."""
+
+    def forward(*args: Any, **kwargs: Any) -> Any:
+        return getattr(backend, name)(*args, **kwargs)
+
+    forward.__name__ = name
+    forward.__qualname__ = f"<backend fn '{name}'>"
+    return forward
+
+
+def _should_allow_grad(op_inputs: "Sequence[Any]") -> bool:
+    """Track gradients iff grad mode is on and any input Tensor wants them."""
+    if not md.grad_allowed_():
+        return False
+    return any(isinstance(x, md.Tensor) and x.allow_grad for x in op_inputs)
+
+
+def _validate_op_inputs(op_inputs: "Sequence[Any]", tensor_only: bool) -> None:
+    if tensor_only:
+        if all(isinstance(t, md.Tensor) for t in op_inputs):
+            return
+        raise ValueError("This function only supports minidiff Tensors")
+    if any(isinstance(t, md.Tensor) for t in op_inputs):
+        return
+    raise ValueError("This function requires at least one minidiff Tensor argument")
+
+
+def as_tensor_func(func: "Callable[..., Any]") -> "Callable[..., md.Tensor]":
+    """Lift an array function to a Tensor function (wrapping.py:117-134)."""
+
+    def wrapper(*args: Any, **kwargs: Any) -> md.Tensor:
+        allow_grad = _should_allow_grad(args)
+        output = func(*md.try_unwrap(args), **md.try_unwrap(kwargs))
+        return md.Tensor(output, allow_grad=allow_grad)
+
+    wrapper.__name__ = func.__name__
+    wrapper.__qualname__ = getattr(func, "__qualname__", func.__name__)
+    return wrapper
+
+
+# Back-compat alias matching the reference's public name (README mentions it).
+as_minidiff = as_tensor_func
+
+
+def create_op_func(
+    forward_func: "Callable[..., md.Tensor]",
+    grad_funcs: "Sequence[Optional[mdt.GenericOpGrad]]",
+    propagate_kwargs: bool = False,
+    is_differentiable: bool = True,
+    tensor_only: bool = False,
+    op_name: "Optional[str]" = None,
+) -> "Callable[..., md.Tensor]":
+    """Manufacture a graph-building op (wrapping.py:137-178).
+
+    Non-differentiable ops still join the graph with all-None VJPs so
+    backprop skips them silently instead of erroring.
+    """
+    if not is_differentiable:
+        grad_funcs = [None] * len(grad_funcs)
+    if op_name is None:
+        op_name = forward_func.__name__
+
+    def op(*op_inputs: Any, **op_kwargs: Any) -> md.Tensor:
+        _validate_op_inputs(op_inputs, tensor_only)
+        allow_grad = _should_allow_grad(op_inputs)
+        output = forward_func(*op_inputs, **op_kwargs)
+        # An output already owned by a graph gets adopted into this one via a
+        # fresh detached view (wrapping.py:158-159).
+        if output.op_node is not None:
+            output = output.detach()
+        output.allow_grad = allow_grad
+
+        if is_differentiable and allow_grad and md.grad_allowed_():
+            output.op_node = OpNode(
+                forward_func=forward_func,
+                grad_functions=grad_funcs,
+                op_inputs=op_inputs,
+                op_kwargs=op_kwargs,
+                op_name=op_name,
+                propagate_kwargs=propagate_kwargs,
+            )
+        return output
+
+    op.__name__ = op_name
+    op.__qualname__ = f"<op func '{op_name}'>"
+    return op
+
+
+class OpClass:
+    """Stateful-op protocol: fresh forward/grads per call (wrapping.py:47-76)."""
+
+    def create_forward(self) -> "Callable[..., md.Tensor]":
+        raise NotImplementedError
+
+    def create_grads(self) -> "Sequence[Optional[mdt.GenericOpGrad]]":
+        raise NotImplementedError
+
+
+class UnaryOpClass(OpClass):
+    pass
+
+
+class BinaryOpClass(OpClass):
+    pass
+
+
+class TernaryOpClass(OpClass):
+    pass
+
+
+def create_stateful_op_func(
+    op_class: "Type[OpClass]",
+    propagate_kwargs: bool = False,
+    tensor_only: bool = False,
+    op_name: "Optional[str]" = None,
+) -> "Callable[..., md.Tensor]":
+    if op_name is None:
+        op_name = op_class.__name__
+
+    def op(*op_inputs: Any, **op_kwargs: Any) -> md.Tensor:
+        _validate_op_inputs(op_inputs, tensor_only)
+        allow_grad = _should_allow_grad(op_inputs)
+        instance = op_class()
+        forward = instance.create_forward()
+        output = forward(*op_inputs, **op_kwargs)
+        if output.op_node is not None:
+            output = output.detach()
+        output.allow_grad = allow_grad
+
+        if allow_grad and md.grad_allowed_():
+            output.op_node = OpNode(
+                forward_func=forward,
+                grad_functions=instance.create_grads(),
+                op_inputs=op_inputs,
+                op_kwargs=op_kwargs,
+                op_name=op_name,
+                propagate_kwargs=propagate_kwargs,
+            )
+        return output
+
+    op.__name__ = op_name
+    op.__qualname__ = f"<stateful op func '{op_name}'>"
+    return op
+
+
+def create_unary_op_func(
+    forward_func: "Callable[..., md.Tensor]",
+    grad: "Optional[mdt.UnaryOpGrad]" = None,
+    **kwargs: Any,
+) -> "Callable[..., md.Tensor]":
+    kwargs.setdefault("tensor_only", True)
+    return create_op_func(forward_func=forward_func, grad_funcs=[grad], **kwargs)
+
+
+def create_binary_op_func(
+    forward_func: "Callable[..., md.Tensor]",
+    grad_x: "Optional[mdt.BinaryOpGrad]" = None,
+    grad_y: "Optional[mdt.BinaryOpGrad]" = None,
+    **kwargs: Any,
+) -> "Callable[..., md.Tensor]":
+    return create_op_func(forward_func=forward_func, grad_funcs=[grad_x, grad_y], **kwargs)
+
+
+def create_ternary_op_func(
+    forward_func: "Callable[..., md.Tensor]",
+    grad_x: "Optional[mdt.TernaryOpGrad]" = None,
+    grad_y: "Optional[mdt.TernaryOpGrad]" = None,
+    grad_z: "Optional[mdt.TernaryOpGrad]" = None,
+    **kwargs: Any,
+) -> "Callable[..., md.Tensor]":
+    return create_op_func(
+        forward_func=forward_func, grad_funcs=[grad_x, grad_y, grad_z], **kwargs
+    )
+
+
+# decorator sugar
+def op_func(**kwargs: Any):
+    def wrapper(func):
+        return create_op_func(forward_func=func, **kwargs)
+
+    return wrapper
+
+
+def unary_op_func(**kwargs: Any):
+    def wrapper(func):
+        return create_unary_op_func(forward_func=func, **kwargs)
+
+    return wrapper
+
+
+def binary_op_func(**kwargs: Any):
+    def wrapper(func):
+        return create_binary_op_func(forward_func=func, **kwargs)
+
+    return wrapper
+
+
+def ternary_op_func(**kwargs: Any):
+    def wrapper(func):
+        return create_ternary_op_func(forward_func=func, **kwargs)
+
+    return wrapper
+
+
+__all__ = [
+    "OpClass",
+    "UnaryOpClass",
+    "BinaryOpClass",
+    "TernaryOpClass",
+    "op_func",
+    "unary_op_func",
+    "binary_op_func",
+    "ternary_op_func",
+    "as_tensor_func",
+    "as_minidiff",
+    "backend_fn",
+    "create_op_func",
+    "create_stateful_op_func",
+    "create_unary_op_func",
+    "create_binary_op_func",
+    "create_ternary_op_func",
+]

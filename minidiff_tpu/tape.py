@@ -1,0 +1,205 @@
+"""The tape: OpNode graph nodes and the reverse-mode backward engine.
+
+Semantic parity with the reference engine (minidiff/topology.py):
+
+* ``OpNode`` records (forward fn, per-input VJPs, inputs, kwargs) and
+  refcounts its tensor inputs (topology.py:41-42).
+* ``update_grads`` applies the chain rule per input with automatic
+  unbroadcasting and accumulation (topology.py:81-104).
+* ``backward`` drives the reverse sweep with three cleanup modes
+  (keep / prune / destroy) and higher-order support via re-taping under
+  ``enable_grad`` (topology.py:132-200): when ``allow_higher_order`` is on,
+  each VJP call itself builds a fresh tape, which is what makes
+  ``x.grad.backward()`` work.
+
+Engine-level differences from the reference (behavior-preserving):
+
+* ``toposort`` is iterative (the reference's recursive DFS, topology.py:106-128,
+  overflows Python's stack on the deep op-chains that long TPU training loops
+  build).  Postorder is identical.
+* On the XLA backend every VJP call dispatches jax ops; under
+  ``minidiff_tpu.func.jit`` this whole sweep runs on tracers and collapses
+  into one compiled executable (the reference's per-op Python loop is the
+  overhead this design deletes).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import minidiff_tpu as md
+import minidiff_tpu.caching as mdc
+
+if TYPE_CHECKING:
+    from typing import Any, Dict, List, Literal, Optional, Sequence
+
+    import minidiff_tpu.typing as mdt
+
+
+class OpNode:
+    def __init__(
+        self,
+        forward_func: "mdt.GenericOp",
+        grad_functions: "Sequence[Optional[mdt.GenericOpGrad]]",
+        op_inputs: "Sequence[Any]",
+        op_kwargs: "Optional[Dict[str, Any]]" = None,
+        op_name: "Optional[str]" = None,
+        propagate_kwargs: bool = False,
+    ):
+        self.forward_func = forward_func
+        self.grad_functions = grad_functions
+        self.op_inputs = op_inputs
+        self.op_kwargs = op_kwargs or {}
+        self.op_name = op_name or ""
+        self.propagate_kwargs = propagate_kwargs
+
+        self.tensor_inputs = [x for x in op_inputs if isinstance(x, md.Tensor)]
+        for tensor in self.tensor_inputs:
+            tensor.graph_refs += 1
+
+        # Structural-identity metadata, built only under reuse_graph
+        # (topology.py:46-74): _op_ids is a nested tuple hashing the graph
+        # *shape* (which forward fns feed which positions), _tensor_graph is a
+        # nested list that lets cached toposort orders be replayed by index.
+        self._tensor_graph: list = []
+        if not mdc.currently_caching():
+            self._op_ids: tuple = ()
+            return
+
+        ids: list = []
+        for op_input in self.op_inputs:
+            if not isinstance(op_input, md.Tensor) or op_input.is_leaf:
+                ids.append(-1)
+            else:
+                ids.append(op_input.op_node._op_ids)
+        ids.append(id(forward_func))
+        self._op_ids = tuple(ids)
+
+        seen: set = set()
+        for op_input in self.op_inputs:
+            if not isinstance(op_input, md.Tensor) or id(op_input) in seen:
+                continue
+            if not op_input.is_leaf:
+                self._tensor_graph.append(op_input.op_node._tensor_graph)
+            self._tensor_graph.append(op_input)
+            seen.add(id(op_input))
+
+    @property
+    def hash(self) -> int:
+        return hash(self._op_ids)
+
+    def update_grads(self, grad: "md.Tensor") -> None:
+        """Chain rule: accumulate VJP(grad) into each tracked input's .grad.
+
+        Runs in whatever grad mode the caller set — backward() enables grad
+        only for higher-order sweeps, so these VJP calls re-tape exactly when
+        they should (topology.py:81-104).
+        """
+        for op_input, grad_function in zip(self.op_inputs, self.grad_functions):
+            if not isinstance(op_input, md.Tensor):
+                continue
+            if not op_input.allow_grad:
+                continue
+            if grad_function is None:
+                continue
+
+            kwargs = self.op_kwargs if self.propagate_kwargs else {}
+            grad_computation = grad_function(*self.op_inputs, grad, **kwargs)
+            # Forward-pass broadcasting must be undone so gradients land with
+            # the input's shape (topology.py:94-99).
+            if grad_computation.shape == op_input.shape:
+                collected = grad_computation
+            else:
+                collected = md.unbroadcast(grad_computation, op_input.shape)
+
+            if op_input.grad is None:
+                op_input.grad = collected
+            else:
+                op_input.grad = op_input.grad + collected
+
+    def toposort(self) -> "List[md.Tensor]":
+        """Postorder over the tensor DAG feeding this node (iterative DFS).
+
+        Returns the same ordering as the reference's recursive version
+        (topology.py:106-128): inputs appear after everything beneath them.
+        """
+        seen: set = set()
+        order: list = []
+        # Explicit stack mirroring the recursion frames exactly: "node" expands
+        # a node's inputs, "child" performs the seen-check at visit time (NOT
+        # at push time — early marking would emit a shared tensor before a
+        # consumer that reaches it through a deeper path, breaking the
+        # topological property), "emit" appends after the subtree completes.
+        work: list = [("node", self)]
+        while work:
+            kind, item = work.pop()
+            if kind == "emit":
+                order.append(item)
+            elif kind == "child":
+                input_id = id(item)
+                if input_id in seen:
+                    continue
+                seen.add(input_id)
+                work.append(("emit", item))
+                work.append(("node", item.op_node))
+            else:
+                if item is None:
+                    continue
+                for op_input in reversed(item.tensor_inputs):
+                    work.append(("child", op_input))
+        return order
+
+    def backward(
+        self,
+        seed_grad: "md.Tensor",
+        retain_grads: bool = False,
+        cleanup_mode: "Literal['keep', 'prune', 'destroy']" = "prune",
+        allow_higher_order: bool = False,
+        reset_grads: bool = True,
+    ) -> None:
+        if cleanup_mode not in ("keep", "prune", "destroy"):
+            raise ValueError(f"Cleanup mode not recognized ({cleanup_mode})")
+
+        # Higher-order sweeps re-traverse the same subgraph, so intermediates'
+        # grads and the graph itself must survive (topology.py:147-150).
+        if allow_higher_order:
+            retain_grads = True
+            if cleanup_mode == "destroy":
+                cleanup_mode = "prune"
+
+        if mdc.currently_caching():
+            traversal_path = mdc.replay_traversal(self)
+        else:
+            traversal_path = self.toposort()
+
+        if reset_grads:
+            for tensor in traversal_path:
+                tensor.grad = None
+
+        with md.enable_grad(allow_higher_order):
+            self.update_grads(seed_grad)
+            for tensor in reversed(traversal_path):
+                if tensor.is_leaf:
+                    continue
+                # Never None: the root was seeded and each sweep step fills
+                # its inputs' grads before we reach them.
+                grad = tensor.grad
+                node = tensor.op_node
+                node.update_grads(grad)
+                if not retain_grads:
+                    tensor.grad = None
+
+                if cleanup_mode == "keep":
+                    continue
+                if cleanup_mode == "destroy":
+                    tensor.wipe()
+                    continue
+                # prune: free this subgraph once nothing else references it
+                if tensor.graph_refs > 0:
+                    continue
+                for child in node.tensor_inputs:
+                    child.graph_refs -= 1
+                tensor.wipe()
+
+    def __repr__(self) -> str:
+        return f"{self.op_name}({', '.join(str(x) for x in self.op_inputs)})"

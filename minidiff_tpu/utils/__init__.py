@@ -1,0 +1,5 @@
+from minidiff_tpu.utils.gradcheck import (  # noqa: F401
+    calculate_finite_differences,
+    compute_grads,
+)
+from minidiff_tpu.utils.visualize import draw_tensor_op_graph, to_dot  # noqa: F401

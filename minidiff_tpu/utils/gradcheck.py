@@ -1,0 +1,109 @@
+"""Finite-difference oracle: the numerical contract for every op's VJP.
+
+Parity with the reference oracle (minidiff/utils.py:104-197): central
+differences (f(x+h) - f(x-h)) / 2h per element of each differentiable input,
+batched through ``md.vmap`` over tiled + shifted copies, compared against the
+tape's gradients by ``compute_grads``.
+
+On the XLA backend the vmapped evaluation is a single jax.vmap over XLA ops —
+all n_elements forward passes compile into one batched executable instead of
+the reference's Python loop per element.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import TYPE_CHECKING
+
+from numpy import ndindex
+
+import minidiff_tpu as md
+
+if TYPE_CHECKING:
+    from typing import List, Optional, Sequence, Tuple
+
+    import minidiff_tpu.typing as mdt
+
+
+def calculate_finite_differences(
+    *input_tensors: "md.Tensor",
+    func: "mdt.GenericOp",
+    h: float = 1e-7,
+    exclude: "Optional[Sequence[md.Tensor]]" = None,
+) -> "List[Optional[md.Tensor]]":
+    manual_gradients: list = []
+    excluded_ids = {id(x) for x in (exclude or [])}
+
+    with md.no_grad():
+        for i, input_tensor in enumerate(input_tensors):
+            if (
+                not isinstance(input_tensor, md.Tensor)
+                or not input_tensor.allow_grad
+                or id(input_tensor) in excluded_ids
+            ):
+                manual_gradients.append(None)
+                continue
+
+            n_dimensions = input_tensor.ndim
+            n_elements = input_tensor.size
+            dummy_axes = (1,) * n_dimensions
+
+            left_args = input_tensors[:i]
+            right_args = input_tensors[i + 1 :]
+
+            def f(shifted):
+                return func(*left_args, shifted, *right_args)
+
+            vmapped_func = md.vmap(f)
+
+            # Batch of n_elements copies; copy j gets element j shifted ±h.
+            all_indices = md.Tensor(tuple(ndindex(input_tensor.shape)))
+            element_selector = (
+                md.arange(n_elements),
+                *[all_indices[:, d] for d in range(n_dimensions)],
+            )
+
+            base = input_tensor.detach().copy()
+            plus = md.tile(base, (n_elements, *dummy_axes))
+            minus = md.tile(base, (n_elements, *dummy_axes))
+            plus[element_selector] = plus[element_selector]._data + h
+            minus[element_selector] = minus[element_selector]._data - h
+
+            forward = vmapped_func(plus)
+            backward = vmapped_func(minus)
+
+            grads = ((forward - backward) / (2 * h)).reshape(input_tensor.shape)
+            manual_gradients.append(grads)
+
+    return manual_gradients
+
+
+def compute_grads(
+    *input_tensors: "md.Tensor",
+    func: "mdt.GenericOp",
+    h: float = 1e-7,
+    exclude: "Optional[Sequence[md.Tensor]]" = None,
+) -> "Tuple[List[Optional[md.Tensor]], List[Optional[md.Tensor]]]":
+    """Return (finite-difference grads, tape grads) for each input of func."""
+    excluded_ids = {id(x) for x in (exclude or [])}
+    copied_inputs: list = []
+    copied_exclude: list = []
+
+    for t in input_tensors:
+        copied = (
+            t.copy().detach(allow_grad=True) if isinstance(t, md.Tensor) else deepcopy(t)
+        )
+        copied_inputs.append(copied)
+        if id(t) in excluded_ids:
+            copied_exclude.append(copied)
+
+    computed = func(*copied_inputs)
+    computed.backward(retain_grads=True)
+
+    automatic_gradients = [
+        t.grad if isinstance(t, md.Tensor) else None for t in copied_inputs
+    ]
+    manual_gradients = calculate_finite_differences(
+        *copied_inputs, func=func, h=h, exclude=copied_exclude
+    )
+    return manual_gradients, automatic_gradients
