@@ -213,7 +213,9 @@ class XlaBackend:
     def setitem(a: jax.Array, key: Any, value: Any) -> jax.Array:
         return a.at[key].set(value)
 
-    isin = staticmethod(jnp.isin)
+    @staticmethod
+    def isin(element: Any, test_elements: Any) -> jax.Array:
+        return jnp.isin(jnp.asarray(element), jnp.asarray(test_elements))
     unravel_index = staticmethod(jnp.unravel_index)
     split = staticmethod(jnp.split)
 

@@ -243,9 +243,18 @@ class Tensor:
     def sum(
         self,
         axis: Optional[Union[int, Sequence[int]]] = None,
+        dtype: Optional[Any] = None,
+        out: Optional[Any] = None,
         keepdims: py_bool = False,
     ) -> Tensor:
-        return md.sum(self, axis=axis, keepdims=keepdims)
+        # dtype/out exist so numpy's reduction protocol (np.sum(tensor))
+        # can dispatch here; out-arrays are unsupported on immutable backends
+        if out is not None:
+            raise ValueError("out= is not supported")
+        result = md.sum(self, axis=axis, keepdims=keepdims)
+        if dtype is not None:
+            result = result.astype(dtype)
+        return result
 
     def mean(
         self,

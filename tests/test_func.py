@@ -1,0 +1,133 @@
+"""Functional transforms: grad / value_and_grad / jit — the trace-to-XLA path.
+
+Key property: md.jit(md.value_and_grad(f)) — the tape engine running under a
+jax trace — produces the same gradients as jax.grad of the equivalent pure
+function, i.e. the eager tape lowers to the XLA program jax's AD would build.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import minidiff_tpu as md
+
+
+def setup_function(_):
+    md.set_backend("xla")
+
+
+def loss_fn(w, x):
+    return md.sum(md.tanh(x @ w) ** 2)
+
+
+def test_grad_matches_eager_backward():
+    w = md.Tensor(np.random.randn(4, 3), allow_grad=True)
+    x = md.Tensor(np.random.randn(5, 4))
+    g = md.grad(loss_fn)(w, x)
+
+    w2 = w.detach(allow_grad=True)
+    out = loss_fn(w2, x)
+    out.backward()
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w2.grad), rtol=1e-6)
+
+
+def test_value_and_grad_multiple_argnums():
+    w = md.Tensor(np.random.randn(3, 3), allow_grad=True)
+    x = md.Tensor(np.random.randn(2, 3), allow_grad=True)
+    val, (gw, gx) = md.value_and_grad(loss_fn, argnums=(0, 1))(w, x)
+    assert gw.shape == w.shape and gx.shape == x.shape
+    assert val.size == 1
+
+
+def test_tape_gradients_equal_jax_grad():
+    wn = np.random.randn(4, 3)
+    xn = np.random.randn(5, 4)
+
+    def jax_loss(w):
+        return jnp.sum(jnp.tanh(xn @ w) ** 2)
+
+    expected = jax.grad(jax_loss)(jnp.asarray(wn))
+    got = md.grad(loss_fn)(md.Tensor(wn), md.Tensor(xn))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-6)
+
+
+def test_jit_matches_eager():
+    w = md.Tensor(np.random.randn(4, 3), allow_grad=True)
+    x = md.Tensor(np.random.randn(5, 4))
+    vag = md.value_and_grad(loss_fn)
+    jitted = md.jit(vag)
+
+    out_e, g_e = vag(w, x)
+    out_j, g_j = jitted(w, x)
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(out_e), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_j), np.asarray(g_e), rtol=1e-6)
+
+
+def test_jit_caches_by_structure():
+    jitted = md.jit(md.value_and_grad(loss_fn))
+    w = md.Tensor(np.random.randn(4, 3), allow_grad=True)
+    x = md.Tensor(np.random.randn(5, 4))
+    jitted(w, x)
+    jitted(w, x)
+    jitted(md.Tensor(np.random.randn(4, 3), allow_grad=True), x)
+    assert len(jitted._cache) == 1
+
+
+def test_jit_static_leaves():
+    def f(x, mode):
+        if mode == "double":
+            return md.sum(x * 2)
+        return md.sum(x * 3)
+
+    jitted = md.jit(f)
+    x = md.Tensor(np.arange(3.0))
+    assert float(jitted(x, "double").item()) == pytest.approx(6.0)
+    assert float(jitted(x, "triple").item()) == pytest.approx(9.0)
+    assert len(jitted._cache) == 2
+
+
+def test_jit_pytree_args():
+    def f(params, x):
+        return md.sum(md.tanh(x @ params["w"]) + params["b"])
+
+    params = {
+        "w": md.Tensor(np.random.randn(3, 2), allow_grad=True),
+        "b": md.Tensor(np.zeros(2), allow_grad=True),
+    }
+    x = md.Tensor(np.random.randn(4, 3))
+    vag = md.value_and_grad(f)
+    out, grads = md.jit(vag)(params, x)
+    assert grads["w"].shape == (3, 2)
+    assert grads["b"].shape == (2,)
+    out_e, grads_e = vag(params, x)
+    np.testing.assert_allclose(np.asarray(grads["w"]), np.asarray(grads_e["w"]), rtol=1e-6)
+
+
+def test_jit_requires_xla_backend():
+    md.set_backend("numpy")
+    try:
+        with pytest.raises(RuntimeError):
+            md.jit(lambda x: x)
+    finally:
+        md.set_backend("xla")
+
+
+def test_jit_train_step_with_update():
+    # an entire SGD step — forward, backward, parameter update — in one jit
+    def train_step(w, x):
+        out = loss_fn(w.detach(allow_grad=True), x)
+        w2 = w.detach(allow_grad=True)
+        val, g = md.value_and_grad(loss_fn)(w2, x)
+        return w - 0.1 * g, val
+
+    jitted = md.jit(train_step)
+    w = md.Tensor(np.random.randn(4, 3))
+    x = md.Tensor(np.random.randn(5, 4))
+    losses = []
+    for _ in range(10):
+        w, val = jitted(w, x)
+        losses.append(float(val.item()))
+    assert losses[-1] < losses[0]

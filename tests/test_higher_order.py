@@ -1,0 +1,95 @@
+"""Higher-order differentiation: backward-of-backward via tape re-tracing.
+
+Covers the README demo's second-order flow and BASELINE config 3 (Rosenbrock
+Hessian-vector products / full Hessian via repeated backward).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import minidiff_tpu as md
+
+
+def test_readme_second_order(backend):
+    x = md.Tensor([[0.0, 2.0, -2.0, 1.0], [-1.0, -1.0, -2.0, -2.0]], allow_grad=True)
+    y = md.Tensor([[2.0, 3.0, 4.0, 5.0], [0.0, -1.0, -3.0, 2.0]], allow_grad=True)
+    f = 2 * y * md.sin(x) - x**2
+    f.backward(allow_higher_order=True)
+    xn, yn = np.asarray(x.detach()), np.asarray(y.detach())
+    np.testing.assert_allclose(np.asarray(x.grad), 2 * yn * np.cos(xn) - 2 * xn, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y.grad), 2 * np.sin(xn), rtol=1e-6)
+
+    x.grad.backward()
+    np.testing.assert_allclose(np.asarray(x.grad), -2 * yn * np.sin(xn) - 2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y.grad), 2 * np.cos(xn), rtol=1e-6)
+
+
+def test_third_order(backend):
+    x = md.Tensor(np.array([0.3, 0.7]), allow_grad=True)
+    f = md.sum(md.sin(x))
+    f.backward(allow_higher_order=True)
+    x.grad.backward(allow_higher_order=True)  # -sin
+    x.grad.backward()  # -cos
+    np.testing.assert_allclose(
+        np.asarray(x.grad), -np.cos(np.asarray(x.detach())), rtol=1e-6
+    )
+
+
+def _rosen(v):
+    return md.sum(100.0 * (v[1:] - v[:-1] ** 2) ** 2 + (1 - v[:-1]) ** 2)
+
+
+def _rosen_hessian(v: np.ndarray) -> np.ndarray:
+    n = v.size
+    h = np.zeros((n, n))
+    for i in range(n - 1):
+        h[i, i] += -400 * (v[i + 1] - v[i] ** 2) + 800 * v[i] ** 2 + 2
+        h[i, i + 1] += -400 * v[i]
+        h[i + 1, i] += -400 * v[i]
+        h[i + 1, i + 1] += 200
+    return h
+
+
+def test_rosenbrock_hvp(backend):
+    v0 = np.array([1.1, 0.9, 1.2, 0.8])
+    hess = _rosen_hessian(v0)
+    for col in range(4):
+        e = np.zeros(4)
+        e[col] = 1.0
+        hv = md.hvp(_rosen)(md.Tensor(v0), md.Tensor(e))
+        np.testing.assert_allclose(np.asarray(hv), hess[:, col], rtol=1e-5, atol=1e-6)
+
+
+def test_rosenbrock_full_hessian_repeated_backward(backend):
+    v0 = np.array([0.5, 1.5, -0.7])
+    hess = _rosen_hessian(v0)
+    v = md.Tensor(v0, allow_grad=True)
+    out = _rosen(v)
+    out.backward(allow_higher_order=True)
+    g = v.grad
+    rows = []
+    for i in range(3):
+        s = g[i]
+        s.backward(cleanup_mode="keep")
+        rows.append(np.asarray(v.grad).copy())
+    np.testing.assert_allclose(np.stack(rows), hess, rtol=1e-5, atol=1e-6)
+
+
+def test_higher_order_through_reductions(backend):
+    # d²/dx² of (sum x)² = 2 everywhere (including cross terms via matvec)
+    x = md.Tensor(np.array([1.0, 2.0, 3.0]), allow_grad=True)
+    f = md.sum(x) ** 2
+    f.backward(allow_higher_order=True)
+    x.grad.backward()
+    np.testing.assert_allclose(np.asarray(x.grad), 6 * np.ones(3))
+
+
+def test_higher_order_through_matmul(backend):
+    a = md.Tensor(np.array([[1.0, 2.0], [3.0, 4.0]]), allow_grad=True)
+    f = md.sum(a @ a)
+    f.backward(allow_higher_order=True)
+    s = md.sum(a.grad * a.grad)
+    s.backward()
+    assert a.grad is not None and a.grad.shape == (2, 2)

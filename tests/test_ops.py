@@ -1,0 +1,432 @@
+"""Per-op forward + gradient checks against the finite-difference oracle.
+
+Covers the reference suite's 34 op tests (reference tests/test_ops.py) as a
+parameterized table, plus the coverage the reference lacks: tensordot with
+explicit/partial axes, batched matmul, astype, mod/floor_divide forwards,
+comparison and logical ops, and 1-D/2-D/N-D dot.
+
+Contract per op (mirrors the reference harness semantics,
+tests/test_ops.py:25-62): the op's forward matches the raw backend function,
+and the tape's gradients of an L2 loss around the op match central finite
+differences.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import pytest
+
+import minidiff_tpu as md
+import minidiff_tpu.backend as backend
+from minidiff_tpu.utils import compute_grads
+
+RTOL = 1e-4
+ATOL = 1e-6
+H = 1e-3
+TRIALS = 3
+
+
+def _mask_nans(a: np.ndarray, b: np.ndarray):
+    bad = np.isnan(a) | np.isnan(b)
+    return np.where(bad, 0, a), np.where(bad, 0, b)
+
+
+def check_op(
+    op: Callable,
+    backend_name: str,
+    args: Sequence[Any],
+    kwargs: Optional[Dict[str, Any]] = None,
+    exclude: Optional[Sequence[md.Tensor]] = None,
+    grad_check: bool = True,
+):
+    kwargs = kwargs or {}
+    raw_fn = getattr(backend, backend_name)
+
+    out = op(*args, **kwargs)
+    expected = raw_fn(
+        *[md.try_unwrap(a) for a in args],
+        **{k: md.try_unwrap(v) for k, v in kwargs.items()},
+    )
+    got, want = _mask_nans(
+        np.asarray(backend.as_numpy(out._data)), np.asarray(backend.as_numpy(expected))
+    )
+    assert np.allclose(got, want, rtol=RTOL, atol=ATOL), (
+        f"forward mismatch for {backend_name}:\n{got}\nvs\n{want}"
+    )
+
+    if not grad_check:
+        return
+
+    def loss(*loss_args):
+        value = op(*loss_args, **kwargs)
+        return md.sum((md.zeros_like(value) - value) ** 2) / 2
+
+    manual, auto = compute_grads(*args, func=loss, exclude=exclude, h=H)
+    for i, (m, a) in enumerate(zip(manual, auto)):
+        if m is None and a is None:
+            continue
+        m, a = _mask_nans(np.asarray(m), np.asarray(a))
+        assert np.allclose(m, a, rtol=1e-3, atol=1e-5), (
+            f"gradient mismatch wrt arg {i} for {backend_name}:\n"
+            f"finite-diff:\n{m}\ntape:\n{a}\nmax err {np.max(np.abs(m - a))}"
+        )
+
+
+def rnd(*shape):
+    return md.randn(*shape, allow_grad=True)
+
+
+def rand_axis_subset():
+    return random.choice(
+        [tuple(random.sample(range(4), k=random.randint(0, 4))), None]
+    )
+
+
+# ---------------------------------------------------------------------------
+# elementwise unary
+# ---------------------------------------------------------------------------
+
+ELEMENTWISE_UNARY = [
+    "absolute", "cos", "cosh", "exp", "log", "sin", "sinh", "tan", "tanh",
+]
+
+
+@pytest.mark.parametrize("name", ELEMENTWISE_UNARY)
+def test_elementwise_unary(backend, name):
+    for _ in range(TRIALS):
+        if name == "tan":
+            # keep inputs away from the poles: central differences of tan
+            # near ±π/2 are dominated by truncation error
+            x = md.Tensor(np.random.uniform(-1.2, 1.2, (2, 2, 2, 2)), allow_grad=True)
+        else:
+            x = rnd(2, 2, 2, 2)
+        check_op(getattr(md, name), name, [x])
+
+
+NON_DIFF_UNARY = ["ceil", "floor", "sign", "all", "any", "argmax", "argmin"]
+
+
+@pytest.mark.parametrize("name", NON_DIFF_UNARY)
+def test_non_differentiable_unary_forward(backend, name):
+    check_op(getattr(md, name), name, [rnd(2, 2, 2, 2)], grad_check=False)
+    # gradients must not flow through non-differentiable ops
+    x = rnd(2, 2)
+    out = md.sum(getattr(md, name)(x).astype(x.dtype) * 1.0)
+    out.backward()
+    assert x.grad is None
+
+
+# ---------------------------------------------------------------------------
+# shape manipulation
+# ---------------------------------------------------------------------------
+
+def test_ravel(backend):
+    for _ in range(TRIALS):
+        check_op(md.ravel, "ravel", [rnd(2, 2, 2, 2)])
+
+
+def test_flatten(backend):
+    for _ in range(TRIALS):
+        check_op(md.flatten, "flatten", [rnd(2, 2, 2, 2)])
+
+
+def test_squeeze(backend):
+    for _ in range(TRIALS):
+        check_op(md.squeeze, "squeeze", [rnd(1, 2, 1, 2)])
+
+
+def test_expand_dims(backend):
+    for _ in range(TRIALS):
+        axes = tuple(random.sample(range(4), k=random.randint(0, 4)))
+        check_op(md.expand_dims, "expand_dims", [rnd(2, 2, 2, 2), axes])
+
+
+def test_reshape(backend):
+    for _ in range(TRIALS):
+        check_op(md.reshape, "reshape", [rnd(2, 2, 2, 2), (4, 4)])
+
+
+def test_transpose(backend):
+    for _ in range(TRIALS):
+        axes = tuple(int(v) for v in np.random.permutation(4))
+        check_op(md.transpose, "transpose", [rnd(2, 2, 2, 2)], {"axes": axes})
+
+
+def test_swapaxes(backend):
+    for _ in range(TRIALS):
+        check_op(
+            md.swapaxes,
+            "swapaxes",
+            [rnd(2, 2, 2, 2), random.randint(0, 3), random.randint(0, 3)],
+        )
+
+
+def test_flip(backend):
+    for _ in range(TRIALS):
+        check_op(md.flip, "flip", [rnd(2, 2, 2, 2)], {"axis": rand_axis_subset()})
+
+
+def test_broadcast_to(backend):
+    for _ in range(TRIALS):
+        check_op(md.broadcast_to, "broadcast_to", [rnd(2, 2, 2, 2), (4, 2, 2, 2, 2)])
+
+
+def test_atleast_nd(backend):
+    for name in ("atleast_1d", "atleast_2d", "atleast_3d"):
+        check_op(getattr(md, name), name, [rnd(2, 2, 2, 2)])
+        check_op(getattr(md, name), name, [rnd(3)])
+
+
+def test_copy(backend):
+    check_op(md.copy, "copy", [rnd(2, 2, 2, 2)])
+
+
+def test_getitem(backend):
+    for _ in range(TRIALS):
+        indices = md.randint(low=(0, 0, 0, 0), high=(2, 2, 2, 2))
+        check_op(
+            md.getitem,
+            "getitem",
+            [rnd(2, 2, 2, 2), indices],
+            exclude=[indices],
+        )
+
+
+def test_getitem_slices(backend):
+    x = rnd(4, 4)
+    check_op(md.getitem, "getitem", [x, (slice(1, 3), slice(None))])
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["sum", "mean", "max", "min", "prod", "std"])
+def test_reductions(backend, name):
+    for _ in range(TRIALS):
+        check_op(
+            getattr(md, name),
+            name,
+            [rnd(2, 2, 2, 2)],
+            {"axis": rand_axis_subset()},
+        )
+
+
+@pytest.mark.parametrize("name", ["sum", "mean", "max", "min"])
+def test_reductions_keepdims(backend, name):
+    check_op(
+        getattr(md, name),
+        name,
+        [rnd(2, 3, 4)],
+        {"axis": (0, 2), "keepdims": True},
+    )
+
+
+def test_reduction_negative_axis(backend):
+    check_op(md.sum, "sum", [rnd(2, 3, 4)], {"axis": -1})
+    check_op(md.mean, "mean", [rnd(2, 3, 4)], {"axis": (-1, 0)})
+
+
+# ---------------------------------------------------------------------------
+# binary arithmetic
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["add", "subtract", "multiply", "true_divide", "power"])
+def test_binary_arithmetic(backend, name):
+    for _ in range(TRIALS):
+        if name == "true_divide":
+            # denominators bounded away from 0: finite differences of x/y are
+            # truncation-dominated when |y| ~ h
+            y = md.Tensor(
+                np.sign(np.random.randn(2, 2, 2, 2))
+                * (np.abs(np.random.randn(2, 2, 2, 2)) + 0.5),
+                allow_grad=True,
+            )
+        else:
+            y = rnd(2, 2, 2, 2)
+        check_op(getattr(md, name), name, [rnd(2, 2, 2, 2), y])
+
+
+@pytest.mark.parametrize("name", ["add", "multiply", "subtract"])
+def test_binary_broadcasting(backend, name):
+    # broadcast both prepend-axes and stretched-axes paths of unbroadcast
+    check_op(getattr(md, name), name, [rnd(3, 1, 4), rnd(2, 4)])
+
+
+def test_mod_forward_and_reference_grad_semantics(backend):
+    # mod keeps the reference's convention: pass grad through except at exact
+    # multiples (reference definitions.py:493-497)
+    x = md.Tensor(np.array([5.0, 6.0, 7.5]), allow_grad=True)
+    y = md.Tensor(np.array([2.0, 3.0, 2.5]), allow_grad=True)
+    check_op(md.mod, "mod", [x.detach(True), y.detach(True)], grad_check=False)
+    out = md.sum(md.mod(x, y))
+    out.backward()
+    np.testing.assert_allclose(np.asarray(x.grad), [1.0, 0.0, 0.0])
+
+
+def test_floor_divide_forward(backend):
+    check_op(
+        md.floor_divide,
+        "floor_divide",
+        [rnd(2, 2) * 10, md.Tensor(np.full((2, 2), 3.0), allow_grad=True)],
+        grad_check=False,
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["equal", "not_equal", "greater", "greater_equal", "less", "less_equal"],
+)
+def test_comparisons_forward(backend, name):
+    check_op(getattr(md, name), name, [rnd(2, 2), rnd(2, 2)], grad_check=False)
+
+
+@pytest.mark.parametrize("name", ["logical_and", "logical_or", "logical_xor"])
+def test_logicals_forward(backend, name):
+    a = md.Tensor(np.random.rand(3, 3) > 0.5)
+    b = md.Tensor(np.random.rand(3, 3) > 0.5)
+    got = getattr(md, name)(a, b)
+    want = getattr(np, name)(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_astype(backend):
+    x = rnd(2, 2)
+    out = md.astype(x, md.float32)
+    assert out.dtype == md.float32
+    loss = md.sum(out * 2.0)
+    loss.backward()
+    assert x.grad.dtype == x.dtype
+    np.testing.assert_allclose(np.asarray(x.grad), 2.0 * np.ones((2, 2)), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# contractions
+# ---------------------------------------------------------------------------
+
+def test_dot_1d(backend):
+    for _ in range(TRIALS):
+        check_op(md.dot, "dot", [rnd(4), rnd(4)])
+
+
+def test_dot_2d(backend):
+    check_op(md.dot, "dot", [rnd(3, 4), rnd(4, 5)])
+
+
+def test_dot_nd(backend):
+    # reference's dot VJP is elementwise (1-D only); ours is general
+    check_op(md.dot, "dot", [rnd(2, 3, 4), rnd(4, 5)])
+
+
+def test_matmul_2d(backend):
+    for _ in range(TRIALS):
+        check_op(md.matmul, "matmul", [rnd(10, 30), rnd(30, 20)])
+
+
+def test_matmul_batched(backend):
+    # untested (and broken) in the reference: batched operands
+    check_op(md.matmul, "matmul", [rnd(3, 4, 5), rnd(3, 5, 6)])
+    check_op(md.matmul, "matmul", [rnd(3, 4, 5), rnd(5, 6)])
+
+
+def test_matmul_1d_cases(backend):
+    check_op(md.matmul, "matmul", [rnd(4), rnd(4, 3)])
+    check_op(md.matmul, "matmul", [rnd(3, 4), rnd(4)])
+    check_op(md.matmul, "matmul", [rnd(4), rnd(4)])
+
+
+def test_tensordot_default(backend):
+    for _ in range(TRIALS):
+        check_op(md.tensordot, "tensordot", [rnd(2, 2, 2, 2), rnd(2, 2, 2, 2)])
+
+
+@pytest.mark.parametrize(
+    "shapes,axes",
+    [
+        (((3, 4), (4, 5)), 1),
+        (((2, 3, 4), (4, 3, 5)), ((1, 2), (1, 0))),
+        (((2, 3, 4), (3, 4, 5)), ((2, 1), (1, 0))),
+        (((5, 2, 3), (2, 3, 4)), 2),
+    ],
+)
+def test_tensordot_axes_variants(backend, shapes, axes):
+    # the reference only ever tests axes=2 (tests/test_ops.py:366-376)
+    sx, sy = shapes
+    check_op(md.tensordot, "tensordot", [rnd(*sx), rnd(*sy)], {"axes": axes})
+
+
+# ---------------------------------------------------------------------------
+# ternary / misc
+# ---------------------------------------------------------------------------
+
+def test_where(backend):
+    for _ in range(TRIALS):
+        cond = md.binomial(1, random.uniform(0.2, 0.8), (2, 2, 2, 2))
+        check_op(
+            md.where,
+            "where",
+            [cond, rnd(2, 2, 2, 2), rnd(2, 2, 2, 2)],
+            exclude=[cond],
+        )
+
+
+def test_clip(backend):
+    for _ in range(TRIALS):
+        check_op(
+            md.clip,
+            "clip",
+            [rnd(2, 2, 2, 2), random.uniform(-1.5, -0.5), random.uniform(0.5, 1.5)],
+        )
+
+
+def test_clip_one_sided(backend):
+    x = rnd(3, 3)
+    out = md.sum(md.clip(x, 0.0, None))
+    out.backward()
+    expected = (np.asarray(x.detach()) > 0).astype(float)
+    np.testing.assert_allclose(np.asarray(x.grad), expected)
+
+
+def test_unbroadcast_op(backend):
+    x = rnd(4, 3)
+    out = md.unbroadcast(md.broadcast_to(x, (5, 4, 3)), (4, 3))
+    assert out.shape == (4, 3)
+    loss = md.sum(out**2) / 2
+    loss.backward()
+    np.testing.assert_allclose(
+        np.asarray(x.grad), 5 * np.asarray(x.detach()) * 5, rtol=1e-6
+    )
+
+
+def test_scatter_add(backend):
+    x = rnd(5)
+    idx = md.Tensor(np.array([0, 0, 2]))
+    vals = rnd(3)
+    out = md.scatter_add(x, idx, vals)
+    expected = np.zeros(5)
+    np.add.at(expected, np.asarray(idx), np.asarray(vals.detach()))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)
+    loss = md.sum(out * out)
+    loss.backward()
+    np.testing.assert_allclose(
+        np.asarray(vals.grad), 2 * expected[np.asarray(idx)], rtol=1e-6
+    )
+
+
+def test_sqrt_square(backend):
+    x = md.Tensor(np.abs(np.random.randn(3, 3)) + 0.5, allow_grad=True)
+    out = md.sum(md.sqrt(x))
+    out.backward()
+    np.testing.assert_allclose(
+        np.asarray(x.grad), 0.5 / np.sqrt(np.asarray(x.detach())), rtol=1e-5
+    )
+    y = rnd(3, 3)
+    out2 = md.sum(md.square(y))
+    out2.backward()
+    np.testing.assert_allclose(
+        np.asarray(y.grad), 2 * np.asarray(y.detach()), rtol=1e-5
+    )
