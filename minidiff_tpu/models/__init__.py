@@ -1,0 +1,13 @@
+"""Model zoo and NN building blocks driven by the minidiff_tpu engine.
+
+The reference has no models layer (SURVEY.md §1: no L6); this package exists
+for BASELINE config 2 — an MLP classifier trained end-to-end by the
+framework's own backward pass — and as the flagship model for benchmarks and
+the multi-chip dry run.
+"""
+
+from minidiff_tpu.models import functional  # noqa: F401
+from minidiff_tpu.models.layers import Linear, Module, Sequential  # noqa: F401
+from minidiff_tpu.models.mlp import MLP, make_train_step  # noqa: F401
+from minidiff_tpu.models.optim import SGD, Adam, Optimizer  # noqa: F401
+from minidiff_tpu.models.data import synthetic_classification, mnist_like_batches  # noqa: F401

@@ -1,0 +1,75 @@
+"""NN functional ops composed from the base op registry.
+
+Everything here is built from differentiable framework ops, so gradients
+(including higher-order) come from the tape with no extra VJP rules, and the
+whole thing fuses under md.jit.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import minidiff_tpu as md
+
+if TYPE_CHECKING:
+    from typing import Optional
+
+
+def relu(x: "md.Tensor") -> "md.Tensor":
+    return md.clip(x, 0.0, None)
+
+
+def sigmoid(x: "md.Tensor") -> "md.Tensor":
+    return 1.0 / (1.0 + md.exp(-x))
+
+
+def gelu(x: "md.Tensor") -> "md.Tensor":
+    # tanh approximation (no erf op in the registry)
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + md.tanh(c * (x + 0.044715 * x**3)))
+
+
+def logsumexp(z: "md.Tensor", axis: int = -1, keepdims: bool = False) -> "md.Tensor":
+    m = md.max(z, axis=axis, keepdims=True)
+    out = md.log(md.sum(md.exp(z - m), axis=axis, keepdims=True)) + m
+    if not keepdims:
+        out = md.squeeze(out, axis=axis)
+    return out
+
+
+def softmax(z: "md.Tensor", axis: int = -1) -> "md.Tensor":
+    m = md.max(z, axis=axis, keepdims=True)
+    e = md.exp(z - m)
+    return e / md.sum(e, axis=axis, keepdims=True)
+
+
+def log_softmax(z: "md.Tensor", axis: int = -1) -> "md.Tensor":
+    return z - logsumexp(z, axis=axis, keepdims=True)
+
+
+def one_hot(labels: "md.Tensor", num_classes: int) -> "md.Tensor":
+    classes = md.arange(num_classes)
+    return md.equal(md.expand_dims(labels, -1), classes).astype(md.float32)
+
+
+def cross_entropy(logits: "md.Tensor", labels: "md.Tensor") -> "md.Tensor":
+    """Mean softmax cross-entropy.
+
+    ``labels`` may be integer class ids (gathered through the differentiable
+    getitem/scatter_add pair) or a one-hot / soft-label matrix.
+    """
+    logp = log_softmax(logits, axis=-1)
+    if labels.ndim == logits.ndim:
+        return -md.mean(md.sum(labels * logp, axis=-1))
+    n = logits.shape[0]
+    picked = logp[(md.arange(n), labels)]
+    return -md.mean(picked)
+
+
+def mse(pred: "md.Tensor", target: "md.Tensor") -> "md.Tensor":
+    return md.mean((pred - target) ** 2)
+
+
+def accuracy(logits: "md.Tensor", labels: "md.Tensor") -> float:
+    pred = md.argmax(logits, axis=-1)
+    return float(md.mean(md.equal(pred, labels).astype(md.float32)).item())

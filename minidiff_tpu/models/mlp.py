@@ -1,0 +1,87 @@
+"""MLP classifier — the flagship model (BASELINE config 2).
+
+A 2-layer (or deeper) MLP whose training loop is driven entirely by the
+framework's own tape backward: ``make_train_step`` wires loss → engine
+value_and_grad → optimizer update into one function, which md.jit compiles
+into a single fused XLA step.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import minidiff_tpu as md
+from minidiff_tpu.models import functional as F
+from minidiff_tpu.models.layers import Activation, Linear, Module, Sequential
+from minidiff_tpu.models.optim import SGD, Optimizer
+
+if TYPE_CHECKING:
+    from typing import Any, Callable, Optional, Sequence, Tuple
+
+
+class MLP(Module):
+    def __init__(
+        self,
+        in_features: int = 784,
+        hidden: "Sequence[int]" = (256,),
+        num_classes: int = 10,
+        activation: str = "relu",
+        dtype: "Optional[Any]" = None,
+    ):
+        sizes = [in_features, *hidden]
+        layers: list = []
+        for a, b in zip(sizes[:-1], sizes[1:]):
+            layers.append(Linear(a, b, dtype=dtype))
+            layers.append(Activation(activation))
+        layers.append(Linear(sizes[-1], num_classes, dtype=dtype))
+        self.net = Sequential(layers)
+
+    def init(self):
+        return self.net.init()
+
+    def apply(self, params, x):
+        return self.net.apply(params, x)
+
+
+def make_train_step(
+    model: Module,
+    optimizer: "Optional[Optimizer]" = None,
+    loss_fn: "Callable" = F.cross_entropy,
+    jit: bool = True,
+):
+    """Build ``step(params, opt_state, x, y) -> (params, opt_state, loss)``.
+
+    The whole step — tape forward, engine backward, optimizer update — is one
+    pure function; with jit=True it compiles into a single XLA executable.
+    """
+    optimizer = optimizer or SGD(0.1)
+
+    def step(params, opt_state, x, y):
+        def objective(p):
+            return loss_fn(model.apply(p, x), y)
+
+        loss, grads = md.value_and_grad(objective)(params)
+        params, opt_state = optimizer.update(params, grads, opt_state)
+        return params, opt_state, loss
+
+    if jit and md.backend_name() == "xla":
+        return md.jit(step)
+    return step
+
+
+def train(
+    model: Module,
+    batches: "Any",
+    optimizer: "Optional[Optimizer]" = None,
+    jit: bool = True,
+) -> "Tuple[Any, list]":
+    """Train over an iterable of (x, y) batches; returns (params, losses)."""
+    optimizer = optimizer or SGD(0.1)
+    params = model.init()
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, jit=jit)
+    losses = []
+    for x, y in batches:
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss.item()))
+    return params, losses

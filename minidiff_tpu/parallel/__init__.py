@@ -1,0 +1,8 @@
+from minidiff_tpu.parallel.mesh import (  # noqa: F401
+    constrain,
+    make_mesh,
+    mlp_sharding_rules,
+    named_sharding,
+    shard_tree,
+)
+from minidiff_tpu.parallel.train import make_sharded_train_step  # noqa: F401

@@ -1,0 +1,110 @@
+"""Device meshes and sharding placement for minidiff_tpu tensors.
+
+The reference is single-process/single-device (SURVEY.md §2.2); this is the
+TPU-native scaling layer: a ``jax.sharding.Mesh`` plus NamedSharding
+placements on Tensor leaves.  XLA's SPMD partitioner then inserts the
+ICI collectives (all-reduce for dp grads, all-gather/reduce-scatter for tp)
+from the placements — no hand-written communication code.
+
+Conventions: mesh axes ``dp`` (data/batch) and ``tp`` (tensor/feature).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+import minidiff_tpu as md
+import minidiff_tpu.ops.wrapping as wrapping
+
+if TYPE_CHECKING:
+    from typing import Any, Dict, Optional, Sequence
+
+
+def make_mesh(axis_sizes: "Dict[str, int]", devices: "Optional[Sequence]" = None) -> Mesh:
+    """Mesh over the first prod(sizes) devices, axes in dict order.
+
+    ``make_mesh({"dp": 2, "tp": 4})`` on 8 devices gives a 2x4 mesh.
+    """
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes.values())
+    if devices is None:
+        devices = jax.devices()
+    n = int(np.prod(sizes))
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(sizes)
+    return Mesh(grid, names)
+
+
+def named_sharding(mesh: Mesh, *spec: "Any") -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+def _constrain_raw(x, sharding):
+    # Inside a trace: a partitioner constraint. Eagerly: a real device_put.
+    if isinstance(x, jax.core.Tracer):
+        return jax.lax.with_sharding_constraint(x, sharding)
+    return jax.device_put(x, sharding)
+
+
+# Differentiable identity: the constraint applies to both the forward value
+# and (via the same constraint on the cotangent) the backward flow.
+constrain = wrapping.create_binary_op_func(
+    forward_func=wrapping.as_tensor_func(_constrain_raw),
+    grad_x=lambda x, sharding, grad: constrain(grad, sharding),
+    op_name="constrain",
+)
+
+
+def shard_tree(tree: "Any", mesh: Mesh, specs: "Any") -> "Any":
+    """device_put every Tensor leaf per the matching PartitionSpec leaf.
+
+    ``specs`` mirrors ``tree``'s structure (or is a single spec applied to all
+    leaves).  Leaves whose spec is None are replicated.
+    """
+
+    def is_tensor(x):
+        return isinstance(x, md.Tensor)
+
+    def place(t, spec):
+        if not is_tensor(t):
+            return t
+        if not isinstance(spec, PartitionSpec):
+            spec = PartitionSpec() if spec is None else PartitionSpec(*spec)
+        data = jax.device_put(t._data, NamedSharding(mesh, spec))
+        return md.Tensor(data, allow_grad=t.allow_grad)
+
+    if isinstance(specs, PartitionSpec) or specs is None:
+        return jax.tree.map(lambda t: place(t, specs), tree, is_leaf=is_tensor)
+    return jax.tree.map(place, tree, specs, is_leaf=is_tensor)
+
+
+def mlp_sharding_rules(params: "Any") -> "Any":
+    """Megatron-style TP placement for models.MLP parameter trees.
+
+    Alternating Linear layers shard their weights column- then row-wise on
+    the ``tp`` axis, so each Linear pair needs only one all-reduce:
+    w[0] (in, h) → P(None, 'tp'); w[1] (h, out) → P('tp', None); biases follow
+    their output dim.  Works for any depth of models.layers.Sequential params.
+    """
+    rules = []
+    col = True
+    for layer_params in params:
+        if not layer_params:  # activation layers hold no params
+            rules.append(layer_params)
+            continue
+        if col:
+            rule = {"w": PartitionSpec(None, "tp")}
+            if "b" in layer_params:
+                rule["b"] = PartitionSpec("tp")
+        else:
+            rule = {"w": PartitionSpec("tp", None)}
+            if "b" in layer_params:
+                rule["b"] = PartitionSpec()
+        rules.append(rule)
+        col = not col
+    return rules

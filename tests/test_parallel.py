@@ -1,0 +1,94 @@
+"""Sharded training over a virtual 8-device CPU mesh (dp x tp SPMD)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec
+
+import minidiff_tpu as md
+from minidiff_tpu import parallel
+from minidiff_tpu.models import MLP, SGD
+from minidiff_tpu.models import functional as F
+from minidiff_tpu.models.data import synthetic_classification
+from minidiff_tpu.models.mlp import make_train_step
+
+
+def setup_function(_):
+    md.set_backend("xla")
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@needs_8
+def test_make_mesh():
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    assert mesh.shape == {"dp": 2, "tp": 4}
+
+
+@needs_8
+def test_constrain_is_differentiable_identity():
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    sharding = parallel.named_sharding(mesh, "dp", None)
+    x = md.Tensor(np.random.randn(4, 6), allow_grad=True)
+    out = md.sum(parallel.constrain(x, sharding) ** 2)
+    out.backward()
+    np.testing.assert_allclose(np.asarray(x.grad), 2 * np.asarray(x.detach()), rtol=1e-10)
+
+
+@needs_8
+def test_shard_tree_places_leaves():
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    model = MLP(16, (8,), 4)
+    params = parallel.shard_tree(
+        model.init(), mesh, parallel.mlp_sharding_rules(model.init())
+    )
+    w0 = params[0]["w"]._data
+    assert w0.sharding.spec == PartitionSpec(None, "tp")
+
+
+@needs_8
+def test_sharded_training_matches_single_device():
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    model = MLP(16, (8,), 4)
+    init = model.init()
+    xs, ys = synthetic_classification(32, 16, 4)
+    x, y = md.Tensor(xs), md.Tensor(ys)
+
+    # single-device run
+    step1 = make_train_step(model, SGD(0.1), jit=True)
+    p1, s1, loss1 = step1(init, None, x, y)
+
+    # sharded run from identically-initialized params
+    step8, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.1), param_specs=parallel.mlp_sharding_rules(init)
+    )
+    p8 = place_params(init)
+    xb, yb = place_batch(x, y)
+    p8, s8, loss8 = step8(p8, None, xb, yb)
+
+    np.testing.assert_allclose(float(loss8.item()), float(loss1.item()), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(p8[0]["w"]), np.asarray(p1[0]["w"]), rtol=1e-9
+    )
+
+
+@needs_8
+def test_sharded_multi_step_loss_decreases():
+    mesh = parallel.make_mesh({"dp": 4, "tp": 2})
+    model = MLP(32, (16,), 4)
+    step, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.2),
+        param_specs=parallel.mlp_sharding_rules(model.init()),
+    )
+    params = place_params(model.init())
+    state = None
+    xs, ys = synthetic_classification(64, 32, 4)
+    x, y = place_batch(md.Tensor(xs), md.Tensor(ys))
+    losses = []
+    for _ in range(10):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0] * 0.5, losses
