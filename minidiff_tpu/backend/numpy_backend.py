@@ -107,6 +107,16 @@ class NumpyBackend:
     logical_or = staticmethod(np.logical_or)
     logical_xor = staticmethod(np.logical_xor)
     matmul = staticmethod(np.matmul)
+
+    @staticmethod
+    def matmul_nt(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # a @ b^T over the last two axes
+        return np.matmul(a, np.swapaxes(b, -1, -2))
+
+    @staticmethod
+    def matmul_tn(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # a^T @ b over the last two axes
+        return np.matmul(np.swapaxes(a, -1, -2), b)
     mod = staticmethod(np.mod)
     multiply = staticmethod(np.multiply)
     not_equal = staticmethod(np.not_equal)

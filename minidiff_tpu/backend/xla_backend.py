@@ -158,6 +158,20 @@ class XlaBackend:
 
         return _mm.matmul(x, y)
 
+    @staticmethod
+    def matmul_nt(x: jax.Array, y: jax.Array) -> jax.Array:
+        # x @ y^T without materializing the transpose (dot_general / Pallas NT)
+        from minidiff_tpu.kernels import matmul as _mm
+
+        return _mm.matmul_nt(x, y)
+
+    @staticmethod
+    def matmul_tn(x: jax.Array, y: jax.Array) -> jax.Array:
+        # x^T @ y without materializing the transpose
+        from minidiff_tpu.kernels import matmul as _mm
+
+        return _mm.matmul_tn(x, y)
+
     mod = staticmethod(jnp.mod)
     multiply = staticmethod(jnp.multiply)
     not_equal = staticmethod(jnp.not_equal)

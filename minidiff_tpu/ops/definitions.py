@@ -227,13 +227,17 @@ def tensordot_grad_y(x, y, grad, axes=2):
 
 
 def matmul_grad_x(x, y, grad):
-    """Batched-correct matmul VJP; batch broadcasting is undone by the engine."""
+    """Batched-correct matmul VJP; batch broadcasting is undone by the engine.
+
+    Uses the transpose-free NT contraction (dx = grad @ y^T) so no transposed
+    copy of y ever materializes on TPU.
+    """
     if x.ndim == 1 and y.ndim == 1:
         return grad * y
     if y.ndim == 1:
         # out = x @ y contracts x's last dim: dx = grad ⊗ y over the last axes
         return expand_dims(grad, -1) * y
-    return matmul(grad, swapaxes(y, -1, -2))
+    return matmul_nt(grad, y)
 
 
 def matmul_grad_y(x, y, grad):
@@ -245,7 +249,7 @@ def matmul_grad_y(x, y, grad):
     if y.ndim == 1:
         # np.matmul promotes 1-D y to a column; its grad is x^T @ grad
         return matmul(swapaxes(x, -1, -2), grad)
-    return matmul(swapaxes(x, -1, -2), grad)
+    return matmul_tn(x, grad)
 
 
 def _dot_axes(x, y):
@@ -494,6 +498,21 @@ matmul = wrapping.create_binary_op_func(
     grad_y=matmul_grad_y,
     tensor_only=True,
 )
+# Transpose-free contractions (extension ops): matmul_nt(a,b) = a @ b^T,
+# matmul_tn(a,b) = a^T @ b over the last two axes.  The three matmul forms'
+# VJPs close over each other, so higher-order gradients stay transpose-free.
+matmul_nt = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("matmul_nt")),
+    grad_x=lambda x, y, grad: matmul(grad, y),
+    grad_y=lambda x, y, grad: matmul_tn(grad, x),
+    tensor_only=True,
+)
+matmul_tn = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("matmul_tn")),
+    grad_x=lambda x, y, grad: matmul_nt(y, grad),
+    grad_y=lambda x, y, grad: matmul(x, grad),
+    tensor_only=True,
+)
 mod = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("mod")),
     grad_x=lambda x, y, grad: md.where(x % y == 0, 0, grad),
@@ -622,6 +641,8 @@ __all__ = [
     "logical_or",
     "logical_xor",
     "matmul",
+    "matmul_nt",
+    "matmul_tn",
     "mod",
     "multiply",
     "not_equal",
