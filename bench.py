@@ -72,18 +72,23 @@ def main() -> None:
     w0 = jnp.asarray(rng.randn(N, N) / np.sqrt(N), dtype=DTYPE)
     lr = jnp.asarray(1e-6, dtype=DTYPE)
 
-    # --- framework: tape fwd+bwd compiled via md.jit ---
+    # --- framework: tape fwd+bwd AND the SGD update in ONE md.jit program,
+    # exactly mirroring the single-jit jax baseline below ---
     def md_loss(x, w):
         return md.sum(md.tanh(x @ w))
 
-    md_vag = md.jit(md.value_and_grad(md_loss, argnums=(0, 1)))
+    md_vag = md.value_and_grad(md_loss, argnums=(0, 1))
+    lr_t = md.Tensor(lr)
+
+    @md.jit
+    def md_step_compiled(x, w):
+        out, (gx, gw) = md_vag(x, w)
+        # grad feedback creates the data dependency between steps
+        return x.detach() - lr_t * gx, w.detach() - lr_t * gw
 
     def md_step(x, w):
-        out, (gx, gw) = md_vag(
-            md.Tensor(x, allow_grad=True), md.Tensor(w, allow_grad=True)
-        )
-        # grad feedback creates the data dependency between steps
-        return x - lr * gx._data, w - lr * gw._data
+        a, b = md_step_compiled(md.Tensor(x), md.Tensor(w))
+        return a._data, b._data
 
     # --- baseline: jax.grad of the identical computation ---
     @jax.jit

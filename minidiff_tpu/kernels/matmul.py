@@ -26,8 +26,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile sizes: multiples of the MXU (128x128) and the bf16 min tile (16, 128).
-_BM = 256
-_BN = 256
+# Defaults measured on v5e for 4096^2 bf16 (benchmarks/matmul_kernel_bench.py);
+# the autotuner below refines the choice per (variant, shape, dtype).
+_BM = 1024
+_BN = 1024
 _BK = 512
 
 _SUPPORTED_DTYPES = (jnp.float32, jnp.bfloat16)
@@ -87,39 +89,19 @@ def _pallas_matmul_2d(
     )(x, y)
 
 
-def _eligible(x: jax.Array, y: jax.Array) -> bool:
-    if not _pallas_enabled():
-        return False
-    if x.ndim != 2 or y.ndim != 2:
-        return False
-    if x.dtype not in _SUPPORTED_DTYPES or y.dtype not in _SUPPORTED_DTYPES:
-        return False
-    m, k = x.shape
-    k2, n = y.shape
-    if k != k2:
-        return False
-    # Tile-aligned and big enough that kernel launch beats XLA's fused matmul.
-    return (
-        m % _BM == 0
-        and n % _BN == 0
-        and k % _BK == 0
-        and m * n * k >= 512 * 512 * 512
-    )
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _pallas_matmul(x: jax.Array, y: jax.Array, bm: int, bn: int, bk: int):
+    return _pallas_matmul_2d(x, y, bm=bm, bn=bn, bk=bk)
 
 
-@jax.custom_vjp
-def _pallas_matmul(x: jax.Array, y: jax.Array) -> jax.Array:
-    return _pallas_matmul_2d(x, y)
+def _pallas_matmul_fwd(x, y, bm, bn, bk):
+    return _pallas_matmul_2d(x, y, bm=bm, bn=bn, bk=bk), (x, y)
 
 
-def _pallas_matmul_fwd(x, y):
-    return _pallas_matmul_2d(x, y), (x, y)
-
-
-def _pallas_matmul_bwd(residuals, g):
+def _pallas_matmul_bwd(bm, bn, bk, residuals, g):
     x, y = residuals
-    dx = matmul(g, y.T)
-    dy = matmul(x.T, g)
+    dx = matmul_nt(g, y)
+    dy = matmul_tn(x, g)
     return dx.astype(x.dtype), dy.astype(y.dtype)
 
 
@@ -127,11 +109,13 @@ _pallas_matmul.defvjp(_pallas_matmul_fwd, _pallas_matmul_bwd)
 
 
 def matmul(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Backend entry point: Pallas for large aligned 2-D, jnp otherwise."""
+    """Backend entry point: autotuned Pallas vs XLA for large aligned 2-D."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
-    if _eligible(x, y):
-        return _pallas_matmul(x, y)
+    if x.ndim == 2 and y.ndim == 2:
+        choice = _choose("nn", x, y)
+        if choice is not None:
+            return _pallas_matmul(x, y, *choice)
     return jnp.matmul(x, y)
 
 
@@ -238,38 +222,6 @@ def _pallas_matmul_tn_2d(
     )(x, y)
 
 
-def _nt_eligible(x: jax.Array, y: jax.Array) -> bool:
-    if not (_pallas_enabled() and x.ndim == 2 and y.ndim == 2):
-        return False
-    if x.dtype not in _SUPPORTED_DTYPES or y.dtype not in _SUPPORTED_DTYPES:
-        return False
-    m, k = x.shape
-    n, k2 = y.shape
-    return (
-        k == k2
-        and m % _BM == 0
-        and n % _BN == 0
-        and k % _BK == 0
-        and m * n * k >= 512 * 512 * 512
-    )
-
-
-def _tn_eligible(x: jax.Array, y: jax.Array) -> bool:
-    if not (_pallas_enabled() and x.ndim == 2 and y.ndim == 2):
-        return False
-    if x.dtype not in _SUPPORTED_DTYPES or y.dtype not in _SUPPORTED_DTYPES:
-        return False
-    k, m = x.shape
-    k2, n = y.shape
-    return (
-        k == k2
-        and m % _BM == 0
-        and n % _BN == 0
-        and k % _BK == 0
-        and m * n * k >= 512 * 512 * 512
-    )
-
-
 def _dot_general_nt(x: jax.Array, y: jax.Array) -> jax.Array:
     return jax.lax.dot_general(
         x, y, dimension_numbers=(((x.ndim - 1,), (y.ndim - 1,)), ((), ()))
@@ -286,9 +238,11 @@ def matmul_nt(x: jax.Array, y: jax.Array) -> jax.Array:
     """x @ y^T over the last two axes, transpose-free."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
-    if _nt_eligible(x, y):
-        return _pallas_matmul_nt_2d(x, y)
     if x.ndim == 2 and y.ndim == 2:
+        choice = _choose("nt", x, y)
+        if choice is not None:
+            bm, bn, bk = choice
+            return _pallas_matmul_nt_2d(x, y, bm=bm, bn=bn, bk=bk)
         return _dot_general_nt(x, y)
     return jnp.matmul(x, jnp.swapaxes(y, -1, -2))
 
@@ -297,8 +251,181 @@ def matmul_tn(x: jax.Array, y: jax.Array) -> jax.Array:
     """x^T @ y over the last two axes, transpose-free."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
-    if _tn_eligible(x, y):
-        return _pallas_matmul_tn_2d(x, y)
     if x.ndim == 2 and y.ndim == 2:
+        choice = _choose("tn", x, y)
+        if choice is not None:
+            bm, bn, bk = choice
+            return _pallas_matmul_tn_2d(x, y, bm=bm, bn=bn, bk=bk)
         return _dot_general_tn(x, y)
     return jnp.matmul(jnp.swapaxes(x, -1, -2), y)
+
+
+# ---------------------------------------------------------------------------
+# Autotuner: per (variant, m, n, k, dtypes) pick the fastest of {XLA's
+# dot_general, the Pallas kernel at a few tile configs} by timing real
+# executions on device, once, at first dispatch (trace time under md.jit —
+# shapes are static so the decision is too).  This is the TPU analog of
+# cuBLAS-style algorithm selection: XLA's matmul is near-roofline for most
+# shapes, so the kernel must EARN each dispatch; measured on v5e the Pallas
+# TN kernel beats XLA by ~10% at 4096^2 bf16 while NT loses, and a static
+# table cannot know that per shape.
+# ---------------------------------------------------------------------------
+
+# (bm, bn, bk) candidates per variant, best-first (measured on v5e 4096^2).
+_TILE_CANDIDATES = {
+    "nn": ((1024, 1024, 512), (512, 512, 2048), (512, 512, 512), (256, 256, 512)),
+    "nt": ((1024, 512, 512), (512, 512, 1024), (512, 512, 512), (256, 256, 512)),
+    "tn": ((512, 1024, 512), (512, 512, 512), (1024, 256, 1024), (256, 256, 512)),
+}
+# Below this many FLOPs, kernel-launch overhead dominates: always XLA.
+_MIN_FLOPS = 2 * 1024 * 1024 * 1024
+
+_XLA_FNS = {
+    "nn": lambda a, b: jnp.matmul(a, b),
+    "nt": _dot_general_nt,
+    "tn": _dot_general_tn,
+}
+_PALLAS_FNS = {
+    "nn": _pallas_matmul_2d,
+    "nt": _pallas_matmul_nt_2d,
+    "tn": _pallas_matmul_tn_2d,
+}
+
+_choice_cache: dict = {}
+
+
+def _mnk(variant: str, xs: tuple, ys: tuple) -> tuple:
+    if variant == "nn":
+        (m, k), (k2, n) = xs, ys
+    elif variant == "nt":
+        (m, k), (n, k2) = xs, ys
+    else:  # tn
+        (k, m), (k2, n) = xs, ys
+    return (m, n, k) if k == k2 else (0, 0, 0)
+
+
+def _tiles_fit(variant: str, tiles: tuple, m: int, n: int, k: int) -> bool:
+    bm, bn, bk = tiles
+    return m % bm == 0 and n % bn == 0 and k % bk == 0
+
+
+def _time_fn(fn, a, b, reps: int = 8) -> float:
+    """Seconds per call: chain `reps` calls, close with a scalar pull.
+
+    TPU execution is in-order, so pulling one scalar from the final output
+    syncs the whole chain even behind an async tunnel; the separately
+    measured pull latency is subtracted.
+    """
+    import time
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(a, b)
+    float(jnp.sum(out).astype(jnp.float32))
+    return max(time.perf_counter() - t0 - _time_fn.pull_latency, 1e-9) / reps
+
+
+_time_fn.pull_latency = 0.0
+
+
+def _measure_pull_latency(a) -> float:
+    import time
+
+    lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(a).astype(jnp.float32))
+        lats.append(time.perf_counter() - t0)
+    return sorted(lats)[len(lats) // 2]
+
+
+def _autotune(variant: str, xs, ys, xdt, ydt, m, n, k):
+    """Race XLA against eligible Pallas tile configs on throwaway inputs.
+
+    May run while an outer md.jit trace is active; ensure_compile_time_eval
+    opts out of omnistaging so these timing runs execute on device instead of
+    being staged into the caller's jaxpr.
+    """
+    with jax.ensure_compile_time_eval():
+        return _autotune_eager(variant, xs, ys, xdt, ydt, m, n, k)
+
+
+def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.standard_normal(xs), dtype=xdt)
+    b = jnp.asarray(rng.standard_normal(ys), dtype=ydt)
+
+    candidates: "list[tuple[tuple | None, Any]]" = [
+        (None, jax.jit(_XLA_FNS[variant]))
+    ]
+    for tiles in _TILE_CANDIDATES[variant]:
+        if _tiles_fit(variant, tiles, m, n, k):
+            bm, bn, bk = tiles
+            candidates.append(
+                (
+                    tiles,
+                    jax.jit(
+                        functools.partial(_PALLAS_FNS[variant], bm=bm, bn=bn, bk=bk)
+                    ),
+                )
+            )
+
+    # Warm up (compile) every candidate; drop the ones that fail to compile
+    # (e.g. VMEM overflow at large tiles).
+    alive = []
+    for tiles, fn in candidates:
+        try:
+            out = fn(a, b)
+            float(jnp.sum(out).astype(jnp.float32))
+            alive.append((tiles, fn))
+        except Exception:
+            if tiles is None:
+                raise
+    _time_fn.pull_latency = _measure_pull_latency(a)
+
+    # Interleaved rounds + per-candidate MIN: robust to tunnel-latency drift
+    # (a one-sided additive noise, which min strips and medians don't).
+    best = {id(fn): float("inf") for _, fn in alive}
+    for _ in range(4):
+        for tiles, fn in alive:
+            best[id(fn)] = min(best[id(fn)], _time_fn(fn, a, b))
+
+    xla_t = best[id(alive[0][1])]
+    winner, winner_t = None, xla_t
+    for tiles, fn in alive[1:]:
+        if best[id(fn)] < winner_t:
+            winner, winner_t = tiles, best[id(fn)]
+    # Pallas must beat XLA by >3% to win: ties go to XLA, which fuses better
+    # with neighboring elementwise work inside a larger jit.
+    if winner is not None and winner_t > 0.97 * xla_t:
+        winner = None
+    return winner
+
+
+def _choose(variant: str, x: jax.Array, y: jax.Array):
+    """None → use XLA; (bm, bn, bk) → use the Pallas kernel with those tiles."""
+    if not _pallas_enabled():
+        return None
+    if x.dtype not in _SUPPORTED_DTYPES or y.dtype not in _SUPPORTED_DTYPES:
+        return None
+    m, n, k = _mnk(variant, tuple(x.shape), tuple(y.shape))
+    if 2 * m * n * k < _MIN_FLOPS:
+        return None
+    if not any(_tiles_fit(variant, t, m, n, k) for t in _TILE_CANDIDATES[variant]):
+        return None
+    key = (variant, m, n, k, str(x.dtype), str(y.dtype))
+    if key not in _choice_cache:
+        if os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
+            # static fallback: first tile config that fits, best-first order
+            _choice_cache[key] = next(
+                t
+                for t in _TILE_CANDIDATES[variant]
+                if _tiles_fit(variant, t, m, n, k)
+            )
+        else:
+            _choice_cache[key] = _autotune(
+                variant, tuple(x.shape), tuple(y.shape), x.dtype, y.dtype, m, n, k
+            )
+    return _choice_cache[key]

@@ -418,7 +418,9 @@ tan = wrapping.create_unary_op_func(
 )
 tanh = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("tanh")),
-    grad=lambda x, grad: grad * (1 / cosh(x) ** 2),
+    # sech^2 written as 1 - tanh^2 so XLA CSEs the tanh with the forward pass
+    # (grad/cosh^2 would add a fresh transcendental sweep per backward).
+    grad=lambda x, grad: grad * (1 - tanh(x) ** 2),
 )
 transpose = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("transpose")),
