@@ -64,7 +64,7 @@ REQUIRED_ATTRS = [
     "add", "astype", "broadcast_to", "dot", "equal", "expand_dims",
     "floor_divide", "getitem", "greater", "greater_equal", "less",
     "less_equal", "logical_and", "logical_or", "logical_xor", "matmul",
-    "matmul_nt", "matmul_tn",
+    "matmul_nt", "matmul_tn", "sdpa",
     "mod", "multiply", "not_equal", "power", "reshape", "subtract",
     "tensordot", "true_divide",
     # ternary

@@ -117,6 +117,24 @@ class NumpyBackend:
     def matmul_tn(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         # a^T @ b over the last two axes
         return np.matmul(np.swapaxes(a, -1, -2), b)
+
+    @staticmethod
+    def sdpa(q: np.ndarray, k: np.ndarray, v: np.ndarray,
+             causal: bool = False, scale=None) -> np.ndarray:
+        # composed reference softmax attention (the oracle for the TPU flash
+        # kernel behind XlaBackend.sdpa)
+        if scale is None:
+            scale = 1.0 / np.sqrt(q.shape[-1])
+        s = np.matmul(q, np.swapaxes(k, -1, -2)).astype(np.float64) * scale
+        if causal:
+            sq, sk = s.shape[-2], s.shape[-1]
+            mask = np.arange(sq)[:, None] >= np.arange(sk)[None, :]
+            s = np.where(mask, s, -1e30)
+        s -= s.max(axis=-1, keepdims=True)
+        p = np.exp(s)
+        p /= p.sum(axis=-1, keepdims=True)
+        return np.matmul(p, v.astype(np.float64)).astype(
+            np.result_type(q, k, v))
     mod = staticmethod(np.mod)
     multiply = staticmethod(np.multiply)
     not_equal = staticmethod(np.not_equal)

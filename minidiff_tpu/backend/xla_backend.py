@@ -172,6 +172,15 @@ class XlaBackend:
 
         return _mm.matmul_tn(x, y)
 
+    @staticmethod
+    def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+             causal: bool = False, scale=None) -> jax.Array:
+        # flash-attention Pallas kernel on TPU when eligible; composed jnp
+        # softmax attention otherwise
+        from minidiff_tpu.kernels import attention as _att
+
+        return _att.sdpa(q, k, v, causal=causal, scale=scale)
+
     mod = staticmethod(jnp.mod)
     multiply = staticmethod(jnp.multiply)
     not_equal = staticmethod(jnp.not_equal)

@@ -1,0 +1,408 @@
+"""Flash attention for TPU: online-softmax Pallas kernels, fwd + bwd.
+
+The reference has no attention op at all (SURVEY.md §5.7) — this is a
+TPU-native extension powering the transformer model family.  The kernel never
+materializes the (S, S) score matrix in HBM:
+
+* forward: one pass over K/V blocks per Q block, carrying the running row max
+  ``m`` and normalizer ``l`` in VMEM scratch (online softmax), emitting the
+  output block and the logsumexp residual.
+* backward: the standard two-kernel flash split — a dK/dV kernel that loops Q
+  blocks innermost, and a dQ kernel that loops K blocks innermost — each
+  recomputing P = exp(S - lse) blockwise from the saved logsumexp instead of
+  reading a stored S.
+
+Dispatch (``sdpa``): Pallas on TPU for 4-D (B, H, S, D) with S a multiple of
+the block size and D a multiple of 128; composed jnp softmax-attention
+everywhere else.  ``jax.custom_vjp`` makes the fused path differentiable under
+plain jax AD; the tape's own VJPs (ops/definitions.py sdpa grads) are written
+in framework ops and re-enter this dispatcher for their matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from minidiff_tpu.kernels.matmul import _pallas_enabled
+
+_LANES = 128
+_BQ = 256
+_BK = 256
+# Preferred (bq, bk) per pass, best-first (measured on v5e, S=2048 D=128
+# bf16 causal): the fwd online-softmax pass likes a small q tile with a wide
+# k tile; the two bwd passes like square 512 tiles.  First pair that divides
+# (S_q, S_k) wins; shapes that fit none fall back to the composed path.
+_FWD_BLOCKS = ((256, 512), (256, 256), (128, 256), (128, 128))
+_BWD_BLOCKS = ((512, 512), (256, 512), (256, 256), (128, 128))
+_NEG_INF = -1e30
+
+
+def _pick_blocks(table, s, sk):
+    for bq, bk in table:
+        if s % bq == 0 and sk % bk == 0:
+            return bq, bk
+    return None
+
+
+def _causal_mask(s, qi, ki, bq, bk):
+    """Mask s (bq, bk) so query row r attends only to key cols <= global r."""
+    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(rows >= cols, s, _NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale, causal, bq, bk):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def _step():
+        q = q_ref[0]  # (bq, d)
+        k = k_ref[0]  # (bk, d)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(scale)  # (bq, bk)
+        if causal:
+            s = _causal_mask(s, qi, ki, bq, bk)
+
+        m_prev = m_scr[:]  # (bq, LANES), all lanes equal
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+        m_new = jnp.maximum(m_prev, jax.lax.broadcast_in_dim(
+            m_cur, m_prev.shape, (0, 1)))
+        alpha = jnp.exp(m_prev - m_new)  # (bq, LANES)
+
+        p = jnp.exp(s - m_new[:, :1])  # (bq, bk)
+        l_cur = jnp.sum(p, axis=-1, keepdims=True)  # (bq, 1)
+        l_scr[:] = alpha * l_scr[:] + jax.lax.broadcast_in_dim(
+            l_cur, l_scr.shape, (0, 1))
+        m_scr[:] = m_new
+
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, d)
+        acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
+
+    if causal:
+        # blocks strictly above the diagonal contribute nothing
+        @pl.when(ki * bk <= qi * bq + bq - 1)
+        def _():
+            _step()
+    else:
+        _step()
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _flush():
+        # l is >= 1 wherever any key is visible (softmax includes the
+        # diagonal under causal masking), so the divide is safe.
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:, 0] + jnp.log(l_scr[:, 0]))[None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "causal", "bq", "bk"))
+def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK):
+    bh, s, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, s // bq, sk // bk)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk)
+    o, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s * sk * d // (2 if causal else 1),
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=bh * s * sk,
+        ),
+    )(q, k, v)
+    return o, lse[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# backward: dK/dV kernel (Q innermost), then dQ kernel (K innermost)
+# ---------------------------------------------------------------------------
+
+
+def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk):
+    """Shared blockwise recompute: P from lse, then dS. All f32."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * jnp.float32(scale)  # (bq, bk)
+    if causal:
+        s = _causal_mask(s, qi, ki, bq, bk)
+    p = jnp.exp(s - lse[:, :1])  # (bq, bk); masked entries exp(-inf)→0
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    ds = p * (dp - delta[:, :1]) * jnp.float32(scale)
+    return p, ds
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal, bq, bk):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    def _step():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][0][:, None]  # (bq, 1)
+        delta = delta_ref[0][0][:, None]
+        p, ds = _recompute_p_ds(
+            q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk)
+        # dv += P^T @ dO ; dk += dS^T @ Q  (contract over the q-block rows)
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when(qi * bq + bq - 1 >= ki * bk)
+        def _():
+            _step()
+    else:
+        _step()
+
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _flush():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_scr, *, scale, causal, bq, bk):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    def _step():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][0][:, None]
+        delta = delta_ref[0][0][:, None]
+        _, ds = _recompute_p_ds(
+            q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk)
+        dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when(ki * bk <= qi * bq + bq - 1)
+        def _():
+            _step()
+    else:
+        _step()
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _flush():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "causal", "bq", "bk"))
+def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK):
+    bh, s, d = q.shape
+    sk = k.shape[1]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    kernel_kw = dict(scale=scale, causal=causal, bq=bq, bk=bk)
+    dkv_in_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # q
+        pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),   # k
+        pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),   # v
+        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # do
+        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),   # lse
+        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),   # delta
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **kernel_kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+        ),
+        grid=(bh, sk // bk, s // bq),
+        in_specs=dkv_in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse[:, None, :], delta[:, None, :])
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kernel_kw),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        grid=(bh, s // bq, sk // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse[:, None, :], delta[:, None, :])
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper over collapsed (B*H, S, D) operands
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, causal):
+    bq, bk = _pick_blocks(_FWD_BLOCKS, q.shape[1], k.shape[1])
+    o, _ = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
+    return o
+
+
+def _flash_vjp_fwd(q, k, v, scale, causal):
+    bq, bk = _pick_blocks(_FWD_BLOCKS, q.shape[1], k.shape[1])
+    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_vjp_bwd(scale, causal, residuals, do):
+    q, k, v, o, lse = residuals
+    bq, bk = _pick_blocks(_BWD_BLOCKS, q.shape[1], k.shape[1])
+    return _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=bq, bk=bk)
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def _composed_sdpa(q, k, v, scale, causal):
+    # softmax in AT LEAST f32 (bf16 scores lose the max-subtraction), but
+    # never downcast — f64 inputs keep f64 so the fd oracle stays sharp
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    s = jnp.einsum("...qd,...kd->...qk", q, k).astype(acc) * scale
+    if causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        s = jnp.where(rows >= cols, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("...qk,...kd->...qd", p, v)
+
+
+def _flash_eligible(q, k, v) -> bool:
+    if not _pallas_enabled():
+        return False
+    if q.ndim != 4:
+        return False
+    if q.dtype != k.dtype or q.dtype != v.dtype:
+        return False
+    if q.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    b, h, s, d = q.shape
+    sk = k.shape[2]
+    return (
+        _pick_blocks(_FWD_BLOCKS, s, sk) is not None
+        and _pick_blocks(_BWD_BLOCKS, s, sk) is not None
+        and d % 128 == 0
+        and d <= 256
+        and k.shape == (b, h, sk, d)
+        and v.shape == (b, h, sk, d)
+    )
+
+
+def sdpa(q, k, v, causal: bool = False, scale=None):
+    """Scaled dot-product attention over (B, H, S, D) (3-D treated as H=1).
+
+    Backend entry point for the ``md.sdpa`` op: flash kernel on TPU when
+    eligible, composed jnp softmax-attention otherwise.
+    """
+    q = jnp.asarray(q)
+    k = jnp.asarray(k)
+    v = jnp.asarray(v)
+    squeeze = q.ndim == 3
+    if squeeze:
+        q, k, v = q[:, None], k[:, None], v[:, None]
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    scale = float(scale)
+    if _flash_eligible(q, k, v):
+        b, h, s, d = q.shape
+        sk = k.shape[2]
+        out = _flash(
+            q.reshape(b * h, s, d),
+            k.reshape(b * h, sk, d),
+            v.reshape(b * h, sk, d),
+            scale,
+            bool(causal),
+        ).reshape(b, h, s, d)
+    else:
+        out = _composed_sdpa(q, k, v, scale, bool(causal))
+    return out[:, 0] if squeeze else out

@@ -11,3 +11,11 @@ from minidiff_tpu.models.layers import Linear, Module, Sequential  # noqa: F401
 from minidiff_tpu.models.mlp import MLP, make_train_step  # noqa: F401
 from minidiff_tpu.models.optim import SGD, Adam, Optimizer  # noqa: F401
 from minidiff_tpu.models.data import synthetic_classification, mnist_like_batches  # noqa: F401
+from minidiff_tpu.models.transformer import (  # noqa: F401
+    LayerNorm,
+    MultiHeadAttention,
+    TransformerBlock,
+    TransformerLM,
+    lm_loss,
+    synthetic_lm_batches,
+)

@@ -1,0 +1,157 @@
+"""Decoder-only transformer LM — the attention-bearing model family.
+
+Everything is built from framework ops, so the whole model trains through the
+engine's tape backward (and compiles to one XLA program under md.jit).  The
+attention core is ``md.sdpa``, whose XLA-backend forward is the flash
+attention Pallas kernel (kernels/attention.py) when shapes are TPU-eligible.
+
+The reference has no models layer at all (SURVEY.md §1 "no L6"); this module
+extends the framework the same way models/mlp.py does for the MLP flagship.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+import minidiff_tpu as md
+from minidiff_tpu.models import functional as F
+from minidiff_tpu.models.layers import Linear, Module
+
+if TYPE_CHECKING:
+    from typing import Any, Dict, Optional
+
+
+class LayerNorm(Module):
+    """y = (x - mean) / sqrt(var + eps) * g + b over the last axis."""
+
+    def __init__(self, dim: int, eps: float = 1e-5, dtype: "Optional[Any]" = None):
+        self.dim = dim
+        self.eps = eps
+        self.dtype = dtype
+
+    def init(self) -> "Dict[str, md.Tensor]":
+        return {
+            "g": md.Tensor(np.ones(self.dim), allow_grad=True, dtype=self.dtype),
+            "b": md.Tensor(np.zeros(self.dim), allow_grad=True, dtype=self.dtype),
+        }
+
+    def apply(self, params, x):
+        mu = md.mean(x, axis=-1, keepdims=True)
+        xc = x - mu
+        var = md.mean(xc * xc, axis=-1, keepdims=True)
+        return xc / md.sqrt(var + self.eps) * params["g"] + params["b"]
+
+
+class MultiHeadAttention(Module):
+    """Self-attention: fused QKV projection, md.sdpa core, output projection."""
+
+    def __init__(self, dim: int, num_heads: int, causal: bool = True,
+                 dtype: "Optional[Any]" = None):
+        assert dim % num_heads == 0, (dim, num_heads)
+        self.dim = dim
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.causal = causal
+        self.qkv = Linear(dim, 3 * dim, bias=False, dtype=dtype)
+        self.out = Linear(dim, dim, bias=False, dtype=dtype)
+
+    def init(self):
+        return {"qkv": self.qkv.init(), "out": self.out.init()}
+
+    def apply(self, params, x):
+        b, s, d = x.shape
+        h, hd = self.num_heads, self.head_dim
+        qkv = self.qkv.apply(params["qkv"], x)  # (b, s, 3d)
+        qkv = qkv.reshape((b, s, 3, h, hd))
+        qkv = md.transpose(qkv, axes=(2, 0, 3, 1, 4))  # (3, b, h, s, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        o = md.sdpa(q, k, v, causal=self.causal)  # (b, h, s, hd)
+        o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
+        return self.out.apply(params["out"], o)
+
+
+class TransformerBlock(Module):
+    """Pre-LN block: x + MHA(LN(x)); x + MLP(LN(x)) with GELU."""
+
+    def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4,
+                 causal: bool = True, dtype: "Optional[Any]" = None):
+        self.ln1 = LayerNorm(dim, dtype=dtype)
+        self.attn = MultiHeadAttention(dim, num_heads, causal=causal, dtype=dtype)
+        self.ln2 = LayerNorm(dim, dtype=dtype)
+        self.fc1 = Linear(dim, mlp_ratio * dim, dtype=dtype)
+        self.fc2 = Linear(mlp_ratio * dim, dim, dtype=dtype)
+
+    def init(self):
+        return {
+            "ln1": self.ln1.init(),
+            "attn": self.attn.init(),
+            "ln2": self.ln2.init(),
+            "fc1": self.fc1.init(),
+            "fc2": self.fc2.init(),
+        }
+
+    def apply(self, params, x):
+        x = x + self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x))
+        hdn = F.gelu(self.fc1.apply(params["fc1"], self.ln2.apply(params["ln2"], x)))
+        return x + self.fc2.apply(params["fc2"], hdn)
+
+
+class TransformerLM(Module):
+    """Decoder-only LM: token + learned positional embeddings, N pre-LN
+    blocks, final LayerNorm, tied-untied linear head to vocab logits."""
+
+    def __init__(self, vocab_size: int = 256, dim: int = 128, num_heads: int = 4,
+                 num_layers: int = 2, max_seq_len: int = 256, mlp_ratio: int = 4,
+                 dtype: "Optional[Any]" = None):
+        self.vocab_size = vocab_size
+        self.dim = dim
+        self.max_seq_len = max_seq_len
+        self.blocks = [
+            TransformerBlock(dim, num_heads, mlp_ratio, causal=True, dtype=dtype)
+            for _ in range(num_layers)
+        ]
+        self.ln_f = LayerNorm(dim, dtype=dtype)
+        self.head = Linear(dim, vocab_size, bias=False, dtype=dtype)
+        self.dtype = dtype
+
+    def init(self):
+        scale = 1.0 / math.sqrt(self.dim)
+        tok = np.random.normal(0.0, scale, (self.vocab_size, self.dim))
+        pos = np.random.normal(0.0, scale, (self.max_seq_len, self.dim))
+        return {
+            "tok_emb": md.Tensor(tok, allow_grad=True, dtype=self.dtype),
+            "pos_emb": md.Tensor(pos, allow_grad=True, dtype=self.dtype),
+            "blocks": [blk.init() for blk in self.blocks],
+            "ln_f": self.ln_f.init(),
+            "head": self.head.init(),
+        }
+
+    def apply(self, params, tokens):
+        """tokens (B, S) int -> logits (B, S, V)."""
+        b, s = tokens.shape
+        # embedding lookups are differentiable getitem (VJP = scatter_add)
+        x = params["tok_emb"][tokens] + params["pos_emb"][:s]
+        for blk, p in zip(self.blocks, params["blocks"]):
+            x = blk.apply(p, x)
+        x = self.ln_f.apply(params["ln_f"], x)
+        return self.head.apply(params["head"], x)
+
+
+def lm_loss(logits: "md.Tensor", targets: "md.Tensor") -> "md.Tensor":
+    """Mean next-token cross-entropy over (B, S, V) logits / (B, S) ids."""
+    b, s, v = logits.shape
+    return F.cross_entropy(logits.reshape((b * s, v)), targets.reshape((b * s,)))
+
+
+def synthetic_lm_batches(batch: int, seq_len: int, vocab: int, steps: int,
+                         seed: int = 0):
+    """Deterministic identity-task batches (targets = inputs): learnable by
+    any causal LM (position t sees token t), so training-loss descent is a
+    meaningful smoke signal."""
+    rng = np.random.RandomState(seed)
+    for _ in range(steps):
+        toks = rng.randint(1, vocab, size=(batch, seq_len))
+        yield md.Tensor(toks), md.Tensor(toks)

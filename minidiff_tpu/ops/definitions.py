@@ -566,6 +566,63 @@ scatter_add = wrapping.create_ternary_op_func(
     grad_z=lambda x, key, values, grad: getitem(grad, key),
 )
 
+
+# ---------------------------------------------------------------------------
+# sdpa — scaled dot-product attention (extension op; reference has none,
+# SURVEY.md §5.7).  Forward dispatches to the flash-attention Pallas kernel on
+# TPU (kernels/attention.py); these VJPs are the composed formulation written
+# in framework ops, so the oracle can gradcheck the fused kernel and
+# higher-order gradients re-tape like every other op.  The three grad
+# functions recompute identical P sub-graphs, which XLA CSEs under md.jit.
+# ---------------------------------------------------------------------------
+
+
+def _sdpa_scale(q: "md.Tensor", scale: "Optional[float]") -> float:
+    return float(scale) if scale is not None else 1.0 / float(q.shape[-1]) ** 0.5
+
+
+def _sdpa_probs(q, k, causal, scale):
+    s = md.matmul(q, md.swapaxes(k, -1, -2)) * _sdpa_scale(q, scale)
+    if causal:
+        sq, sk = int(s.shape[-2]), int(s.shape[-1])
+        mask = md.greater_equal(
+            md.reshape(md.arange(sq), (sq, 1)), md.reshape(md.arange(sk), (1, sk))
+        )
+        s = md.where(mask, s, -1e30)
+    m = md.max(s, axis=-1, keepdims=True)
+    e = md.exp(s - m)
+    return e / md.sum(e, axis=-1, keepdims=True)
+
+
+def _sdpa_ds(q, k, v, grad, causal, scale):
+    p = _sdpa_probs(q, k, causal, scale)
+    dp = md.matmul_nt(grad, v)
+    return p, p * (dp - md.sum(dp * p, axis=-1, keepdims=True))
+
+
+def sdpa_grad_q(q, k, v, grad, causal=False, scale=None):
+    _, ds = _sdpa_ds(q, k, v, grad, causal, scale)
+    return md.matmul(ds, k) * _sdpa_scale(q, scale)
+
+
+def sdpa_grad_k(q, k, v, grad, causal=False, scale=None):
+    _, ds = _sdpa_ds(q, k, v, grad, causal, scale)
+    return md.matmul_tn(ds, q) * _sdpa_scale(q, scale)
+
+
+def sdpa_grad_v(q, k, v, grad, causal=False, scale=None):
+    p = _sdpa_probs(q, k, causal, scale)
+    return md.matmul_tn(p, grad)
+
+
+sdpa = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("sdpa")),
+    grad_x=sdpa_grad_q,
+    grad_y=sdpa_grad_k,
+    grad_z=sdpa_grad_v,
+    propagate_kwargs=True,
+)
+
 # ---------------------------------------------------------------------------
 # ternary ops
 # ---------------------------------------------------------------------------
@@ -655,6 +712,7 @@ __all__ = [
     "true_divide",
     "unbroadcast",
     "scatter_add",
+    "sdpa",
     "clip",
     "swapaxes",
     "where",

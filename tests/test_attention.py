@@ -1,0 +1,230 @@
+"""sdpa op, flash-attention kernels, and the transformer model family."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import minidiff_tpu as md
+import minidiff_tpu.backend as B
+from minidiff_tpu.utils import compute_grads
+
+
+def _np_sdpa(qn, kn, vn, causal=False, scale=None):
+    if scale is None:
+        scale = 1.0 / np.sqrt(qn.shape[-1])
+    s = np.matmul(qn, np.swapaxes(kn, -1, -2)).astype(np.float64) * scale
+    if causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        mask = np.arange(sq)[:, None] >= np.arange(sk)[None, :]
+        s = np.where(mask, s, -1e30)
+    s -= s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    return np.matmul(p, vn.astype(np.float64))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sdpa_forward_matches_reference(backend, causal):
+    q, k, v = md.randn(2, 2, 4, 8), md.randn(2, 2, 4, 8), md.randn(2, 2, 4, 8)
+    out = md.sdpa(q, k, v, causal=causal)
+    qn, kn, vn = (np.asarray(B.as_numpy(t._data), np.float64) for t in (q, k, v))
+    want = _np_sdpa(qn, kn, vn, causal)
+    np.testing.assert_allclose(
+        np.asarray(B.as_numpy(out._data), np.float64), want, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sdpa_3d_single_head(backend):
+    q, k, v = md.randn(2, 4, 8), md.randn(2, 4, 8), md.randn(2, 4, 8)
+    out = md.sdpa(q, k, v)
+    assert out.shape == (2, 4, 8)
+    qn, kn, vn = (np.asarray(B.as_numpy(t._data), np.float64) for t in (q, k, v))
+    np.testing.assert_allclose(
+        np.asarray(B.as_numpy(out._data), np.float64),
+        _np_sdpa(qn, kn, vn),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sdpa_gradcheck(backend, causal):
+    q, k, v = md.randn(2, 2, 4, 8), md.randn(2, 2, 4, 8), md.randn(2, 2, 4, 8)
+    manual, auto = compute_grads(
+        q, k, v,
+        func=lambda a, b, c: md.sum(md.sdpa(a, b, c, causal=causal) ** 2) / 2,
+    )
+    for m, a in zip(manual, auto):
+        np.testing.assert_allclose(
+            np.asarray(B.as_numpy(m._data), np.float64),
+            np.asarray(B.as_numpy(a._data), np.float64),
+            rtol=1e-3,
+            atol=1e-4,
+        )
+
+
+def test_sdpa_explicit_scale_gradcheck(backend):
+    q, k, v = md.randn(1, 3, 4), md.randn(1, 3, 4), md.randn(1, 3, 4)
+    manual, auto = compute_grads(
+        q, k, v, func=lambda a, b, c: md.sum(md.sdpa(a, b, c, scale=0.25))
+    )
+    for m, a in zip(manual, auto):
+        np.testing.assert_allclose(
+            np.asarray(B.as_numpy(m._data), np.float64),
+            np.asarray(B.as_numpy(a._data), np.float64),
+            rtol=1e-3,
+            atol=1e-4,
+        )
+
+
+def test_sdpa_second_order(backend):
+    q = md.randn(1, 3, 4).detach(allow_grad=True)
+    k = md.randn(1, 3, 4).detach(allow_grad=True)
+    v = md.randn(1, 3, 4).detach(allow_grad=True)
+    out = md.sum(md.sdpa(q, k, v) ** 2)
+    out.backward(allow_higher_order=True)
+    g = q.grad
+    md.sum(g * g).backward()
+    assert q.grad.shape == q.shape
+    assert np.all(np.isfinite(np.asarray(B.as_numpy(q.grad._data))))
+
+
+# ---------------------------------------------------------------------------
+# flash kernels (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def _interpret(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    yield
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_fwd_bwd_match_composed(_interpret, causal):
+    from minidiff_tpu.kernels import attention as A
+
+    rng = np.random.RandomState(0)
+    bh, s, d = 3, 256, 128
+    q = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    do = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    o, lse = A._flash_fwd(q, k, v, scale, causal, bq=128, bk=128)
+    ref = A._composed_sdpa(q, k, v, scale, causal)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def loss(q, k, v):
+        return jnp.sum(A._composed_sdpa(q, k, v, scale, causal) * do)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq, dk, dv = A._flash_bwd(q, k, v, o, lse, do, scale, causal, bq=128, bk=128)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gq), rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gk), rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), rtol=1e-3, atol=5e-3)
+
+
+def test_flash_eligibility_rules():
+    from minidiff_tpu.kernels import attention as A
+
+    good = jnp.zeros((2, 4, 256, 128), jnp.bfloat16)
+    # platform gate: on CPU nothing is eligible
+    import minidiff_tpu.kernels.matmul as mmod
+
+    if jax.default_backend() != "tpu":
+        assert not A._flash_eligible(good, good, good)
+    # shape gates (checked with the platform gate forced open)
+    orig = A._pallas_enabled
+    try:
+        A._pallas_enabled = lambda: True
+        assert A._flash_eligible(good, good, good)
+        assert not A._flash_eligible(*(jnp.zeros((2, 4, 250, 128), jnp.bfloat16),) * 3)
+        assert not A._flash_eligible(*(jnp.zeros((2, 4, 256, 64), jnp.bfloat16),) * 3)
+        assert not A._flash_eligible(*(jnp.zeros((2, 4, 256, 128), jnp.float64),) * 3)
+    finally:
+        A._pallas_enabled = orig
+
+
+# ---------------------------------------------------------------------------
+# transformer model family
+# ---------------------------------------------------------------------------
+
+
+def test_layernorm_matches_numpy(backend):
+    from minidiff_tpu.models import LayerNorm
+
+    ln = LayerNorm(8)
+    params = ln.init()
+    x = md.randn(3, 5, 8)
+    out = ln.apply(params, x)
+    xn = np.asarray(B.as_numpy(x._data), np.float64)
+    mu = xn.mean(-1, keepdims=True)
+    var = xn.var(-1, keepdims=True)
+    want = (xn - mu) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(B.as_numpy(out._data), np.float64), want, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_mha_shapes_and_grads(backend):
+    from minidiff_tpu.models import MultiHeadAttention
+
+    mha = MultiHeadAttention(16, 4, causal=True)
+    params = mha.init()
+    x = md.randn(2, 6, 16).detach(allow_grad=True)
+    out = mha.apply(params, x)
+    assert out.shape == (2, 6, 16)
+    md.sum(out**2).backward()
+    assert x.grad is not None and x.grad.shape == x.shape
+    assert params["qkv"]["w"].grad is not None
+
+
+def test_transformer_lm_trains():
+    from minidiff_tpu.models import (
+        Adam,
+        TransformerLM,
+        lm_loss,
+        make_train_step,
+        synthetic_lm_batches,
+    )
+
+    md.set_backend("xla")
+    model = TransformerLM(vocab_size=32, dim=32, num_heads=2, num_layers=2,
+                          max_seq_len=16)
+    params = model.init()
+    opt = Adam(1e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt, loss_fn=lm_loss)
+    losses = []
+    for x, y in synthetic_lm_batches(4, 8, 32, 12):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_transformer_causality():
+    """Changing a future token must not change past logits."""
+    from minidiff_tpu.models import TransformerLM
+
+    md.set_backend("xla")
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=8)
+    params = model.init()
+    toks = np.array([[1, 2, 3, 4]])
+    toks2 = toks.copy()
+    toks2[0, -1] = 9  # mutate only the last position
+    l1 = np.asarray(B.as_numpy(model.apply(params, md.Tensor(toks))._data))
+    l2 = np.asarray(B.as_numpy(model.apply(params, md.Tensor(toks2))._data))
+    np.testing.assert_allclose(l1[0, :-1], l2[0, :-1], rtol=1e-5, atol=1e-6)
+    assert np.abs(l1[0, -1] - l2[0, -1]).max() > 1e-3
