@@ -4,5 +4,6 @@ from minidiff_tpu.parallel.mesh import (  # noqa: F401
     mlp_sharding_rules,
     named_sharding,
     shard_tree,
+    transformer_sharding_rules,
 )
 from minidiff_tpu.parallel.train import make_sharded_train_step  # noqa: F401

@@ -83,6 +83,36 @@ def shard_tree(tree: "Any", mesh: Mesh, specs: "Any") -> "Any":
     return jax.tree.map(place, tree, specs, is_leaf=is_tensor)
 
 
+def transformer_sharding_rules(params: "Any") -> "Any":
+    """Megatron-style TP placement for models.TransformerLM parameter trees.
+
+    Per block: the fused QKV projection is column-parallel (heads split
+    across ``tp``), the attention output projection row-parallel; the MLP's
+    fc1 is column-, fc2 row-parallel — one all-reduce per sublayer.
+    Embeddings, LayerNorms, and fc2/out biases are replicated; the vocab head
+    is column-parallel over the vocabulary.
+    """
+    blocks = []
+    for _ in params["blocks"]:
+        blocks.append({
+            "ln1": {"g": PartitionSpec(), "b": PartitionSpec()},
+            "attn": {
+                "qkv": {"w": PartitionSpec(None, "tp")},
+                "out": {"w": PartitionSpec("tp", None)},
+            },
+            "ln2": {"g": PartitionSpec(), "b": PartitionSpec()},
+            "fc1": {"w": PartitionSpec(None, "tp"), "b": PartitionSpec("tp")},
+            "fc2": {"w": PartitionSpec("tp", None), "b": PartitionSpec()},
+        })
+    return {
+        "tok_emb": PartitionSpec(),
+        "pos_emb": PartitionSpec(),
+        "blocks": blocks,
+        "ln_f": {"g": PartitionSpec(), "b": PartitionSpec()},
+        "head": {"w": PartitionSpec(None, "tp")},
+    }
+
+
 def mlp_sharding_rules(params: "Any") -> "Any":
     """Megatron-style TP placement for models.MLP parameter trees.
 

@@ -92,3 +92,61 @@ def test_sharded_multi_step_loss_decreases():
         params, state, loss = step(params, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+@needs_8
+def test_sharded_transformer_matches_single_device():
+    from minidiff_tpu.models import TransformerLM, lm_loss, synthetic_lm_batches
+
+    np.random.seed(0)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=4, num_layers=1,
+                          max_seq_len=8)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(4, 8, 16, 1))
+
+    step1 = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, s1, loss1 = step1(init, None, x, y)
+
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    step8, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.1), loss_fn=lm_loss,
+        param_specs=parallel.transformer_sharding_rules(init),
+    )
+    p8 = place_params(init)
+    xb, yb = place_batch(x, y)
+    p8, s8, loss8 = step8(p8, None, xb, yb)
+
+    np.testing.assert_allclose(float(loss8.item()), float(loss1.item()),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p8["blocks"][0]["attn"]["qkv"]["w"]),
+        np.asarray(p1["blocks"][0]["attn"]["qkv"]["w"]),
+        rtol=1e-6, atol=1e-7,
+    )
+    # TP placement survives the step (no silent gather-to-replicated)
+    spec = p8["blocks"][0]["fc1"]["w"]._data.sharding.spec
+    assert spec == PartitionSpec(None, "tp"), spec
+
+
+@needs_8
+def test_sharded_transformer_loss_decreases():
+    from minidiff_tpu.models import TransformerLM, lm_loss, synthetic_lm_batches
+
+    np.random.seed(0)
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    model = TransformerLM(vocab_size=32, dim=32, num_heads=4, num_layers=2,
+                          max_seq_len=16)
+    init = model.init()
+    step, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.5), loss_fn=lm_loss,
+        param_specs=parallel.transformer_sharding_rules(init),
+    )
+    params = place_params(init)
+    x, y = next(synthetic_lm_batches(4, 8, 32, 1))
+    x, y = place_batch(x, y)
+    state = None
+    losses = []
+    for _ in range(8):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0] * 0.8, losses
