@@ -1,16 +1,21 @@
-"""Headline benchmark: 4096x4096 bf16 matmul fwd+bwd vs jax.grad roofline.
+"""Headline benchmark: flagship TransformerLM train step vs jax.grad baseline.
 
-BASELINE config 4: the framework's tape — compiled through md.jit — against
-jax's own AD of the identical computation, on real hardware.  Prints ONE JSON
-line: value = framework TFLOP/s, vs_baseline = framework / jax.grad (1.0 =
-parity with the roofline; >1.0 = faster).
+The framework side is the real product path: models.TransformerLM (flash
+attention Pallas kernels + autotuned matmuls) trained through the tape
+engine's backward, everything compiled by md.jit into one XLA program.  The
+baseline is an architecturally identical transformer written directly in jax
+(composed softmax attention — jax's natural formulation) with
+jax.value_and_grad and the same SGD update, in one jax.jit program.
 
-Timing protocol: the device may sit behind an async tunnel where
-``block_until_ready`` returns before execution finishes, so we time a chain
-of K *data-dependent* steps closed by a scalar host pull (which does
-synchronize), subtract the separately-measured pull latency, and divide by K.
-The tanh keeps XLA from algebraically deleting the matmuls (a bare
-``sum(x@w)`` simplifies to two rank-1 reductions and measures nothing).
+vs_baseline > 1.0 means the framework trains the same model FASTER than the
+handwritten jax.grad implementation (the flash backward is where it wins).
+
+Prints ONE JSON line.  A secondary matmul-parity check (BASELINE config 4)
+rides in `detail`.
+
+Timing protocol: the device sits behind an async tunnel, so each measurement
+chains K data-dependent steps (params feed back in) closed by a scalar host
+pull, subtracts the separately measured pull latency, and divides by K.
 """
 
 from __future__ import annotations
@@ -22,105 +27,207 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N = 4096
-DTYPE = jnp.bfloat16
-CHAIN = 20
+# flagship config: head_dim 128 (flash-eligible), bf16 compute
+VOCAB, DIM, HEADS, LAYERS, SEQ, BATCH = 512, 1024, 8, 4, 1024, 8
+LR = 1e-3
+CHAIN = 10
 REPEATS = 3
-# fwd matmul + two bwd matmuls (dx, dw), 2*N^3 FLOPs each
-FLOPS_PER_STEP = 3 * 2 * N**3
+
+N_MM = 4096  # secondary matmul-parity check
 
 
-def _scalar_pull(arr) -> float:
-    return float(jnp.sum(arr).astype(jnp.float32))
+def _pull(x) -> float:
+    return float(jnp.sum(x).astype(jnp.float32))
 
 
-def _sync_latency(probe) -> float:
-    times = []
+def _pull_latency(probe) -> float:
+    ts = []
     for _ in range(5):
-        start = time.perf_counter()
-        _scalar_pull(probe)
-        times.append(time.perf_counter() - start)
-    return float(np.median(times))
+        t0 = time.perf_counter()
+        _pull(probe)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
-def _time_chain(step, x0, w0) -> float:
-    """Median seconds per step over REPEATS chains of CHAIN dependent steps."""
-    # warm up (compile) and flush
-    x, w = step(x0, w0)
-    _scalar_pull(x)
-    latency = _sync_latency(x0)
-
+def _time_param_chain(step, params0, probe) -> float:
+    """Median s/step over REPEATS chains of CHAIN param-feedback steps."""
+    params, loss = step(params0)
+    _pull(loss)
+    lat = _pull_latency(probe)
     per_step = []
     for _ in range(REPEATS):
-        x, w = x0, w0
-        start = time.perf_counter()
+        params = params0
+        t0 = time.perf_counter()
         for _ in range(CHAIN):
-            x, w = step(x, w)
-        _scalar_pull(x)
-        total = time.perf_counter() - start
-        per_step.append(max(total - latency, 1e-9) / CHAIN)
+            params, loss = step(params)
+        _pull(loss)
+        per_step.append(max(time.perf_counter() - t0 - lat, 1e-9) / CHAIN)
     return float(np.median(per_step))
+
+
+# --------------------------------------------------------------------------
+# jax twin of models.TransformerLM (same math, composed attention)
+# --------------------------------------------------------------------------
+
+
+def _ln(x, p):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc / jnp.sqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def _gelu(x):
+    c = 0.7978845608028654
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x**3)))
+
+
+def _attn(x, p):
+    b, s, d = x.shape
+    h, hd = HEADS, DIM // HEADS
+    qkv = jnp.matmul(x, p["qkv"]["w"]).reshape(b, s, 3, h, hd)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    scale = 1.0 / np.sqrt(hd)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    sc = jnp.where(rows >= cols, sc, -1e30)
+    pr = jax.nn.softmax(sc, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", pr, v)
+    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
+    return jnp.matmul(o, p["out"]["w"])
+
+
+def _twin_loss(p, toks):
+    b, s = toks.shape
+    x = p["tok_emb"][toks] + p["pos_emb"][:s]
+    for blk in p["blocks"]:
+        x = x + _attn(_ln(x, blk["ln1"]), blk["attn"])
+        h = _gelu(jnp.matmul(_ln(x, blk["ln2"]), blk["fc1"]["w"]) + blk["fc1"]["b"])
+        x = x + jnp.matmul(h, blk["fc2"]["w"]) + blk["fc2"]["b"]
+    x = _ln(x, p["ln_f"])
+    logits = jnp.matmul(x, p["head"]["w"])
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    flat = logp.reshape(b * s, VOCAB)
+    picked = flat[jnp.arange(b * s), toks.reshape(b * s)]
+    return -jnp.mean(picked)
+
+
+def _matmul_parity() -> dict:
+    """BASELINE config 4: 4096^2 bf16 matmul fwd+bwd, tape vs jax.grad."""
+    import minidiff_tpu as md
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(N_MM, N_MM), jnp.bfloat16)
+    w0 = jnp.asarray(rng.randn(N_MM, N_MM) / np.sqrt(N_MM), jnp.bfloat16)
+    lr = jnp.asarray(1e-6, jnp.bfloat16)
+    lr_t = md.Tensor(lr)
+    md_vag = md.value_and_grad(lambda x, w: md.sum(md.tanh(x @ w)), argnums=(0, 1))
+
+    @md.jit
+    def md_step_c(x, w):
+        out, (gx, gw) = md_vag(x, w)
+        return x.detach() - lr_t * gx, w.detach() - lr_t * gw
+
+    def md_step(args):
+        a, b = md_step_c(md.Tensor(args[0]), md.Tensor(args[1]))
+        return (a._data, b._data), a._data
+
+    @jax.jit
+    def jax_step_c(x, w):
+        out, (gx, gw) = jax.value_and_grad(
+            lambda x, w: jnp.sum(jnp.tanh(jnp.matmul(x, w))), argnums=(0, 1)
+        )(x, w)
+        return x - lr * gx, w - lr * gw
+
+    def jax_step(args):
+        a, b = jax_step_c(*args)
+        return (a, b), a
+
+    t_md = _time_param_chain(md_step, (x0, w0), x0)
+    t_jax = _time_param_chain(jax_step, (x0, w0), x0)
+    flops = 3 * 2 * N_MM**3
+    return {
+        "matmul4096_bf16_fwdbwd_tflops": round(flops / t_md / 1e12, 2),
+        "matmul_vs_jax_grad": round(t_jax / t_md, 4),
+    }
 
 
 def main() -> None:
     import minidiff_tpu as md
+    from minidiff_tpu.models import SGD, TransformerLM, lm_loss, make_train_step
 
     md.set_backend("xla")
 
-    rng = np.random.RandomState(0)
-    x0 = jnp.asarray(rng.randn(N, N), dtype=DTYPE)
-    w0 = jnp.asarray(rng.randn(N, N) / np.sqrt(N), dtype=DTYPE)
-    lr = jnp.asarray(1e-6, dtype=DTYPE)
-
-    # --- framework: tape fwd+bwd AND the SGD update in ONE md.jit program,
-    # exactly mirroring the single-jit jax baseline below ---
-    def md_loss(x, w):
-        return md.sum(md.tanh(x @ w))
-
-    md_vag = md.value_and_grad(md_loss, argnums=(0, 1))
-    lr_t = md.Tensor(lr)
-
-    @md.jit
-    def md_step_compiled(x, w):
-        out, (gx, gw) = md_vag(x, w)
-        # grad feedback creates the data dependency between steps
-        return x.detach() - lr_t * gx, w.detach() - lr_t * gw
-
-    def md_step(x, w):
-        a, b = md_step_compiled(md.Tensor(x), md.Tensor(w))
-        return a._data, b._data
-
-    # --- baseline: jax.grad of the identical computation ---
-    @jax.jit
-    def jax_step(x, w):
-        def loss(x, w):
-            return jnp.sum(jnp.tanh(jnp.matmul(x, w)))
-
-        out, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
-        return x - lr * gx, w - lr * gw
-
-    t_md = _time_chain(md_step, x0, w0)
-    t_jax = _time_chain(jax_step, x0, w0)
-
-    tflops_md = FLOPS_PER_STEP / t_md / 1e12
-    tflops_jax = FLOPS_PER_STEP / t_jax / 1e12
-
-    print(
-        json.dumps(
-            {
-                "metric": "matmul4096_bf16_fwdbwd_tflops",
-                "value": round(tflops_md, 2),
-                "unit": "TFLOP/s",
-                "vs_baseline": round(tflops_md / tflops_jax, 4),
-                "detail": {
-                    "framework_ms_per_step": round(t_md * 1e3, 3),
-                    "jax_grad_ms_per_step": round(t_jax * 1e3, 3),
-                    "jax_grad_tflops": round(tflops_jax, 2),
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
+    model = TransformerLM(
+        vocab_size=VOCAB, dim=DIM, num_heads=HEADS, num_layers=LAYERS,
+        max_seq_len=SEQ, dtype=md.bfloat16,
     )
+    np.random.seed(0)
+    params0 = model.init()
+    raw0 = jax.tree.map(
+        lambda t: t._data, params0, is_leaf=lambda t: isinstance(t, md.Tensor)
+    )
+    toks_np = np.random.RandomState(1).randint(0, VOCAB, size=(BATCH, SEQ))
+    toks = md.Tensor(toks_np)
+    toks_j = jnp.asarray(toks_np)
+
+    # --- framework path: tape engine + SGD, one md.jit program ---
+    opt = SGD(LR)
+    step_fn = make_train_step(model, opt, loss_fn=lm_loss)
+
+    def md_step(params):
+        params, _, loss = step_fn(params, None, toks, toks)
+        return params, loss._data
+
+    # --- jax.grad twin ---
+    @jax.jit
+    def jax_step_c(p):
+        loss, g = jax.value_and_grad(_twin_loss)(p, toks_j)
+        return jax.tree.map(lambda w, gw: w - LR * gw.astype(w.dtype), p, g), loss
+
+    def jax_step(p):
+        return jax_step_c(p)
+
+    # correctness gate: identical initial loss (bf16 tolerance)
+    _, l_md = md_step(params0)
+    _, l_jax = jax_step(raw0)
+    l1, l2 = float(jnp.asarray(l_md, jnp.float32)), float(l_jax)
+    assert np.isfinite(l1) and np.isfinite(l2), (l1, l2)
+    assert abs(l1 - l2) / max(abs(l2), 1e-6) < 0.05, (l1, l2)
+
+    probe = jnp.ones((8, 128), jnp.float32)
+    t_md = _time_param_chain(md_step, params0, probe)
+    t_jax = _time_param_chain(jax_step, raw0, probe)
+
+    mm = _matmul_parity()
+    n_params = sum(int(np.prod(t.shape)) for t in jax.tree.leaves(raw0))
+    # 6*P*T covers fwd (2PT) + bwd (4PT) for the matmul params; attention
+    # adds 4*b*h*s^2*hd fwd (x3.5 with bwd, /2 causal)
+    tok_per_step = BATCH * SEQ
+    flops = int(
+        6 * n_params * tok_per_step
+        + 3.5 * 4 * BATCH * HEADS * SEQ * SEQ * (DIM // HEADS) / 2
+    )
+
+    print(json.dumps({
+        "metric": "transformer_lm_train_step_speedup_vs_jax_grad",
+        "value": round(t_jax / t_md, 4),
+        "unit": "x (jax_grad_time / framework_time)",
+        "vs_baseline": round(t_jax / t_md, 4),
+        "detail": {
+            "model": f"TransformerLM d{DIM} h{HEADS} L{LAYERS} S{SEQ} "
+                     f"V{VOCAB} b{BATCH} bf16 ({n_params/1e6:.1f}M params)",
+            "framework_ms_per_step": round(t_md * 1e3, 3),
+            "jax_grad_ms_per_step": round(t_jax * 1e3, 3),
+            "framework_tflops": round(flops / t_md / 1e12, 2),
+            "initial_loss_framework": round(l1, 4),
+            "initial_loss_jax": round(l2, 4),
+            **mm,
+            "device": str(jax.devices()[0]),
+        },
+    }))
 
 
 if __name__ == "__main__":
