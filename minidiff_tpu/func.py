@@ -194,4 +194,39 @@ def jit(
     return wrapper
 
 
-__all__ = ["grad", "value_and_grad", "hvp", "jit"]
+def lower(fn: "Callable[..., Any]", *args: "Any", **kwargs: "Any"):
+    """Trace a Tensor program and return jax's Lowered object for it.
+
+    The structural-trace counterpart of the reference's graphviz dump
+    (SURVEY.md §5.1): where ``utils.to_dot`` shows the eager tape,
+    ``md.lower(fn, *args).as_text()`` shows the exact StableHLO the same
+    program compiles to — including the backward sweep if ``fn`` calls
+    ``backward()`` or ``md.value_and_grad``.  Also accepts
+    ``.compile().as_text()`` for post-optimization HLO.
+    """
+    import jax
+
+    if backend.backend_name() != "xla":
+        raise RuntimeError("md.lower requires the xla backend")
+
+    leaves, treedef = jax.tree.flatten(args, is_leaf=_is_tensor)
+    meta = [
+        ("tensor", leaf.allow_grad) if _is_tensor(leaf) else ("raw", None)
+        for leaf in leaves
+    ]
+    dynamic = [leaf._data if _is_tensor(leaf) else leaf for leaf in leaves]
+
+    def pure(dyn):
+        rebuilt = [
+            md.Tensor(d, allow_grad=m[1]) if m[0] == "tensor" else d
+            for d, m in zip(dyn, meta)
+        ]
+        out = fn(*jax.tree.unflatten(treedef, rebuilt), **kwargs)
+        return jax.tree.map(
+            lambda t: t._data if _is_tensor(t) else t, out, is_leaf=_is_tensor
+        )
+
+    return jax.jit(pure).lower(dynamic)
+
+
+__all__ = ["grad", "value_and_grad", "hvp", "jit", "lower"]

@@ -131,3 +131,30 @@ def test_jit_train_step_with_update():
         w, val = jitted(w, x)
         losses.append(float(val.item()))
     assert losses[-1] < losses[0]
+
+
+def test_lower_emits_hlo_with_backward():
+    md.set_backend("xla")
+
+    def program(x, w):
+        out, g = md.value_and_grad(lambda a: md.sum(md.tanh(a @ w)))(x)
+        return g
+
+    x = md.Tensor(np.random.randn(4, 4), allow_grad=True)
+    w = md.Tensor(np.random.randn(4, 4))
+    lowered = md.lower(program, x, w)
+    text = lowered.as_text()
+    # the backward sweep's grad matmul must be in the lowered module
+    assert "dot_general" in text
+    assert "tanh" in text
+    compiled = lowered.compile()
+    assert "HloModule" in compiled.as_text() or compiled.as_text()
+
+
+def test_lower_requires_xla_backend():
+    md.set_backend("numpy")
+    try:
+        with pytest.raises(RuntimeError):
+            md.lower(lambda x: x, md.Tensor([1.0]))
+    finally:
+        md.set_backend("xla")

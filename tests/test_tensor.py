@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import minidiff_tpu as md
+import minidiff_tpu.backend as backend_mod
 
 
 def test_construction_coercions(backend):
@@ -192,3 +193,51 @@ def test_vmap(backend):
     f = md.vmap(lambda row: md.sum(row * row))
     out = f(md.Tensor(np.array([[1.0, 2.0], [3.0, 4.0]])))
     np.testing.assert_allclose(np.asarray(out), [5.0, 25.0])
+
+
+def test_save_load_pytree_roundtrip(backend, tmp_path):
+    from minidiff_tpu.utils import load_pytree, save_pytree
+
+    tree = {
+        "w": md.randn(3, 4).detach(allow_grad=True),
+        "layers": [
+            {"b": md.zeros((4,))},
+            {"b": md.ones((4,))},
+        ],
+        "step": np.int64(7),
+    }
+    path = tmp_path / "ckpt.npz"
+    save_pytree(path, tree)
+
+    # restore into a like-structured tree: values match, allow_grad kept
+    like = {
+        "w": md.zeros((3, 4)).detach(allow_grad=True),
+        "layers": [{"b": md.zeros((4,))}, {"b": md.zeros((4,))}],
+        "step": np.int64(0),
+    }
+    out = load_pytree(path, like=like)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(out["w"]._data)),
+        np.asarray(backend_mod.as_numpy(tree["w"]._data)),
+    )
+    assert out["w"].allow_grad
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(out["layers"][1]["b"]._data)), 1.0
+    )
+    assert int(out["step"]) == 7
+
+    # pathwise reconstruction without `like`
+    raw = load_pytree(path)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(raw["layers"][1]["b"]._data)), 1.0
+    )
+    assert isinstance(raw["layers"], list) and len(raw["layers"]) == 2
+
+
+def test_load_pytree_missing_leaf_raises(tmp_path):
+    from minidiff_tpu.utils import load_pytree, save_pytree
+
+    path = tmp_path / "ckpt.npz"
+    save_pytree(path, {"a": md.ones((2,))})
+    with pytest.raises(KeyError):
+        load_pytree(path, like={"a": md.zeros((2,)), "b": md.zeros((2,))})
