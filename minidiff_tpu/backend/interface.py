@@ -65,6 +65,7 @@ REQUIRED_ATTRS = [
     "floor_divide", "getitem", "greater", "greater_equal", "less",
     "less_equal", "logical_and", "logical_or", "logical_xor", "matmul",
     "matmul_nt", "matmul_tn", "sdpa",
+    "conv2d", "conv2d_input_grad", "conv2d_kernel_grad",
     "mod", "multiply", "not_equal", "power", "reshape", "subtract",
     "tensordot", "true_divide",
     # ternary

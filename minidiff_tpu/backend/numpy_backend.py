@@ -118,6 +118,54 @@ class NumpyBackend:
         # a^T @ b over the last two axes
         return np.matmul(np.swapaxes(a, -1, -2), b)
 
+    # -- conv2d family (NHWC inputs, HWIO kernels; the oracle for the XLA
+    # backend's lax.conv_general_dilated path) -----------------------------
+
+    @staticmethod
+    def conv2d(x: np.ndarray, w: np.ndarray, stride: int = 1,
+               padding: int = 0) -> np.ndarray:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        if padding:
+            x = np.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+        kh, kw = w.shape[0], w.shape[1]
+        win = sliding_window_view(x, (kh, kw), axis=(1, 2))  # (B,H',W',C,kh,kw)
+        win = win[:, ::stride, ::stride]
+        return np.einsum("bhwckl,klco->bhwo", win, w)
+
+    @staticmethod
+    def conv2d_kernel_grad(x: np.ndarray, grad: np.ndarray, x_shape=None,
+                           w_shape=None, stride: int = 1,
+                           padding: int = 0) -> np.ndarray:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        if padding:
+            x = np.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+        ho, wo = grad.shape[1], grad.shape[2]
+        kh, kw = w_shape[0], w_shape[1]
+        win = sliding_window_view(x, (kh, kw), axis=(1, 2))
+        # strided output positions; clip the tail rows a non-dividing stride
+        # never visited
+        win = win[:, ::stride, ::stride][:, :ho, :wo]
+        return np.einsum("bhwckl,bhwo->klco", win, grad)
+
+    @staticmethod
+    def conv2d_input_grad(grad: np.ndarray, w: np.ndarray, x_shape=None,
+                          stride: int = 1, padding: int = 0) -> np.ndarray:
+        b, h, wd, c = x_shape
+        kh, kw = w.shape[0], w.shape[1]
+        hp, wp = h + 2 * padding, wd + 2 * padding
+        dx = np.zeros((b, hp, wp, c), dtype=np.result_type(grad, w))
+        ho, wo = grad.shape[1], grad.shape[2]
+        for i in range(kh):
+            for j in range(kw):
+                dx[:, i:i + stride * ho:stride, j:j + stride * wo:stride, :] += (
+                    np.einsum("bhwo,co->bhwc", grad, w[i, j])
+                )
+        if padding:
+            dx = dx[:, padding:-padding, padding:-padding, :]
+        return dx
+
     @staticmethod
     def sdpa(q: np.ndarray, k: np.ndarray, v: np.ndarray,
              causal: bool = False, scale=None) -> np.ndarray:

@@ -172,6 +172,49 @@ class XlaBackend:
 
         return _mm.matmul_tn(x, y)
 
+    # -- conv2d family (NHWC x HWIO -> NHWC via XLA's native convolution;
+    # the grads are the exact conv-transpose programs jax derives, obtained
+    # through jax.vjp of the same forward so they lower to XLA's fused
+    # ConvBackwardInput / ConvBackwardFilter) ------------------------------
+
+    @staticmethod
+    def conv2d(x: jax.Array, w: jax.Array, stride: int = 1,
+               padding: int = 0) -> jax.Array:
+        # TPU f32 convolutions default to fast bf16-pass accumulation
+        # (~5e-3 relative error); set jax_default_matmul_precision='highest'
+        # for exact f32 when accuracy matters more than the 3x slowdown.
+        # lax.conv requires matching dtypes (jnp ops auto-promote; conv won't)
+        dt = jnp.promote_types(x.dtype, w.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), w.astype(dt),
+            window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    @staticmethod
+    def conv2d_input_grad(grad: jax.Array, w: jax.Array, x_shape=None,
+                          stride: int = 1, padding: int = 0) -> jax.Array:
+        zeros = jnp.zeros(tuple(x_shape), dtype=grad.dtype)
+        _, vjp = jax.vjp(
+            lambda x: XlaBackend.conv2d(x, w.astype(grad.dtype),
+                                        stride=stride, padding=padding),
+            zeros,
+        )
+        return vjp(grad)[0]
+
+    @staticmethod
+    def conv2d_kernel_grad(x: jax.Array, grad: jax.Array, x_shape=None,
+                           w_shape=None, stride: int = 1,
+                           padding: int = 0) -> jax.Array:
+        zeros = jnp.zeros(tuple(w_shape), dtype=grad.dtype)
+        _, vjp = jax.vjp(
+            lambda w: XlaBackend.conv2d(x.astype(grad.dtype), w,
+                                        stride=stride, padding=padding),
+            zeros,
+        )
+        return vjp(grad)[0]
+
     @staticmethod
     def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
              causal: bool = False, scale=None) -> jax.Array:

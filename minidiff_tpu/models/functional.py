@@ -73,3 +73,23 @@ def mse(pred: "md.Tensor", target: "md.Tensor") -> "md.Tensor":
 def accuracy(logits: "md.Tensor", labels: "md.Tensor") -> float:
     pred = md.argmax(logits, axis=-1)
     return float(md.mean(md.equal(pred, labels).astype(md.float32)).item())
+
+
+def max_pool2d(x: "md.Tensor", window: int = 2) -> "md.Tensor":
+    """Non-overlapping max pooling over NHWC via reshape + md.max.
+
+    Composed entirely from existing differentiable ops (no pooling primitive
+    needed): (B, H, W, C) -> (B, H/w, w, W/w, w, C) -> max over the two
+    window axes.  H and W must be divisible by ``window``.
+    """
+    b, h, w, c = x.shape
+    assert h % window == 0 and w % window == 0, (x.shape, window)
+    x = x.reshape((b, h // window, window, w // window, window, c))
+    return md.max(x, axis=(2, 4))
+
+
+def avg_pool2d(x: "md.Tensor", window: int = 2) -> "md.Tensor":
+    b, h, w, c = x.shape
+    assert h % window == 0 and w % window == 0, (x.shape, window)
+    x = x.reshape((b, h // window, window, w // window, window, c))
+    return md.mean(x, axis=(2, 4))

@@ -623,6 +623,61 @@ sdpa = wrapping.create_ternary_op_func(
     propagate_kwargs=True,
 )
 
+
+# ---------------------------------------------------------------------------
+# conv2d family (extension ops; the reference op surface is NumPy-level with
+# no convolution).  NHWC inputs, HWIO kernels.  conv2d is bilinear, so the
+# op triple {conv2d, conv2d_input_grad, conv2d_kernel_grad} is closed under
+# differentiation: each op's VJPs are written in terms of the other two,
+# giving exact higher-order gradients through convolutions.
+# ---------------------------------------------------------------------------
+
+
+def _conv_kw(kwargs):
+    return {
+        "stride": kwargs.get("stride", 1),
+        "padding": kwargs.get("padding", 0),
+    }
+
+
+conv2d = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("conv2d")),
+    grad_x=lambda x, w, grad, **kw: conv2d_input_grad(
+        grad, w, x_shape=tuple(x.shape), **_conv_kw(kw)
+    ),
+    grad_y=lambda x, w, grad, **kw: conv2d_kernel_grad(
+        x, grad, x_shape=tuple(x.shape), w_shape=tuple(w.shape), **_conv_kw(kw)
+    ),
+    propagate_kwargs=True,
+    tensor_only=True,
+)
+
+# dX = input_grad(g, w): linear in g and w.
+#   d/dg paired with cotangent h (x-shaped) -> conv2d(h, w)
+#   d/dw paired with h -> kernel_grad(h, g)
+conv2d_input_grad = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("conv2d_input_grad")),
+    grad_x=lambda g, w, h, **kw: conv2d(h, w, **_conv_kw(kw)),
+    grad_y=lambda g, w, h, **kw: conv2d_kernel_grad(
+        h, g, x_shape=tuple(h.shape), w_shape=tuple(w.shape), **_conv_kw(kw)
+    ),
+    propagate_kwargs=True,
+    tensor_only=True,
+)
+
+# dW = kernel_grad(x, g): linear in x and g.
+#   d/dx paired with cotangent hw (w-shaped) -> input_grad(g, hw)
+#   d/dg paired with hw -> conv2d(x, hw)
+conv2d_kernel_grad = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("conv2d_kernel_grad")),
+    grad_x=lambda x, g, hw, **kw: conv2d_input_grad(
+        g, hw, x_shape=tuple(x.shape), **_conv_kw(kw)
+    ),
+    grad_y=lambda x, g, hw, **kw: conv2d(x, hw, **_conv_kw(kw)),
+    propagate_kwargs=True,
+    tensor_only=True,
+)
+
 # ---------------------------------------------------------------------------
 # ternary ops
 # ---------------------------------------------------------------------------
@@ -713,6 +768,9 @@ __all__ = [
     "unbroadcast",
     "scatter_add",
     "sdpa",
+    "conv2d",
+    "conv2d_input_grad",
+    "conv2d_kernel_grad",
     "clip",
     "swapaxes",
     "where",
