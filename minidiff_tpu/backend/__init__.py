@@ -66,6 +66,17 @@ def set_backend(name: str) -> None:
         )
     _active[0] = _BACKENDS[name]
     _active_name[0] = name
+    _epoch[0] += 1
+
+
+# Bumped on every backend switch; per-op resolution caches key on it so the
+# dynamic backend lookup costs one int compare per call instead of a module
+# __getattr__ (which cProfile showed at ~12% of eager op dispatch).
+_epoch = [0]
+
+
+def epoch() -> int:
+    return _epoch[0]
 
 
 def get_backend() -> Any:

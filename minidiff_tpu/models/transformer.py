@@ -155,3 +155,31 @@ def synthetic_lm_batches(batch: int, seq_len: int, vocab: int, steps: int,
     for _ in range(steps):
         toks = rng.randint(1, vocab, size=(batch, seq_len))
         yield md.Tensor(toks), md.Tensor(toks)
+
+
+def generate(model: "TransformerLM", params, prompt: "md.Tensor",
+             max_new_tokens: int, greedy: bool = True) -> "md.Tensor":
+    """Autoregressive decoding: append argmax (or sampled) next tokens.
+
+    Runs the full forward per step under no_grad (no KV cache — each step is
+    one md.jit-able forward; fine at eval scale).  ``prompt`` is (B, S0) int;
+    returns (B, S0 + max_new_tokens).
+    """
+    tokens = prompt
+    with md.no_grad():
+        for _ in range(max_new_tokens):
+            window = tokens
+            if window.shape[1] > model.max_seq_len:
+                window = window[:, -model.max_seq_len:]
+            logits = model.apply(params, window)  # (B, S, V)
+            last = logits[:, -1, :]
+            if greedy:
+                nxt = md.argmax(last, axis=-1)
+            else:
+                # Gumbel-max sampling via library randomness
+                noise = -md.log(-md.log(md.rand(*last.shape) + 1e-9) + 1e-9)
+                nxt = md.argmax(last + noise.astype(last.dtype), axis=-1)
+            tokens = md.concatenate(
+                [tokens, md.expand_dims(nxt, -1).astype(tokens.dtype)], axis=-1
+            )
+    return tokens

@@ -28,10 +28,23 @@ if TYPE_CHECKING:
 
 
 def backend_fn(name: str) -> "Callable[..., Any]":
-    """A forward that looks up ``backend.<name>`` at call time."""
+    """A forward that looks up ``backend.<name>`` at call time.
+
+    Resolution is cached per backend epoch: backends stay swappable at
+    runtime (unlike the reference's frozen import-time binding,
+    minidiff/ops/definitions.py:266+) but the per-op cost is one int
+    compare instead of a module __getattr__ chain.
+    """
+    cached_epoch = -1
+    cached_fn = None
 
     def forward(*args: Any, **kwargs: Any) -> Any:
-        return getattr(backend, name)(*args, **kwargs)
+        nonlocal cached_epoch, cached_fn
+        if backend.epoch() != cached_epoch:
+            cached_fn = getattr(backend.get_backend(), name)
+            # re-read: a first get_backend() auto-select bumps the epoch
+            cached_epoch = backend.epoch()
+        return cached_fn(*args, **kwargs)
 
     forward.__name__ = name
     forward.__qualname__ = f"<backend fn '{name}'>"

@@ -228,3 +228,25 @@ def test_transformer_causality():
     l2 = np.asarray(B.as_numpy(model.apply(params, md.Tensor(toks2))._data))
     np.testing.assert_allclose(l1[0, :-1], l2[0, :-1], rtol=1e-5, atol=1e-6)
     assert np.abs(l1[0, -1] - l2[0, -1]).max() > 1e-3
+
+
+def test_generate_greedy_extends_prompt():
+    from minidiff_tpu.models import TransformerLM, generate
+
+    md.set_backend("xla")
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=8)
+    params = model.init()
+    prompt = md.Tensor(np.array([[1, 2, 3]]))
+    out = generate(model, params, prompt, max_new_tokens=4)
+    assert out.shape == (1, 7)
+    arr = np.asarray(B.as_numpy(out._data))
+    np.testing.assert_array_equal(arr[0, :3], [1, 2, 3])
+    assert ((arr >= 0) & (arr < 16)).all()
+    # greedy decode is deterministic
+    out2 = generate(model, params, prompt, max_new_tokens=4)
+    np.testing.assert_array_equal(arr, np.asarray(B.as_numpy(out2._data)))
+    # window clipping at max_seq_len doesn't crash
+    long_prompt = md.Tensor(np.ones((1, 8), dtype=np.int64))
+    out3 = generate(model, params, long_prompt, max_new_tokens=3)
+    assert out3.shape == (1, 11)
