@@ -1,0 +1,204 @@
+"""Compiled backward replay: the toposort cache evolved into an executable cache.
+
+SURVEY.md §7 step 7: the reference's ``reuse_graph`` memoizes a traversal
+*order* and still executes the reverse sweep op-by-op in Python
+(minidiff/caching.py); here the same structural hash additionally keys a
+**compiled** backward — the whole VJP sweep traced once onto jax tracers and
+replayed as a single XLA executable.  Each replay takes the current tensor
+VALUES as inputs, so a training loop that rebuilds the same graph shape every
+iteration pays Python for the eager forward only; its backward is one device
+call.
+
+Eligibility (else the engine silently falls back to the eager sweep):
+* XLA backend, inside ``reuse_graph``, first-order, ``reset_grads=True``;
+* every non-Tensor op input / kwarg is static-hashable (ints, floats, bools,
+  strings, None, slices, or tuples thereof) — they are baked into the trace,
+  so they must be part of the cache key.
+
+Correctness keys: (structural hash, per-node static signature, leaf
+allow_grad pattern, retain_grads).  Grad values, cleanup-mode side effects,
+and which tensors end up with ``.grad`` match the eager path exactly
+(tests/test_caching.py runs the same assertions over both).
+
+``MINIDIFF_TPU_COMPILED_BACKWARD=0`` disables the feature.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+import minidiff_tpu as md
+import minidiff_tpu.backend as backend
+
+if TYPE_CHECKING:
+    from typing import Any, List, Optional, Tuple
+
+_cache: dict = {}
+
+_STATIC_OK = (int, float, bool, str, bytes, type(None), slice)
+
+
+def enabled() -> bool:
+    return (
+        os.environ.get("MINIDIFF_TPU_COMPILED_BACKWARD", "1") != "0"
+        and backend.backend_name() == "xla"
+    )
+
+
+def _static_sig(value: "Any"):
+    """Hashable signature for a non-Tensor op input / kwarg, or None."""
+    if isinstance(value, _STATIC_OK):
+        return (type(value).__name__, value)
+    if isinstance(value, tuple):
+        parts = tuple(_static_sig(v) for v in value)
+        if any(p is None for p in parts):
+            return None
+        return ("tuple", parts)
+    return None
+
+
+def _collect(root_node, traversal):
+    """Ordered distinct tensors + processed nodes, structure-deterministic."""
+    tensors: dict = {}
+    for t in traversal:
+        tensors.setdefault(id(t), t)
+    nodes = [root_node]
+    for t in reversed(traversal):
+        if not t.is_leaf:
+            nodes.append(t.op_node)
+    for n in nodes:
+        for inp in n.tensor_inputs:
+            tensors.setdefault(id(inp), inp)
+    return list(tensors.values()), nodes
+
+
+def _node_sig(node):
+    parts = []
+    for k in sorted(node.op_kwargs):
+        s = _static_sig(node.op_kwargs[k])
+        if s is None:
+            return None
+        parts.append((k, s))
+    for inp in node.op_inputs:
+        if isinstance(inp, md.Tensor):
+            parts.append("T")
+        else:
+            s = _static_sig(inp)
+            if s is None:
+                return None
+            parts.append(s)
+    return tuple(parts)
+
+
+def try_run(root_node, traversal, seed_grad, retain_grads: bool,
+            cleanup_mode: str) -> bool:
+    """Run the backward as a compiled replay; False → caller goes eager."""
+    if not enabled():
+        return False
+
+    order, nodes = _collect(root_node, traversal)
+    sigs = []
+    for n in nodes:
+        s = _node_sig(n)
+        if s is None:
+            return False
+        sigs.append(s)
+    key = (
+        root_node.hash,
+        tuple(sigs),
+        tuple(t.allow_grad for t in order),
+        retain_grads,
+    )
+
+    import jax
+
+    entry = _cache.get(key)
+    if entry is None:
+        positions: "List[int]" = []
+        flags = [t.allow_grad for t in order]
+        # identity maps from THIS instance; the traced jaxpr is positional,
+        # so same-structure future graphs map their tensors identically.
+        orig_ids = [id(t) for t in order]
+        trav_ids = [id(t) for t in traversal]
+        leaf_mask = [t.is_leaf for t in traversal]
+
+        def pure_backward(values, seed_val):
+            with md.no_grad():
+                shadows = [
+                    md.Tensor(v, allow_grad=f) for v, f in zip(values, flags)
+                ]
+                by_id = dict(zip(orig_ids, shadows))
+
+                def apply_node(node, grad):
+                    for op_input, grad_fn in zip(node.op_inputs, node.grad_functions):
+                        if not isinstance(op_input, md.Tensor):
+                            continue
+                        if not op_input.allow_grad or grad_fn is None:
+                            continue
+                        shadow_args = [
+                            by_id[id(x)] if isinstance(x, md.Tensor) else x
+                            for x in node.op_inputs
+                        ]
+                        kwargs = node.op_kwargs if node.propagate_kwargs else {}
+                        g = grad_fn(*shadow_args, grad, **kwargs)
+                        target = by_id[id(op_input)]
+                        if g.shape != target.shape:
+                            g = md.unbroadcast(g, target.shape)
+                        target.grad = g if target.grad is None else target.grad + g
+
+                apply_node(root_node, md.Tensor(seed_val))
+                for tid, is_leaf in zip(reversed(trav_ids), reversed(leaf_mask)):
+                    if is_leaf:
+                        continue
+                    sh = by_id[tid]
+                    apply_node(sh_node_lookup[tid], sh.grad)
+                    if not retain_grads:
+                        sh.grad = None
+
+                outs = []
+                for i, sh in enumerate(shadows):
+                    if sh.grad is not None:
+                        if not positions_frozen[0]:
+                            positions.append(i)
+                        outs.append(sh.grad._data)
+                return outs
+
+        sh_node_lookup = {
+            id(t): t.op_node for t in traversal if not t.is_leaf
+        }
+        positions_frozen = [False]
+        compiled = jax.jit(pure_backward)
+        # Trace now with the current values so `positions` is filled before
+        # the entry is cached (jax traces lazily otherwise).
+        values = [t._data for t in order]
+        outs = compiled(values, seed_grad._data)
+        positions_frozen[0] = True
+        positions = tuple(positions)
+        _cache[key] = (compiled, positions)
+    else:
+        compiled, positions = entry
+        values = [t._data for t in order]
+        outs = compiled(values, seed_grad._data)
+    # assign grads exactly as the eager sweep would leave them
+    grads_by_pos = dict(zip(positions, outs))
+    for i, t in enumerate(order):
+        g = grads_by_pos.get(i)
+        t.grad = md.Tensor(g) if g is not None else None
+
+    # replicate the eager cleanup loop's side effects
+    for tensor in reversed(traversal):
+        if tensor.is_leaf:
+            continue
+        node = tensor.op_node
+        if cleanup_mode == "keep":
+            continue
+        if cleanup_mode == "destroy":
+            tensor.wipe()
+            continue
+        if tensor.graph_refs > 0:
+            continue
+        for child in node.tensor_inputs:
+            child.graph_refs -= 1
+        tensor.wipe()
+    return True

@@ -169,6 +169,17 @@ class OpNode:
 
         if mdc.currently_caching():
             traversal_path = mdc.replay_traversal(self)
+            # reuse_graph's executable cache: same structural hash => the
+            # whole reverse sweep replays as ONE compiled XLA call (first-
+            # order, fresh-grads sweeps on the XLA backend; silently eager
+            # otherwise).  SURVEY.md §7 step 7.
+            if not allow_higher_order and reset_grads:
+                import minidiff_tpu.compiled_backward as mcb
+
+                if mcb.try_run(
+                    self, traversal_path, seed_grad, retain_grads, cleanup_mode
+                ):
+                    return
         else:
             traversal_path = self.toposort()
 
