@@ -19,5 +19,10 @@ from minidiff_tpu.models.transformer import (  # noqa: F401
     lm_loss,
     synthetic_lm_batches,
 )
-from minidiff_tpu.models.transformer import generate  # noqa: F401
+from minidiff_tpu.models.transformer import (  # noqa: F401
+    apply_step,
+    generate,
+    generate_cached,
+    init_kv_cache,
+)
 from minidiff_tpu.models.cnn import CNN, Conv2d  # noqa: F401

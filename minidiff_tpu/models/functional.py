@@ -93,3 +93,25 @@ def avg_pool2d(x: "md.Tensor", window: int = 2) -> "md.Tensor":
     assert h % window == 0 and w % window == 0, (x.shape, window)
     x = x.reshape((b, h // window, window, w // window, window, c))
     return md.mean(x, axis=(2, 4))
+
+
+def dropout(x: "md.Tensor", rate: float, key: "Optional[int]" = None,
+            deterministic: bool = False) -> "md.Tensor":
+    """Inverted dropout built from framework ops.
+
+    ``key``: optional integer seed for a *local* mask draw so the mask is
+    reproducible and, unlike the library's stateful RNG, well-defined inside
+    an ``md.jit`` trace when varied per call site.  With ``key=None`` the
+    mask comes from the library RNG (a trace-time constant under md.jit —
+    fine for eval, wrong for compiled training; pass a key there).
+    """
+    if deterministic or rate <= 0.0:
+        return x
+    if key is None:
+        mask = md.rand(*x.shape) >= rate
+    else:
+        import numpy as _np
+
+        bits = _np.random.RandomState(key).random_sample(x.shape)
+        mask = md.Tensor(bits) >= rate
+    return x * mask.astype(x.dtype) / (1.0 - rate)

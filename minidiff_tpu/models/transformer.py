@@ -183,3 +183,85 @@ def generate(model: "TransformerLM", params, prompt: "md.Tensor",
                 [tokens, md.expand_dims(nxt, -1).astype(tokens.dtype)], axis=-1
             )
     return tokens
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decoding: O(S) per generated token instead of re-running the
+# full O(S^2) forward.  Caches are plain Tensors updated through setitem
+# (rebind on untracked tensors), so the step stays traceable per position.
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(model: "TransformerLM", batch: int,
+                  max_len: "Optional[int]" = None, dtype=None):
+    """Per-block {"k","v"} buffers of shape (B, H, max_len, head_dim)."""
+    max_len = max_len or model.max_seq_len
+    caches = []
+    for blk in model.blocks:
+        h, hd = blk.attn.num_heads, blk.attn.head_dim
+        zeros = md.zeros((batch, h, max_len, hd))
+        if dtype is not None:
+            zeros = zeros.astype(dtype)
+        caches.append({"k": zeros, "v": zeros.copy()})
+    return caches
+
+
+def _mha_step(attn: "MultiHeadAttention", params, x, cache, pos: int):
+    """One-token attention: append k/v at ``pos``, attend over cache[:pos+1]."""
+    b, one, d = x.shape
+    h, hd = attn.num_heads, attn.head_dim
+    qkv = attn.qkv.apply(params["qkv"], x)  # (b, 1, 3d)
+    qkv = qkv.reshape((b, 1, 3, h, hd))
+    qkv = md.transpose(qkv, axes=(2, 0, 3, 1, 4))  # (3, b, h, 1, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    cache["k"][:, :, pos:pos + 1, :] = k.astype(cache["k"].dtype)
+    cache["v"][:, :, pos:pos + 1, :] = v.astype(cache["v"].dtype)
+    keys = cache["k"][:, :, : pos + 1, :]
+    vals = cache["v"][:, :, : pos + 1, :]
+    # q attends over all cached positions <= pos: plain softmax attention
+    # (q-length 1 — the flash kernel has nothing to tile here)
+    o = md.sdpa(q, keys.astype(q.dtype), vals.astype(q.dtype), causal=False)
+    o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, 1, d))
+    return attn.out.apply(params["out"], o)
+
+
+def _block_step(blk: "TransformerBlock", params, x, cache, pos: int):
+    x = x + _mha_step(blk.attn, params["attn"],
+                      blk.ln1.apply(params["ln1"], x), cache, pos)
+    h = F.gelu(blk.fc1.apply(params["fc1"], blk.ln2.apply(params["ln2"], x)))
+    return x + blk.fc2.apply(params["fc2"], h)
+
+
+def apply_step(model: "TransformerLM", params, token: "md.Tensor",
+               caches, pos: int) -> "md.Tensor":
+    """One decode step: token (B, 1) int at position ``pos`` -> logits (B, V)."""
+    assert pos < model.max_seq_len, (pos, model.max_seq_len)
+    x = params["tok_emb"][token] + params["pos_emb"][pos:pos + 1]
+    for blk, p, cache in zip(model.blocks, params["blocks"], caches):
+        x = _block_step(blk, p, x, cache, pos)
+    x = model.ln_f.apply(params["ln_f"], x)
+    return model.head.apply(params["head"], x)[:, 0, :]
+
+
+def generate_cached(model: "TransformerLM", params, prompt: "md.Tensor",
+                    max_new_tokens: int) -> "md.Tensor":
+    """Greedy decoding with a KV cache; matches ``generate`` token-for-token."""
+    b, s0 = prompt.shape
+    assert s0 + max_new_tokens <= model.max_seq_len + 1, "cache too small"
+    caches = init_kv_cache(model, b)
+    tokens = prompt
+    with md.no_grad():
+        logits = None
+        for pos in range(s0):  # prefill one token at a time
+            logits = apply_step(model, params, tokens[:, pos:pos + 1], caches, pos)
+        for step in range(max_new_tokens):
+            nxt = md.argmax(logits, axis=-1)
+            tokens = md.concatenate(
+                [tokens, md.expand_dims(nxt, -1).astype(tokens.dtype)], axis=-1
+            )
+            if step == max_new_tokens - 1:
+                break
+            logits = apply_step(
+                model, params, tokens[:, -1:], caches, s0 + step
+            )
+    return tokens

@@ -250,3 +250,42 @@ def test_generate_greedy_extends_prompt():
     long_prompt = md.Tensor(np.ones((1, 8), dtype=np.int64))
     out3 = generate(model, params, long_prompt, max_new_tokens=3)
     assert out3.shape == (1, 11)
+
+
+def test_kv_cached_generate_matches_full_recompute():
+    from minidiff_tpu.models import TransformerLM, generate, generate_cached
+
+    md.set_backend("xla")
+    np.random.seed(0)
+    model = TransformerLM(vocab_size=32, dim=32, num_heads=2, num_layers=2,
+                          max_seq_len=16)
+    params = model.init()
+    prompt = md.Tensor(np.array([[1, 5, 9], [3, 3, 2]]))
+    full = np.asarray(B.as_numpy(
+        generate(model, params, prompt, max_new_tokens=6)._data))
+    cached = np.asarray(B.as_numpy(
+        generate_cached(model, params, prompt, max_new_tokens=6)._data))
+    np.testing.assert_array_equal(full, cached)
+
+
+def test_dropout_semantics(backend):
+    from minidiff_tpu.models.functional import dropout
+
+    x = md.Tensor(np.ones((64, 64)), allow_grad=True)
+    y = dropout(x, 0.5, key=0)
+    md.sum(y).backward()
+    kept = float(md.sum((y != 0).astype(md.float32)).item()) / y.size
+    assert 0.35 < kept < 0.65, kept
+    # inverted scaling: surviving entries are 1/(1-rate)
+    vals = set(np.round(np.unique(np.asarray(B.as_numpy(y._data))), 6))
+    assert vals <= {0.0, 2.0}, vals
+    # grads masked identically
+    g = np.asarray(B.as_numpy(x.grad._data))
+    assert set(np.round(np.unique(g), 6)) <= {0.0, 2.0}
+    # deterministic key -> same mask; deterministic flag -> identity
+    y2 = dropout(md.Tensor(np.ones((64, 64))), 0.5, key=0)
+    np.testing.assert_allclose(
+        np.asarray(B.as_numpy(y._data)), np.asarray(B.as_numpy(y2._data))
+    )
+    x3 = md.Tensor(np.ones((4, 4)))
+    assert dropout(x3, 0.5, deterministic=True) is x3
