@@ -150,3 +150,31 @@ def test_sharded_transformer_loss_decreases():
         params, state, loss = step(params, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+@needs_8
+def test_sequence_parallel_transformer_matches_single_device():
+    """dp x sp x tp: batch sharded over batch AND sequence axes."""
+    from minidiff_tpu.models import TransformerLM, lm_loss, synthetic_lm_batches
+
+    np.random.seed(0)
+    model = TransformerLM(vocab_size=32, dim=32, num_heads=2, num_layers=1,
+                          max_seq_len=8)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(4, 8, 32, 1))
+    step1 = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    _, _, loss1 = step1(init, None, x, y)
+
+    mesh = parallel.make_mesh({"dp": 2, "sp": 2, "tp": 2})
+    step8, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.1), loss_fn=lm_loss,
+        param_specs=parallel.transformer_sharding_rules(init),
+        batch_spec=PartitionSpec("dp", "sp"),
+    )
+    xb, yb = place_batch(x, y)
+    _, _, loss8 = step8(place_params(init), None, xb, yb)
+    np.testing.assert_allclose(float(loss8.item()), float(loss1.item()),
+                               rtol=1e-6)
+    # tokens really are sharded over both axes
+    spec = xb._data.sharding.spec
+    assert spec == PartitionSpec("dp", "sp"), spec
