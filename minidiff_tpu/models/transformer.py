@@ -12,6 +12,7 @@ extends the framework the same way models/mlp.py does for the MLP flagship.
 from __future__ import annotations
 
 import math
+from builtins import max as py_max
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -157,13 +158,35 @@ def synthetic_lm_batches(batch: int, seq_len: int, vocab: int, steps: int,
         yield md.Tensor(toks), md.Tensor(toks)
 
 
+def _sample_next(last: "md.Tensor", greedy: bool, temperature: float,
+                 top_k: "Optional[int]") -> "md.Tensor":
+    """Next-token choice from (B, V) logits: argmax, or Gumbel-max sampling
+    with temperature and optional top-k truncation."""
+    if greedy:
+        return md.argmax(last, axis=-1)
+    logits = last / py_max(float(temperature), 1e-6)
+    if top_k is not None and top_k < logits.shape[-1]:
+        import numpy as _np
+
+        arr = _np.asarray(md.try_unwrap(logits))
+        kth = _np.sort(arr, axis=-1)[:, -top_k][:, None]
+        logits = md.where(logits >= md.Tensor(kth).astype(logits.dtype),
+                          logits, -1e30)
+    noise = -md.log(-md.log(md.rand(*logits.shape) + 1e-9) + 1e-9)
+    return md.argmax(logits + noise.astype(logits.dtype), axis=-1)
+
+
 def generate(model: "TransformerLM", params, prompt: "md.Tensor",
-             max_new_tokens: int, greedy: bool = True) -> "md.Tensor":
+             max_new_tokens: int, greedy: bool = True,
+             temperature: float = 1.0,
+             top_k: "Optional[int]" = None) -> "md.Tensor":
     """Autoregressive decoding: append argmax (or sampled) next tokens.
 
-    Runs the full forward per step under no_grad (no KV cache — each step is
-    one md.jit-able forward; fine at eval scale).  ``prompt`` is (B, S0) int;
-    returns (B, S0 + max_new_tokens).
+    Runs the full forward per step under no_grad (each step is one
+    md.jit-able forward; use ``generate_cached`` for O(S)-per-token decode).
+    ``prompt`` is (B, S0) int; returns (B, S0 + max_new_tokens).
+    Sampling: ``greedy=False`` draws Gumbel-max samples at ``temperature``,
+    optionally truncated to the ``top_k`` highest logits.
     """
     tokens = prompt
     with md.no_grad():
@@ -172,13 +195,7 @@ def generate(model: "TransformerLM", params, prompt: "md.Tensor",
             if window.shape[1] > model.max_seq_len:
                 window = window[:, -model.max_seq_len:]
             logits = model.apply(params, window)  # (B, S, V)
-            last = logits[:, -1, :]
-            if greedy:
-                nxt = md.argmax(last, axis=-1)
-            else:
-                # Gumbel-max sampling via library randomness
-                noise = -md.log(-md.log(md.rand(*last.shape) + 1e-9) + 1e-9)
-                nxt = md.argmax(last + noise.astype(last.dtype), axis=-1)
+            nxt = _sample_next(logits[:, -1, :], greedy, temperature, top_k)
             tokens = md.concatenate(
                 [tokens, md.expand_dims(nxt, -1).astype(tokens.dtype)], axis=-1
             )

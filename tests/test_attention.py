@@ -289,3 +289,24 @@ def test_dropout_semantics(backend):
     )
     x3 = md.Tensor(np.ones((4, 4)))
     assert dropout(x3, 0.5, deterministic=True) is x3
+
+
+def test_generate_sampling_temperature_topk():
+    from minidiff_tpu.models import TransformerLM, generate
+
+    md.set_backend("xla")
+    md.seed(0)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=8)
+    params = model.init()
+    prompt = md.Tensor(np.array([[1, 2]]))
+    out = generate(model, params, prompt, 4, greedy=False,
+                   temperature=0.8, top_k=3)
+    arr = np.asarray(B.as_numpy(out._data))
+    assert arr.shape == (1, 6) and ((arr >= 0) & (arr < 16)).all()
+    # top_k=1 sampling degenerates to greedy
+    g = generate(model, params, prompt, 4)
+    s = generate(model, params, prompt, 4, greedy=False, top_k=1)
+    np.testing.assert_array_equal(
+        np.asarray(B.as_numpy(g._data)), np.asarray(B.as_numpy(s._data))
+    )
