@@ -316,22 +316,33 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK):
 # ---------------------------------------------------------------------------
 
 
+def _blocks_for(kind: str, q, k, causal: bool):
+    """Autotuned (bq, bk) for this shape if known, else static table pick."""
+    key = _attn_key(q.shape[0], q.shape[1], k.shape[1], q.shape[2],
+                    q.dtype, causal)
+    dec = _attn_cache.get(key)
+    if dec is not None and dec != "composed":
+        return dec[0] if kind == "fwd" else dec[1]
+    table = _FWD_BLOCKS if kind == "fwd" else _BWD_BLOCKS
+    return _pick_blocks(table, q.shape[1], k.shape[1])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash(q, k, v, scale, causal):
-    bq, bk = _pick_blocks(_FWD_BLOCKS, q.shape[1], k.shape[1])
+    bq, bk = _blocks_for("fwd", q, k, causal)
     o, _ = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
     return o
 
 
 def _flash_vjp_fwd(q, k, v, scale, causal):
-    bq, bk = _pick_blocks(_FWD_BLOCKS, q.shape[1], k.shape[1])
+    bq, bk = _blocks_for("fwd", q, k, causal)
     o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
     return o, (q, k, v, o, lse)
 
 
 def _flash_vjp_bwd(scale, causal, residuals, do):
     q, k, v, o, lse = residuals
-    bq, bk = _pick_blocks(_BWD_BLOCKS, q.shape[1], k.shape[1])
+    bq, bk = _blocks_for("bwd", q, k, causal)
     return _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=bq, bk=bk)
 
 
@@ -393,9 +404,13 @@ def sdpa(q, k, v, causal: bool = False, scale=None):
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     scale = float(scale)
+    use_flash = False
     if _flash_eligible(q, k, v):
         b, h, s, d = q.shape
         sk = k.shape[2]
+        use_flash = _attn_decision(b * h, s, sk, d, q.dtype, bool(causal)) \
+            != "composed"
+    if use_flash:
         out = _flash(
             q.reshape(b * h, s, d),
             k.reshape(b * h, sk, d),
@@ -406,3 +421,121 @@ def sdpa(q, k, v, causal: bool = False, scale=None):
     else:
         out = _composed_sdpa(q, k, v, scale, bool(causal))
     return out[:, 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Autotuner: like kernels/matmul.py, flash must EARN each dispatch.  Per
+# (B*H, S, Sk, D, dtype, causal) race the flash kernels (block candidates for
+# fwd and bwd independently) against XLA's composed attention on throwaway
+# inputs; cache ((fwd_blocks), (bwd_blocks)) or "composed".  With
+# MINIDIFF_TPU_AUTOTUNE=0 the static block tables decide and flash always
+# wins eligible shapes.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_attn_cache: dict = {}
+
+
+def _attn_key(bh, s, sk, d, dtype, causal):
+    return (bh, s, sk, d, str(dtype), bool(causal))
+
+
+def _time_thunk(thunk, pull_latency, reps: int = 0) -> float:
+    from minidiff_tpu.kernels.matmul import time_device_thunk
+
+    return time_device_thunk(thunk, pull_latency)
+
+
+def _attn_autotune(bh, s, sk, d, dtype, causal):
+    import numpy as np
+
+    from minidiff_tpu.kernels.matmul import _measure_pull_latency
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.standard_normal((bh, s, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((bh, sk, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((bh, sk, d)), dtype)
+    do = jnp.asarray(rng.standard_normal((bh, s, d)), dtype)
+    scale = float(1.0 / d**0.5)
+
+    def warm(fn, *a):
+        out = fn(*a)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        return out
+
+    lat = _measure_pull_latency(q)
+
+    # composed baseline: fwd and fwd+bwd
+    comp_f = jax.jit(lambda q, k, v: _composed_sdpa(q, k, v, scale, causal))
+    comp_g = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(
+            _composed_sdpa(q, k, v, scale, causal).astype(jnp.float32)
+            * do.astype(jnp.float32)
+        ),
+        argnums=(0, 1, 2),
+    ))
+    warm(comp_f, q, k, v)
+    warm(comp_g, q, k, v)
+    t_comp = _time_thunk(lambda: comp_f(q, k, v), lat) + _time_thunk(
+        lambda: comp_g(q, k, v), lat
+    )
+
+    # best flash fwd blocks
+    best_f, best_f_t, lse = None, float("inf"), None
+    for blocks in _FWD_BLOCKS:
+        if s % blocks[0] or sk % blocks[1]:
+            continue
+        bq, bk = blocks
+        fn = jax.jit(functools.partial(
+            _flash_fwd, scale=scale, causal=causal, bq=bq, bk=bk))
+        try:
+            o, l = warm(fn, q, k, v)
+        except Exception:
+            continue
+        t = _time_thunk(lambda fn=fn: fn(q, k, v)[0], lat)
+        if t < best_f_t:
+            best_f, best_f_t, lse, o_best = blocks, t, l, o
+    if best_f is None:
+        return "composed"
+
+    # best flash bwd blocks (using the best fwd's residuals)
+    best_b, best_b_t = None, float("inf")
+    for blocks in _BWD_BLOCKS:
+        if s % blocks[0] or sk % blocks[1]:
+            continue
+        bq, bk = blocks
+        fn = jax.jit(functools.partial(
+            _flash_bwd, scale=scale, causal=causal, bq=bq, bk=bk))
+        try:
+            warm(fn, q, k, v, o_best, lse, do)
+        except Exception:
+            continue
+        t = _time_thunk(lambda fn=fn: fn(q, k, v, o_best, lse, do), lat)
+        if t < best_b_t:
+            best_b, best_b_t = blocks, t
+    if best_b is None:
+        return "composed"
+
+    # flash must beat composed fwd+bwd by >3% (ties go to XLA: better fusion
+    # with neighboring work inside larger jits)
+    if best_f_t + best_b_t > 0.97 * t_comp:
+        return "composed"
+    return (best_f, best_b)
+
+
+def _attn_decision(bh, s, sk, d, dtype, causal):
+    key = _attn_key(bh, s, sk, d, dtype, causal)
+    if key not in _attn_cache:
+        if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
+            _attn_cache[key] = (
+                _pick_blocks(_FWD_BLOCKS, s, sk),
+                _pick_blocks(_BWD_BLOCKS, s, sk),
+            )
+        else:
+            from minidiff_tpu.kernels.matmul import run_outside_trace
+
+            _attn_cache[key] = run_outside_trace(
+                lambda: _attn_autotune(bh, s, sk, d, dtype, causal)
+            )
+    return _attn_cache[key]

@@ -309,20 +309,35 @@ def _tiles_fit(variant: str, tiles: tuple, m: int, n: int, k: int) -> bool:
     return m % bm == 0 and n % bn == 0 and k % bk == 0
 
 
-def _time_fn(fn, a, b, reps: int = 8) -> float:
-    """Seconds per call: chain `reps` calls, close with a scalar pull.
+def time_device_thunk(thunk, pull_latency: float) -> float:
+    """Seconds per call of a device thunk, latency-robust.
 
-    TPU execution is in-order, so pulling one scalar from the final output
-    syncs the whole chain even behind an async tunnel; the separately
-    measured pull latency is subtracted.
+    The tunnel's scalar-pull latency (~25 ms) can dwarf the kernel under
+    test, so reps are calibrated until the chained device work is >=5x the
+    pull latency; min over 3 interleaved rounds strips the (one-sided)
+    latency jitter.
     """
     import time
 
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(a, b)
-    float(jnp.sum(out).astype(jnp.float32))
-    return max(time.perf_counter() - t0 - _time_fn.pull_latency, 1e-9) / reps
+    for _ in range(4):
+        out = thunk()
+    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    per = max((time.perf_counter() - t0 - pull_latency) / 4, 1e-5)
+    reps = min(512, max(8, int(5 * pull_latency / per) + 1))
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = thunk()
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        times.append(max(time.perf_counter() - t0 - pull_latency, 1e-9) / reps)
+    return min(times)
+
+
+def _time_fn(fn, a, b, reps: int = 0) -> float:
+    return time_device_thunk(lambda: fn(a, b), _time_fn.pull_latency)
 
 
 _time_fn.pull_latency = 0.0
@@ -339,15 +354,38 @@ def _measure_pull_latency(a) -> float:
     return sorted(lats)[len(lats) // 2]
 
 
-def _autotune(variant: str, xs, ys, xdt, ydt, m, n, k):
-    """Race XLA against eligible Pallas tile configs on throwaway inputs.
+def run_outside_trace(fn):
+    """Execute ``fn`` with no ambient jax trace (fresh thread).
 
-    May run while an outer md.jit trace is active; ensure_compile_time_eval
-    opts out of omnistaging so these timing runs execute on device instead of
-    being staged into the caller's jaxpr.
+    Autotuning may fire while an outer md.jit trace is active; trace state is
+    thread-local, so a worker thread times real device executions instead of
+    staging into the caller's jaxpr.  (jax.ensure_compile_time_eval is NOT
+    usable here: it routes jitted Pallas calls through eval rules, which
+    pallas primitives do not implement.)
     """
-    with jax.ensure_compile_time_eval():
-        return _autotune_eager(variant, xs, ys, xdt, ydt, m, n, k)
+    import threading
+
+    box: dict = {}
+
+    def worker():
+        try:
+            box["value"] = fn()
+        except BaseException as e:  # propagate into the calling thread
+            box["error"] = e
+
+    t = threading.Thread(target=worker, name="minidiff-autotune")
+    t.start()
+    t.join()
+    if "error" in box:
+        raise box["error"]
+    return box["value"]
+
+
+def _autotune(variant: str, xs, ys, xdt, ydt, m, n, k):
+    """Race XLA against eligible Pallas tile configs on throwaway inputs."""
+    return run_outside_trace(
+        lambda: _autotune_eager(variant, xs, ys, xdt, ydt, m, n, k)
+    )
 
 
 def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
