@@ -30,7 +30,7 @@ import numpy as np
 # flagship config: head_dim 128 (flash-eligible), bf16 compute
 VOCAB, DIM, HEADS, LAYERS, SEQ, BATCH = 512, 1024, 8, 4, 1024, 8
 LR = 1e-3
-CHAIN = 10
+CHAIN = 16
 REPEATS = 3
 
 N_MM = 4096  # secondary matmul-parity check
@@ -49,8 +49,12 @@ def _pull_latency(probe) -> float:
     return float(np.median(ts))
 
 
-def _time_param_chain(step, params0, probe) -> float:
-    """Median s/step over REPEATS chains of CHAIN param-feedback steps."""
+def _time_param_chain(step, params0, probe, chain: int = CHAIN) -> float:
+    """Median s/step over REPEATS chains of `chain` param-feedback steps.
+
+    The chain must be long enough that the pull latency (~27 ms over the
+    tunnel) is a small fraction of the measured window.
+    """
     params, loss = step(params0)
     _pull(loss)
     lat = _pull_latency(probe)
@@ -58,10 +62,10 @@ def _time_param_chain(step, params0, probe) -> float:
     for _ in range(REPEATS):
         params = params0
         t0 = time.perf_counter()
-        for _ in range(CHAIN):
+        for _ in range(chain):
             params, loss = step(params)
         _pull(loss)
-        per_step.append(max(time.perf_counter() - t0 - lat, 1e-9) / CHAIN)
+        per_step.append(max(time.perf_counter() - t0 - lat, 1e-9) / chain)
     return float(np.median(per_step))
 
 
@@ -145,8 +149,9 @@ def _matmul_parity() -> dict:
         a, b = jax_step_c(*args)
         return (a, b), a
 
-    t_md = _time_param_chain(md_step, (x0, w0), x0)
-    t_jax = _time_param_chain(jax_step, (x0, w0), x0)
+    # ~2 ms/step: needs a long chain to drown the ~27 ms pull latency
+    t_md = _time_param_chain(md_step, (x0, w0), x0, chain=80)
+    t_jax = _time_param_chain(jax_step, (x0, w0), x0, chain=80)
     flops = 3 * 2 * N_MM**3
     return {
         "matmul4096_bf16_fwdbwd_tflops": round(flops / t_md / 1e12, 2),

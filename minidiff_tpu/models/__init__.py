@@ -9,7 +9,15 @@ the multi-chip dry run.
 from minidiff_tpu.models import functional  # noqa: F401
 from minidiff_tpu.models.layers import Linear, Module, Sequential  # noqa: F401
 from minidiff_tpu.models.mlp import MLP, make_train_step  # noqa: F401
-from minidiff_tpu.models.optim import SGD, Adam, Optimizer  # noqa: F401
+from minidiff_tpu.models.optim import (  # noqa: F401
+    SGD,
+    Adam,
+    AdamW,
+    Optimizer,
+    clip_by_global_norm,
+    cosine_schedule,
+    warmup_linear_schedule,
+)
 from minidiff_tpu.models.data import synthetic_classification, mnist_like_batches  # noqa: F401
 from minidiff_tpu.models.transformer import (  # noqa: F401
     LayerNorm,

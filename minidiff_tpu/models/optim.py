@@ -98,3 +98,66 @@ class Adam(Optimizer):
                 v,
             )
             return new_params, {"m": m, "v": v, "t": t}
+
+
+class AdamW(Adam):
+    """Adam with decoupled weight decay (applied to params, not grads)."""
+
+    def __init__(self, lr: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8, weight_decay: float = 0.01):
+        super().__init__(lr, b1, b2, eps)
+        self.weight_decay = weight_decay
+
+    def update(self, params, grads, state):
+        with md.no_grad():
+            decayed = _tree_map(
+                lambda p: p * (1.0 - self.lr * self.weight_decay), params
+            )
+        new_params, new_state = super().update(decayed, grads, state)
+        return new_params, new_state
+
+
+def clip_by_global_norm(grads: "Any", max_norm: float) -> "Any":
+    """Scale the whole gradient tree so its global L2 norm is <= max_norm."""
+    with md.no_grad():
+        sq = None
+        for g in jax.tree.leaves(grads, is_leaf=_is_tensor):
+            if not _is_tensor(g):
+                continue
+            term = md.sum(g * g)
+            sq = term if sq is None else sq + term
+        if sq is None:
+            return grads
+        norm = md.sqrt(sq)
+        # min(1, max_norm / norm), safe at norm == 0
+        scale = md.clip(max_norm / (norm + 1e-12), None, 1.0)
+        return _tree_map(lambda g: g * scale if _is_tensor(g) else g, grads)
+
+
+# -- learning-rate schedules: step -> lr (floats; close over them in a
+# make_train_step-style builder or rebuild the optimizer per epoch) ----------
+
+
+def cosine_schedule(base_lr: float, total_steps: int, warmup_steps: int = 0,
+                    final_lr: float = 0.0):
+    import math as _math
+
+    def lr_at(step: int) -> float:
+        if warmup_steps and step < warmup_steps:
+            return base_lr * (step + 1) / warmup_steps
+        frac = (step - warmup_steps) / max(total_steps - warmup_steps, 1)
+        frac = min(max(frac, 0.0), 1.0)
+        return final_lr + 0.5 * (base_lr - final_lr) * (1 + _math.cos(_math.pi * frac))
+
+    return lr_at
+
+
+def warmup_linear_schedule(base_lr: float, total_steps: int,
+                           warmup_steps: int = 0):
+    def lr_at(step: int) -> float:
+        if warmup_steps and step < warmup_steps:
+            return base_lr * (step + 1) / warmup_steps
+        frac = (step - warmup_steps) / max(total_steps - warmup_steps, 1)
+        return base_lr * max(1.0 - frac, 0.0)
+
+    return lr_at

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import minidiff_tpu as md
+import minidiff_tpu.backend as backend_mod
 from minidiff_tpu.models import MLP, Adam, SGD, make_train_step, mnist_like_batches
 from minidiff_tpu.models import functional as F
 from minidiff_tpu.models.data import synthetic_classification
@@ -101,3 +102,64 @@ def test_mlp_trains_on_numpy_backend():
         assert losses[-1] < losses[0]
     finally:
         md.set_backend("xla")
+
+
+def test_adamw_decay_and_clipping():
+    from minidiff_tpu.models import AdamW, clip_by_global_norm
+
+    md.set_backend("xla")
+    params = {"w": md.Tensor(np.ones((4, 4)) * 10.0, allow_grad=True)}
+    grads = {"w": md.Tensor(np.zeros((4, 4)))}
+    opt = AdamW(lr=0.1, weight_decay=0.5)
+    state = opt.init(params)
+    new_params, _ = opt.update(params, grads, state)
+    # zero grads: only the decoupled decay moves the weights
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(new_params["w"]._data)),
+        10.0 * (1 - 0.1 * 0.5),
+        rtol=1e-6,
+    )
+
+    big = {"a": md.Tensor(np.full((3,), 4.0)), "b": md.Tensor(np.full((4,), 3.0))}
+    clipped = clip_by_global_norm(big, 1.0)
+    total = sum(
+        float(md.sum(g * g).item()) for g in (clipped["a"], clipped["b"])
+    )
+    np.testing.assert_allclose(np.sqrt(total), 1.0, rtol=1e-5)
+    small = clip_by_global_norm({"a": md.Tensor(np.full((2,), 0.01))}, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(small["a"]._data)), 0.01, rtol=1e-5
+    )
+
+
+def test_lr_schedules():
+    from minidiff_tpu.models import cosine_schedule, warmup_linear_schedule
+
+    cos = cosine_schedule(1.0, total_steps=100, warmup_steps=10, final_lr=0.1)
+    assert cos(0) == pytest.approx(0.1, abs=1e-6)  # warmup ramp start
+    assert cos(9) == pytest.approx(1.0, abs=1e-6)  # warmup ramp end
+    assert cos(100) == pytest.approx(0.1, abs=1e-6)  # floor
+    assert cos(55) == pytest.approx((1.0 + 0.1) / 2, rel=0.1)  # midpoint
+    lin = warmup_linear_schedule(2.0, total_steps=20, warmup_steps=0)
+    assert lin(0) == pytest.approx(2.0)
+    assert lin(20) == pytest.approx(0.0)
+
+
+def test_adamw_trains_mlp():
+    from minidiff_tpu.models import MLP, AdamW, make_train_step
+    from minidiff_tpu.models.data import synthetic_classification
+
+    md.set_backend("xla")
+    np.random.seed(0)
+    model = MLP(16, (16,), 4)
+    params = model.init()
+    opt = AdamW(1e-2, weight_decay=0.01)
+    state = opt.init(params)
+    step = make_train_step(model, opt)
+    xs, ys = synthetic_classification(32, 16, 4)
+    x, y = md.Tensor(xs), md.Tensor(ys)
+    losses = []
+    for _ in range(10):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0] * 0.8, losses
