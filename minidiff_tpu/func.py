@@ -194,6 +194,54 @@ def jit(
     return wrapper
 
 
+def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
+    """Rematerialization: don't store ``fn``'s intermediate tape; recompute it
+    inside the VJP (the tape-engine analog of ``jax.checkpoint``).
+
+    The wrapped segment runs its forward under ``no_grad`` — none of its
+    intermediates join the caller's graph — and registers ONE tape node whose
+    per-input VJPs rerun ``fn`` on fresh leaves and backward the fresh
+    sub-tape seeded with the incoming cotangent.  Eagerly this trades compute
+    for memory exactly like gradient checkpointing; under ``md.jit`` the
+    recompute lowers into the executable, so XLA drops the segment's
+    activations from the fwd→bwd residual set.
+
+    First-order only through the segment (an outer ``allow_higher_order``
+    backward still works for everything outside it); inputs must all be
+    Tensors.
+    """
+    from minidiff_tpu.ops import wrapping
+
+    def forward(*inputs: "Any", **kwargs: "Any") -> "md.Tensor":
+        with md.no_grad():
+            out = fn(*inputs, **kwargs)
+        return out.detach()
+
+    def make_grad(i: int):
+        def grad_fn(*args_and_grad: "Any", **kwargs: "Any") -> "md.Tensor":
+            *inputs, grad = args_and_grad
+            fresh = [t.detach(allow_grad=True) for t in inputs]
+            with md.enable_grad(True):
+                out2 = fn(*fresh, **kwargs)
+            out2.op_node.backward(grad.detach(), cleanup_mode="destroy")
+            g = fresh[i].grad
+            return g if g is not None else md.zeros_like(inputs[i])
+
+        return grad_fn
+
+    def wrapper(*inputs: "Any", **kwargs: "Any") -> "md.Tensor":
+        op = wrapping.create_op_func(
+            forward_func=forward,
+            grad_funcs=[make_grad(i) for i in range(len(inputs))],
+            propagate_kwargs=True,
+            tensor_only=True,
+            op_name=f"remat({getattr(fn, '__name__', 'fn')})",
+        )
+        return op(*inputs, **kwargs)
+
+    return wrapper
+
+
 def lower(fn: "Callable[..., Any]", *args: "Any", **kwargs: "Any"):
     """Trace a Tensor program and return jax's Lowered object for it.
 
@@ -229,4 +277,4 @@ def lower(fn: "Callable[..., Any]", *args: "Any", **kwargs: "Any"):
     return jax.jit(pure).lower(dynamic)
 
 
-__all__ = ["grad", "value_and_grad", "hvp", "jit", "lower"]
+__all__ = ["grad", "value_and_grad", "hvp", "jit", "lower", "remat"]

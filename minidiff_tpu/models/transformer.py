@@ -106,10 +106,13 @@ class TransformerLM(Module):
 
     def __init__(self, vocab_size: int = 256, dim: int = 128, num_heads: int = 4,
                  num_layers: int = 2, max_seq_len: int = 256, mlp_ratio: int = 4,
-                 dtype: "Optional[Any]" = None):
+                 dtype: "Optional[Any]" = None, remat_blocks: bool = False):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
+        # md.remat per block: block activations are recomputed in the VJP
+        # instead of stored (gradient checkpointing at block granularity)
+        self.remat_blocks = remat_blocks
         self.blocks = [
             TransformerBlock(dim, num_heads, mlp_ratio, causal=True, dtype=dtype)
             for _ in range(num_layers)
@@ -136,7 +139,18 @@ class TransformerLM(Module):
         # embedding lookups are differentiable getitem (VJP = scatter_add)
         x = params["tok_emb"][tokens] + params["pos_emb"][:s]
         for blk, p in zip(self.blocks, params["blocks"]):
-            x = blk.apply(p, x)
+            if self.remat_blocks:
+                import jax as _jax
+
+                flat, treedef = _jax.tree.flatten(
+                    p, is_leaf=lambda t: isinstance(t, md.Tensor))
+
+                def _seg(x, *leaves, _blk=blk, _treedef=treedef):
+                    return _blk.apply(_jax.tree.unflatten(_treedef, list(leaves)), x)
+
+                x = md.remat(_seg)(x, *flat)
+            else:
+                x = blk.apply(p, x)
         x = self.ln_f.apply(params["ln_f"], x)
         return self.head.apply(params["head"], x)
 
