@@ -200,11 +200,17 @@ def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
 
     The wrapped segment runs its forward under ``no_grad`` — none of its
     intermediates join the caller's graph — and registers ONE tape node whose
-    per-input VJPs rerun ``fn`` on fresh leaves and backward the fresh
-    sub-tape seeded with the incoming cotangent.  Eagerly this trades compute
-    for memory exactly like gradient checkpointing; under ``md.jit`` the
-    recompute lowers into the executable, so XLA drops the segment's
-    activations from the fwd→bwd residual set.
+    VJPs rerun ``fn`` once on barrier-protected fresh leaves and backward the
+    fresh sub-tape seeded with the incoming cotangent (one shared recompute
+    serves every input's grad).
+
+    Where it pays: the EAGER engine — the segment's tape is never built, so
+    its intermediate tensors are collectable immediately (classic gradient
+    checkpointing; the reachable-tape test shows 2 vs 6 tensors for a 4-op
+    segment).  Under ``md.jit`` on TPU, measurements show XLA's own
+    rematerialization pass usually schedules the un-remat'd program at equal
+    or lower peak temp than the barrier-pinned recompute — prefer plain
+    md.jit there unless profiling says otherwise.
 
     First-order only through the segment (an outer ``allow_higher_order``
     backward still works for everything outside it); inputs must all be
@@ -217,19 +223,43 @@ def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
             out = fn(*inputs, **kwargs)
         return out.detach()
 
-    def make_grad(i: int):
-        def grad_fn(*args_and_grad: "Any", **kwargs: "Any") -> "md.Tensor":
-            *inputs, grad = args_and_grad
-            fresh = [t.detach(allow_grad=True) for t in inputs]
-            with md.enable_grad(True):
-                out2 = fn(*fresh, **kwargs)
-            out2.op_node.backward(grad.detach(), cleanup_mode="destroy")
-            g = fresh[i].grad
-            return g if g is not None else md.zeros_like(inputs[i])
+    def _barrier(inputs: "Sequence[md.Tensor]") -> "list":
+        # Without a barrier XLA CSEs the recompute against the forward pass
+        # and keeps the residuals alive anyway — the same reason
+        # jax.checkpoint lowers through optimization_barrier.
+        if backend.backend_name() != "xla":
+            return [t.detach(allow_grad=True) for t in inputs]
+        import jax
 
-        return grad_fn
+        fresh_data = jax.lax.optimization_barrier(tuple(t._data for t in inputs))
+        return [md.Tensor(d, allow_grad=True) for d in fresh_data]
 
     def wrapper(*inputs: "Any", **kwargs: "Any") -> "md.Tensor":
+        # ONE recompute serves every input's VJP: the engine calls the grad
+        # functions sequentially with the same cotangent object, so the first
+        # call does the fresh forward+backward and the rest read from it
+        # (a per-input recompute behind barriers would defeat CSE and run the
+        # segment n_inputs times).
+        memo: dict = {}
+
+        def run_all(seg_inputs, grad):
+            if memo.get("grad") is not grad:
+                fresh = _barrier(seg_inputs)
+                with md.enable_grad(True):
+                    out2 = fn(*fresh, **kwargs)
+                out2.op_node.backward(grad.detach(), cleanup_mode="destroy")
+                memo["grad"] = grad
+                memo["grads"] = [f.grad for f in fresh]
+            return memo["grads"]
+
+        def make_grad(i: int):
+            def grad_fn(*args_and_grad: "Any", **kw: "Any") -> "md.Tensor":
+                *seg_inputs, grad = args_and_grad
+                g = run_all(seg_inputs, grad)[i]
+                return g if g is not None else md.zeros_like(seg_inputs[i])
+
+            return grad_fn
+
         op = wrapping.create_op_func(
             forward_func=forward,
             grad_funcs=[make_grad(i) for i in range(len(inputs))],

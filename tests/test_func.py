@@ -233,3 +233,15 @@ def test_remat_transformer_blocks_train():
         params, state, loss = step(params, state, xb, yb)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0], losses
+
+
+def test_remat_shrinks_eager_tape(backend):
+    def segment(x, w):
+        h = md.tanh(x @ w)
+        return md.exp(h * 0.5) + x
+
+    x = md.Tensor(np.ones((8, 8)), allow_grad=True)
+    w = md.Tensor(np.ones((8, 8)) * 0.01, allow_grad=True)
+    n_plain = len(segment(x, w).op_node.toposort())
+    n_remat = len(md.remat(segment)(x, w).op_node.toposort())
+    assert n_remat < n_plain  # segment intermediates never join the tape
