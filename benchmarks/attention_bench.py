@@ -16,17 +16,13 @@ import numpy as np
 from minidiff_tpu.kernels import attention as A
 
 
-def _timeit(f, *args, reps: int = 20) -> float:
-    out = f(*args)
+def _timeit(f, *args) -> float:
+    from minidiff_tpu.kernels.matmul import _measure_pull_latency, time_device_thunk
+
+    out = f(*args)  # compile
     float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = f(*args)
-        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-        ts.append((time.perf_counter() - t0) / reps)
-    return min(ts)
+    lat = _measure_pull_latency(jax.tree.leaves(out)[0])
+    return time_device_thunk(lambda: f(*args), lat)
 
 
 def main() -> None:

@@ -44,16 +44,27 @@ def _chain(fn, unary_like):
     return loss
 
 
-def _timeit(f, *args, reps: int = 10) -> float:
-    out = f(*args)
-    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+def _time_chain(step, args0, chain: int = 40) -> float:
+    """s/step over data-dependent chains (grad feeds back into the input).
+
+    Independent calls overlap in the tunnel's execution pipeline and read
+    absurdly fast; only chained, data-dependent steps measure real device
+    time.  Chain long enough that the ~27 ms scalar-pull latency is a small
+    fraction of the window.
+    """
+    from minidiff_tpu.kernels.matmul import _measure_pull_latency
+
+    args = step(args0)
+    float(jnp.sum(args[0].astype(jnp.float32)))
+    lat = _measure_pull_latency(args[0])
     ts = []
     for _ in range(3):
+        args = args0
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = f(*args)
-        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-        ts.append((time.perf_counter() - t0) / reps)
+        for _ in range(chain):
+            args = step(args)
+        float(jnp.sum(args[0].astype(jnp.float32)))
+        ts.append(max(time.perf_counter() - t0 - lat, 1e-9) / chain)
     return min(ts)
 
 
@@ -89,18 +100,20 @@ def main() -> None:
         argnums = tuple(range(n))
         md_step = md.jit(md.value_and_grad(_chain(md_fn, n), argnums=argnums))
 
-        def md_call(*xs):
+        def md_call(xs, n=n, md_step=md_step):
             out, g = md_step(*(md.Tensor(x, allow_grad=True) for x in xs))
-            return [t._data for t in jax.tree.leaves(g)]
+            gl = [t._data for t in jax.tree.leaves(g)]
+            # grad feedback = the data dependence between chain steps
+            return tuple(x - 1e-6 * gx for x, gx in zip(xs, gl[:n]))
 
         jax_step = jax.jit(jax.value_and_grad(_chain(jnp_fn, n), argnums=argnums))
 
-        def jax_call(*xs):
+        def jax_call(xs, n=n, jax_step=jax_step):
             out, g = jax_step(*xs)
-            return list(g)
+            return tuple(x - 1e-6 * gx for x, gx in zip(xs, g))
 
-        t_md = _timeit(md_call, *a)
-        t_jax = _timeit(jax_call, *a)
+        t_md = _time_chain(md_call, a)
+        t_jax = _time_chain(jax_call, a)
         row = {
             "op": name,
             "md_us": round(t_md * 1e6, 1),

@@ -261,6 +261,45 @@ class XlaBackend:
 
     @staticmethod
     def scatter_add(a: jax.Array, indices: Any, b: Any) -> jax.Array:
+        # Contiguous basic keys (ints / unit-step slices) select each
+        # position at most once, so add == set — emitted as an explicit
+        # dynamic_update_slice into zeros instead of a scatter (TPU lowers
+        # .at[].add/.set to a real scatter, 2x+ slower; this is the getitem
+        # VJP's hot path for slicing).
+        idx = indices if isinstance(indices, tuple) else (indices,)
+        if (
+            all(isinstance(i, (int, slice)) for i in idx)
+            and len(idx) <= a.ndim
+        ):
+            starts: list = []
+            vshape: list = []
+            ok = True
+            for d, i in enumerate(idx):
+                n = a.shape[d]
+                if isinstance(i, int):
+                    starts.append(i + n if i < 0 else i)
+                    vshape.append(1)
+                elif i.step in (None, 1):
+                    st = 0 if i.start is None else (i.start + n if i.start < 0 else min(i.start, n))
+                    sp = n if i.stop is None else (i.stop + n if i.stop < 0 else min(i.stop, n))
+                    starts.append(st)
+                    vshape.append(max(sp - st, 0))
+                else:
+                    ok = False
+                    break
+            if ok:
+                starts += [0] * (a.ndim - len(idx))
+                vshape += list(a.shape[len(idx):])
+                vals = jnp.asarray(b, a.dtype)
+                # int-indexed dims were dropped from b; reinsert them so the
+                # broadcast aligns positionally
+                for pos, i in enumerate(idx):
+                    if isinstance(i, int):
+                        vals = jnp.expand_dims(vals, pos)
+                vals = jnp.broadcast_to(vals, tuple(vshape))
+                return jax.lax.dynamic_update_slice(
+                    jnp.zeros_like(a), vals, tuple(starts)
+                )
         return jnp.zeros_like(a).at[indices].add(b)
 
     @staticmethod

@@ -130,7 +130,7 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
                 ]
                 by_id = dict(zip(orig_ids, shadows))
 
-                def apply_node(node, grad):
+                def apply_node(node, grad, output=None):
                     for op_input, grad_fn in zip(node.op_inputs, node.grad_functions):
                         if not isinstance(op_input, md.Tensor):
                             continue
@@ -141,6 +141,9 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
                             for x in node.op_inputs
                         ]
                         kwargs = node.op_kwargs if node.propagate_kwargs else {}
+                        if getattr(grad_fn, "needs_output", False):
+                            kwargs = dict(kwargs)
+                            kwargs["_output"] = output
                         g = grad_fn(*shadow_args, grad, **kwargs)
                         target = by_id[id(op_input)]
                         if g.shape != target.shape:
@@ -152,7 +155,7 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
                     if is_leaf:
                         continue
                     sh = by_id[tid]
-                    apply_node(sh_node_lookup[tid], sh.grad)
+                    apply_node(sh_node_lookup[tid], sh.grad, output=sh)
                     if not retain_grads:
                         sh.grad = None
 

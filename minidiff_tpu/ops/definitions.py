@@ -337,9 +337,17 @@ cosh = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("cosh")),
     grad=lambda x, grad: grad * sinh(x),
 )
+def exp_grad(x, grad, _output=None):
+    # reuse the forward value when the engine supplies it (TPU XLA does not
+    # reliably CSE a recomputed exp against the forward pass)
+    return grad * (exp(x) if _output is None else _output)
+
+
+exp_grad.needs_output = True
+
 exp = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("exp")),
-    grad=lambda x, grad: grad * exp(x),
+    grad=exp_grad,
 )
 flatten = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("flatten")),
@@ -416,11 +424,17 @@ tan = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("tan")),
     grad=lambda x, grad: grad * (1 / cos(x) ** 2),
 )
+def tanh_grad(x, grad, _output=None):
+    # sech^2 = 1 - tanh^2, reusing the forward tanh when available
+    t = tanh(x) if _output is None else _output
+    return grad * (1 - t**2)
+
+
+tanh_grad.needs_output = True
+
 tanh = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("tanh")),
-    # sech^2 written as 1 - tanh^2 so XLA CSEs the tanh with the forward pass
-    # (grad/cosh^2 would add a fresh transcendental sweep per backward).
-    grad=lambda x, grad: grad * (1 - tanh(x) ** 2),
+    grad=tanh_grad,
 )
 transpose = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("transpose")),

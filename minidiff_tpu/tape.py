@@ -88,12 +88,19 @@ class OpNode:
     def hash(self) -> int:
         return hash(self._op_ids)
 
-    def update_grads(self, grad: "md.Tensor") -> None:
+    def update_grads(self, grad: "md.Tensor", output: "Optional[md.Tensor]" = None) -> None:
         """Chain rule: accumulate VJP(grad) into each tracked input's .grad.
 
         Runs in whatever grad mode the caller set — backward() enables grad
         only for higher-order sweeps, so these VJP calls re-tape exactly when
         they should (topology.py:81-104).
+
+        ``output`` is this node's forward result when the engine has it in
+        hand (the sweep is iterating over output tensors anyway): VJPs marked
+        ``needs_output`` receive it as ``_output`` and can reuse the forward
+        value instead of recomputing it — XLA on TPU does NOT reliably CSE a
+        VJP's recomputed transcendental against the forward pass (measured:
+        exp fwd+bwd 2.4x slower with recompute-style grads).
         """
         for op_input, grad_function in zip(self.op_inputs, self.grad_functions):
             if not isinstance(op_input, md.Tensor):
@@ -104,6 +111,9 @@ class OpNode:
                 continue
 
             kwargs = self.op_kwargs if self.propagate_kwargs else {}
+            if getattr(grad_function, "needs_output", False):
+                kwargs = dict(kwargs)
+                kwargs["_output"] = output
             grad_computation = grad_function(*self.op_inputs, grad, **kwargs)
             # Forward-pass broadcasting must be undone so gradients land with
             # the input's shape (topology.py:94-99).
@@ -196,7 +206,7 @@ class OpNode:
                 # its inputs' grads before we reach them.
                 grad = tensor.grad
                 node = tensor.op_node
-                node.update_grads(grad)
+                node.update_grads(grad, output=tensor)
                 if not retain_grads:
                     tensor.grad = None
 
