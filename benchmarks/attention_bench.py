@@ -16,13 +16,25 @@ import numpy as np
 from minidiff_tpu.kernels import attention as A
 
 
-def _timeit(f, *args) -> float:
-    from minidiff_tpu.kernels.matmul import _measure_pull_latency, time_device_thunk
+def _time_q_chain(f, q0, k, v, chain: int = 40) -> float:
+    """s/call with the output fed back into q (data-dependent chain): calls
+    without a dependence overlap in the tunnel's pipeline and read fast."""
+    from minidiff_tpu.kernels.matmul import _measure_pull_latency
 
-    out = f(*args)  # compile
-    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    lat = _measure_pull_latency(jax.tree.leaves(out)[0])
-    return time_device_thunk(lambda: f(*args), lat)
+    out = f(q0, k, v)
+    first = jax.tree.leaves(out)[0]
+    float(jnp.sum(first.astype(jnp.float32)))
+    lat = _measure_pull_latency(first)
+    ts = []
+    for _ in range(3):
+        q = q0
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            out = f(q, k, v)
+            q = q0 - 1e-6 * jax.tree.leaves(out)[0].astype(q0.dtype)
+        float(jnp.sum(q.astype(jnp.float32)))
+        ts.append(max(time.perf_counter() - t0 - lat, 1e-9) / chain)
+    return min(ts)
 
 
 def main() -> None:
@@ -42,7 +54,7 @@ def main() -> None:
 
         fl = jax.jit(lambda q, k, v: A._flash(q, k, v, scale, causal))
         co = jax.jit(lambda q, k, v: A._composed_sdpa(q, k, v, scale, causal))
-        t_fl, t_co = _timeit(fl, q, k, v), _timeit(co, q, k, v)
+        t_fl, t_co = _time_q_chain(fl, q, k, v), _time_q_chain(co, q, k, v)
 
         def mk_loss(fn):
             def loss(q, k, v):
@@ -52,7 +64,8 @@ def main() -> None:
 
         g_fl = mk_loss(lambda q, k, v: A._flash(q, k, v, scale, causal))
         g_co = mk_loss(lambda q, k, v: A._composed_sdpa(q, k, v, scale, causal))
-        tb_fl, tb_co = _timeit(g_fl, q, k, v), _timeit(g_co, q, k, v)
+        tb_fl = _time_q_chain(g_fl, q, k, v)
+        tb_co = _time_q_chain(g_co, q, k, v)
 
         print(json.dumps({
             "metric": f"flash_attn_b{b}h{h}s{s}d{d}_causal{int(causal)}",
