@@ -34,3 +34,8 @@ from minidiff_tpu.models.transformer import (  # noqa: F401
     init_kv_cache,
 )
 from minidiff_tpu.models.cnn import CNN, Conv2d  # noqa: F401
+from minidiff_tpu.models.rnn import (  # noqa: F401
+    GRUCell,
+    GRUClassifier,
+    synthetic_sequence_classification,
+)

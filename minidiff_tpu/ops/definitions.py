@@ -639,6 +639,49 @@ sdpa = wrapping.create_ternary_op_func(
 
 
 # ---------------------------------------------------------------------------
+# concat — differentiable concatenation (extension op).  The reference's
+# `concatenate` is an outside-the-graph factory (minidiff/tensor.py): using it inside a
+# model silently severs gradients.  `md.concat` keeps that factory's parity
+# surface intact and adds a real op whose VJPs slice the cotangent, so
+# gradients (including higher-order, via the differentiable getitem) flow.
+# ---------------------------------------------------------------------------
+
+
+def concat(tensors: "Sequence[md.Tensor]", axis: int = 0) -> "md.Tensor":
+    tensors = [t if isinstance(t, md.Tensor) else md.Tensor(t) for t in tensors]
+    nd = tensors[0].ndim
+    ax = axis % nd if nd else 0
+    sizes = [int(t.shape[ax]) for t in tensors]
+    offsets = [0]
+    for size in sizes:
+        offsets.append(offsets[-1] + size)
+
+    def make_grad(i: int):
+        def grad_fn(*args_and_grad: "Any", axis: int = 0) -> "md.Tensor":
+            grad = args_and_grad[-1]
+            key = tuple(
+                slice(offsets[i], offsets[i + 1]) if d == ax else slice(None)
+                for d in range(nd)
+            )
+            return grad[key]
+
+        return grad_fn
+
+    forward = as_tensor_func(
+        lambda *raw, axis=0: wrapping.backend.concatenate(raw, axis=axis)
+    )
+    forward.__name__ = "concat"
+    op = wrapping.create_op_func(
+        forward_func=forward,
+        grad_funcs=[make_grad(i) for i in range(len(tensors))],
+        propagate_kwargs=True,
+        tensor_only=True,
+        op_name="concat",
+    )
+    return op(*tensors, axis=ax)
+
+
+# ---------------------------------------------------------------------------
 # conv2d family (extension ops; the reference op surface is NumPy-level with
 # no convolution).  NHWC inputs, HWIO kernels.  conv2d is bilinear, so the
 # op triple {conv2d, conv2d_input_grad, conv2d_kernel_grad} is closed under
@@ -782,6 +825,7 @@ __all__ = [
     "unbroadcast",
     "scatter_add",
     "sdpa",
+    "concat",
     "conv2d",
     "conv2d_input_grad",
     "conv2d_kernel_grad",

@@ -163,3 +163,57 @@ def test_adamw_trains_mlp():
         params, state, loss = step(params, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_gru_classifier_trains():
+    from minidiff_tpu.models import (
+        Adam,
+        GRUClassifier,
+        GRUCell,
+        make_train_step,
+        synthetic_sequence_classification,
+    )
+
+    md.set_backend("xla")
+    np.random.seed(0)
+    model = GRUClassifier(8, 16, 4)
+    params = model.init()
+    x, y = synthetic_sequence_classification(32, 6, 8, 4)
+    logits = model.apply(params, x)
+    assert logits.shape == (32, 4)
+    opt = Adam(1e-2)
+    state = opt.init(params)
+    step = make_train_step(model, opt)
+    losses = []
+    for _ in range(15):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0] * 0.6, losses
+
+    # gradients flow through every gate parameter
+    _, grads = md.value_and_grad(
+        lambda p: F.cross_entropy(model.apply(p, x), y)
+    )(params)
+    for name in ("wxz", "whz", "wxr", "whr", "wxh", "whh", "bz", "br", "bh"):
+        g = grads["cell"][name]
+        assert g is not None
+        assert float(md.sum(g * g).item()) > 0, name
+
+
+def test_gru_gradcheck_small(backend):
+    from minidiff_tpu.models import GRUCell
+    from minidiff_tpu.utils import compute_grads
+
+    np.random.seed(0)
+    cell = GRUCell(3, 4)
+    params = cell.init()
+
+    x = md.randn(2, 3, 3)
+    manual, auto = compute_grads(
+        x, func=lambda t: md.sum(cell.apply(params, t) ** 2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(manual[0]._data)),
+        np.asarray(backend_mod.as_numpy(auto[0]._data)),
+        rtol=1e-3, atol=1e-4,
+    )

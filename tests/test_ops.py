@@ -22,6 +22,7 @@ import pytest
 
 import minidiff_tpu as md
 import minidiff_tpu.backend as backend
+import minidiff_tpu.backend as backend_mod
 from minidiff_tpu.utils import compute_grads
 
 RTOL = 1e-4
@@ -430,3 +431,28 @@ def test_sqrt_square(backend):
     np.testing.assert_allclose(
         np.asarray(y.grad), 2 * np.asarray(y.detach()), rtol=1e-5
     )
+
+
+def test_concat_is_differentiable(backend):
+    a, b, c = md.randn(2, 3), md.randn(2, 2), md.randn(2, 4)
+    out = md.concat([a, b, c], axis=1)
+    assert out.shape == (2, 9)
+    want = np.concatenate([np.asarray(backend_mod.as_numpy(t._data))
+                           for t in (a, b, c)], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(out._data)), want, rtol=1e-6)
+    manual, auto = compute_grads(
+        a, b, c, func=lambda x, y, z: md.sum(md.concat([x, y, z], axis=1) ** 2)
+    )
+    for m, g in zip(manual, auto):
+        np.testing.assert_allclose(
+            np.asarray(backend_mod.as_numpy(m._data)),
+            np.asarray(backend_mod.as_numpy(g._data)),
+            rtol=1e-3, atol=1e-4,
+        )
+    # negative axis + second order
+    x = md.randn(2, 2).detach(allow_grad=True)
+    out = md.sum(md.concat([x, x * 2.0], axis=-1) ** 2)
+    out.backward(allow_higher_order=True)
+    md.sum(x.grad * x.grad).backward()
+    assert x.grad.shape == x.shape
