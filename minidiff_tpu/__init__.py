@@ -30,7 +30,16 @@ from minidiff_tpu.caching import (  # noqa: F401
     currently_caching,
     reuse_graph,
 )
-from minidiff_tpu.func import grad, hvp, jit, lower, remat, value_and_grad  # noqa: F401
+from minidiff_tpu.func import (  # noqa: F401
+    grad,
+    hessian,
+    hvp,
+    jit,
+    jvp,
+    lower,
+    remat,
+    value_and_grad,
+)
 from minidiff_tpu.backend import (  # noqa: F401
     available_backends,
     backend_name,

@@ -82,6 +82,49 @@ def grad(fn: "Callable[..., md.Tensor]", argnums: "Union[int, Sequence[int]]" = 
     return wrapper
 
 
+def jvp(fn: "Callable[[md.Tensor], md.Tensor]"):
+    """Forward-mode directional derivative via double backward.
+
+    The tape is reverse-mode only, so jvp uses the classic
+    forward-over-reverse trick: with g(u) = J^T u (one backward, linear in
+    u), a second backward of <g(u), v> with respect to u yields J v.
+    Evaluated at u = 0, so it is exact for any f.  Returns (f(x), J v).
+    """
+
+    def wrapper(x: "md.Tensor", v: "md.Tensor"):
+        x = x.detach(allow_grad=True)
+        with md.enable_grad(True):
+            y = fn(x)
+            u = md.zeros_like(y).detach(allow_grad=True)
+            s = md.sum(u * y)
+            s.backward(allow_higher_order=True)
+            g = x.grad  # J^T u, still on tape (linear in u)
+            t = md.sum(g * v.detach())
+            t.backward()
+        return y.detach(), u.grad
+
+    return wrapper
+
+
+def hessian(fn: "Callable[[md.Tensor], md.Tensor]"):
+    """Full Hessian of a scalar function of a 1-D tensor via repeated
+    backward (BASELINE config 3): one higher-order backward for the gradient,
+    then one backward per basis direction of <grad, e_i>."""
+
+    def wrapper(x: "md.Tensor"):
+        import numpy as np
+
+        n = int(x.size)
+        rows = []
+        for i in range(n):
+            e = np.zeros(n)
+            e[i] = 1.0
+            rows.append(hvp(fn)(x, md.Tensor(e.reshape(x.shape))))
+        return md.stack(rows)
+
+    return wrapper
+
+
 def hvp(fn: "Callable[[md.Tensor], md.Tensor]"):
     """Hessian-vector product via double backward (tape re-tracing).
 
@@ -310,4 +353,4 @@ def lower(fn: "Callable[..., Any]", *args: "Any", **kwargs: "Any"):
     return jax.jit(pure).lower(dynamic)
 
 
-__all__ = ["grad", "value_and_grad", "hvp", "jit", "lower", "remat"]
+__all__ = ["grad", "value_and_grad", "hvp", "jvp", "hessian", "jit", "lower", "remat"]

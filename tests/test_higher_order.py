@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import minidiff_tpu as md
+import minidiff_tpu.backend as backend_mod
 
 
 def test_readme_second_order(backend):
@@ -93,3 +94,44 @@ def test_higher_order_through_matmul(backend):
     s = md.sum(a.grad * a.grad)
     s.backward()
     assert a.grad is not None and a.grad.shape == (2, 2)
+
+
+def test_jvp_matches_finite_differences(backend):
+    def f(z):
+        return md.sum(md.sin(z) * z**2)
+
+    rng = np.random.RandomState(0)
+    xn = rng.randn(5)
+    vn = rng.randn(5)
+    y, jv = md.jvp(f)(md.Tensor(xn), md.Tensor(vn))
+    eps = 1e-6
+
+    def f_np(z):
+        return float(np.sum(np.sin(z) * z**2))
+
+    want = (f_np(xn + eps * vn) - f_np(xn - eps * vn)) / (2 * eps)
+    np.testing.assert_allclose(float(jv.item()), want, rtol=1e-4)
+    np.testing.assert_allclose(float(y.item()), f_np(xn), rtol=1e-6)
+
+
+def test_jvp_vector_output(backend):
+    def f(z):
+        return md.tanh(z) * 2.0
+
+    rng = np.random.RandomState(1)
+    xn = rng.randn(4)
+    vn = rng.randn(4)
+    y, jv = md.jvp(f)(md.Tensor(xn), md.Tensor(vn))
+    want = 2.0 * (1.0 - np.tanh(xn) ** 2) * vn  # diagonal Jacobian
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(jv._data)), want, rtol=1e-5, atol=1e-7
+    )
+
+
+def test_hessian_helper_rosenbrock(backend):
+    v0 = np.array([1.2, 1.0, 0.8])
+    H = md.hessian(_rosen)(md.Tensor(v0))
+    want = _rosen_hessian(v0)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(H._data)), want, rtol=1e-5, atol=1e-6
+    )
