@@ -168,16 +168,19 @@ class NumpyBackend:
 
     @staticmethod
     def sdpa(q: np.ndarray, k: np.ndarray, v: np.ndarray,
-             causal: bool = False, scale=None) -> np.ndarray:
+             causal: bool = False, scale=None, mask=None) -> np.ndarray:
         # composed reference softmax attention (the oracle for the TPU flash
-        # kernel behind XlaBackend.sdpa)
+        # kernel behind XlaBackend.sdpa).  ``mask``: optional boolean,
+        # broadcastable to (..., Sq, Sk); True = attend.
         if scale is None:
             scale = 1.0 / np.sqrt(q.shape[-1])
         s = np.matmul(q, np.swapaxes(k, -1, -2)).astype(np.float64) * scale
         if causal:
             sq, sk = s.shape[-2], s.shape[-1]
-            mask = np.arange(sq)[:, None] >= np.arange(sk)[None, :]
-            s = np.where(mask, s, -1e30)
+            cm = np.arange(sq)[:, None] >= np.arange(sk)[None, :]
+            s = np.where(cm, s, -1e30)
+        if mask is not None:
+            s = np.where(np.asarray(mask, bool), s, -1e30)
         s -= s.max(axis=-1, keepdims=True)
         p = np.exp(s)
         p /= p.sum(axis=-1, keepdims=True)

@@ -217,12 +217,12 @@ class XlaBackend:
 
     @staticmethod
     def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
-             causal: bool = False, scale=None) -> jax.Array:
+             causal: bool = False, scale=None, mask=None) -> jax.Array:
         # flash-attention Pallas kernel on TPU when eligible; composed jnp
-        # softmax attention otherwise
+        # softmax attention otherwise (always composed when a mask is given)
         from minidiff_tpu.kernels import attention as _att
 
-        return _att.sdpa(q, k, v, causal=causal, scale=scale)
+        return _att.sdpa(q, k, v, causal=causal, scale=scale, mask=mask)
 
     mod = staticmethod(jnp.mod)
     multiply = staticmethod(jnp.multiply)

@@ -354,7 +354,7 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _composed_sdpa(q, k, v, scale, causal):
+def _composed_sdpa(q, k, v, scale, causal, mask=None):
     # softmax in AT LEAST f32 (bf16 scores lose the max-subtraction), but
     # never downcast — f64 inputs keep f64 so the fd oracle stays sharp
     acc = jnp.promote_types(q.dtype, jnp.float32)
@@ -364,6 +364,8 @@ def _composed_sdpa(q, k, v, scale, causal):
         rows = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
         s = jnp.where(rows >= cols, s, _NEG_INF)
+    if mask is not None:
+        s = jnp.where(jnp.asarray(mask, bool), s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     return jnp.einsum("...qk,...kd->...qd", p, v)
 
@@ -389,11 +391,13 @@ def _flash_eligible(q, k, v) -> bool:
     )
 
 
-def sdpa(q, k, v, causal: bool = False, scale=None):
+def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
     """Scaled dot-product attention over (B, H, S, D) (3-D treated as H=1).
 
     Backend entry point for the ``md.sdpa`` op: flash kernel on TPU when
-    eligible, composed jnp softmax-attention otherwise.
+    eligible, composed jnp softmax-attention otherwise.  ``mask`` (boolean,
+    True = attend, broadcastable over the score shape) forces the composed
+    path.
     """
     q = jnp.asarray(q)
     k = jnp.asarray(k)
@@ -405,7 +409,7 @@ def sdpa(q, k, v, causal: bool = False, scale=None):
         scale = 1.0 / (q.shape[-1] ** 0.5)
     scale = float(scale)
     use_flash = False
-    if _flash_eligible(q, k, v):
+    if mask is None and _flash_eligible(q, k, v):
         b, h, s, d = q.shape
         sk = k.shape[2]
         use_flash = _attn_decision(b * h, s, sk, d, q.dtype, bool(causal)) \
@@ -419,7 +423,9 @@ def sdpa(q, k, v, causal: bool = False, scale=None):
             bool(causal),
         ).reshape(b, h, s, d)
     else:
-        out = _composed_sdpa(q, k, v, scale, bool(causal))
+        if mask is not None and squeeze and hasattr(mask, "ndim") and mask.ndim >= 3:
+            mask = jnp.asarray(mask)[:, None]
+        out = _composed_sdpa(q, k, v, scale, bool(causal), mask=mask)
     return out[:, 0] if squeeze else out
 
 

@@ -595,37 +595,41 @@ def _sdpa_scale(q: "md.Tensor", scale: "Optional[float]") -> float:
     return float(scale) if scale is not None else 1.0 / float(q.shape[-1]) ** 0.5
 
 
-def _sdpa_probs(q, k, causal, scale):
+def _sdpa_probs(q, k, causal, scale, mask=None):
     s = md.matmul(q, md.swapaxes(k, -1, -2)) * _sdpa_scale(q, scale)
     if causal:
         sq, sk = int(s.shape[-2]), int(s.shape[-1])
-        mask = md.greater_equal(
+        cm = md.greater_equal(
             md.reshape(md.arange(sq), (sq, 1)), md.reshape(md.arange(sk), (1, sk))
         )
+        s = md.where(cm, s, -1e30)
+    if mask is not None:
+        if not isinstance(mask, md.Tensor):
+            mask = md.Tensor(mask)
         s = md.where(mask, s, -1e30)
     m = md.max(s, axis=-1, keepdims=True)
     e = md.exp(s - m)
     return e / md.sum(e, axis=-1, keepdims=True)
 
 
-def _sdpa_ds(q, k, v, grad, causal, scale):
-    p = _sdpa_probs(q, k, causal, scale)
+def _sdpa_ds(q, k, v, grad, causal, scale, mask=None):
+    p = _sdpa_probs(q, k, causal, scale, mask)
     dp = md.matmul_nt(grad, v)
     return p, p * (dp - md.sum(dp * p, axis=-1, keepdims=True))
 
 
-def sdpa_grad_q(q, k, v, grad, causal=False, scale=None):
-    _, ds = _sdpa_ds(q, k, v, grad, causal, scale)
+def sdpa_grad_q(q, k, v, grad, causal=False, scale=None, mask=None):
+    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask)
     return md.matmul(ds, k) * _sdpa_scale(q, scale)
 
 
-def sdpa_grad_k(q, k, v, grad, causal=False, scale=None):
-    _, ds = _sdpa_ds(q, k, v, grad, causal, scale)
+def sdpa_grad_k(q, k, v, grad, causal=False, scale=None, mask=None):
+    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask)
     return md.matmul_tn(ds, q) * _sdpa_scale(q, scale)
 
 
-def sdpa_grad_v(q, k, v, grad, causal=False, scale=None):
-    p = _sdpa_probs(q, k, causal, scale)
+def sdpa_grad_v(q, k, v, grad, causal=False, scale=None, mask=None):
+    p = _sdpa_probs(q, k, causal, scale, mask)
     return md.matmul_tn(p, grad)
 
 

@@ -310,3 +310,37 @@ def test_generate_sampling_temperature_topk():
     np.testing.assert_array_equal(
         np.asarray(B.as_numpy(g._data)), np.asarray(B.as_numpy(s._data))
     )
+
+
+def test_sdpa_cross_attention_and_mask(backend):
+    # cross attention: Sq != Sk
+    q = md.randn(2, 2, 3, 8)
+    k = md.randn(2, 2, 5, 8)
+    v = md.randn(2, 2, 5, 8)
+    out = md.sdpa(q, k, v)
+    assert out.shape == (2, 2, 3, 8)
+    qn, kn, vn = (np.asarray(B.as_numpy(t._data), np.float64) for t in (q, k, v))
+    np.testing.assert_allclose(
+        np.asarray(B.as_numpy(out._data), np.float64),
+        _np_sdpa(qn, kn, vn), rtol=1e-5, atol=1e-6)
+
+    # padding mask: keys 3,4 masked out == attending over keys 0..2 only
+    maskn = np.zeros((1, 1, 1, 5), bool)
+    maskn[..., :3] = True
+    out_m = md.sdpa(q, k, v, mask=md.Tensor(maskn))
+    want = _np_sdpa(qn, kn[:, :, :3], vn[:, :, :3])
+    np.testing.assert_allclose(
+        np.asarray(B.as_numpy(out_m._data), np.float64), want,
+        rtol=1e-5, atol=1e-6)
+
+    # gradcheck through the masked path
+    manual, auto = compute_grads(
+        q, k, v,
+        func=lambda a, b, c: md.sum(
+            md.sdpa(a, b, c, mask=md.Tensor(maskn)) ** 2) / 2,
+    )
+    for m, a in zip(manual, auto):
+        np.testing.assert_allclose(
+            np.asarray(B.as_numpy(m._data), np.float64),
+            np.asarray(B.as_numpy(a._data), np.float64),
+            rtol=1e-3, atol=1e-4)
