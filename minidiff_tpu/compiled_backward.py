@@ -115,47 +115,64 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
 
     entry = _cache.get(key)
     if entry is None:
-        positions: "List[int]" = []
+        # Build LIGHT per-node records so the cached closure retains no
+        # Tensor/OpNode from this graph instance (holding the first
+        # instance's tensors would pin one full activation set — including
+        # its device buffers — in memory for process lifetime).
         flags = [t.allow_grad for t in order]
-        # identity maps from THIS instance; the traced jaxpr is positional,
-        # so same-structure future graphs map their tensors identically.
-        orig_ids = [id(t) for t in order]
-        trav_ids = [id(t) for t in traversal]
-        leaf_mask = [t.is_leaf for t in traversal]
+        pos_of = {id(t): i for i, t in enumerate(order)}
+
+        def node_record(node):
+            arg_slots = tuple(
+                ("t", pos_of[id(x)]) if isinstance(x, md.Tensor) else ("s", x)
+                for x in node.op_inputs
+            )
+            return (
+                arg_slots,
+                tuple(node.grad_functions),
+                dict(node.op_kwargs) if node.propagate_kwargs else {},
+            )
+
+        root_record = node_record(root_node)
+        # sweep steps in execution order: (node record, output order index)
+        steps = tuple(
+            (node_record(t.op_node), pos_of[id(t)])
+            for t in reversed(traversal)
+            if not t.is_leaf
+        )
+        positions: "List[int]" = []
+        positions_frozen = [False]
 
         def pure_backward(values, seed_val):
             with md.no_grad():
                 shadows = [
                     md.Tensor(v, allow_grad=f) for v, f in zip(values, flags)
                 ]
-                by_id = dict(zip(orig_ids, shadows))
 
-                def apply_node(node, grad, output=None):
-                    for op_input, grad_fn in zip(node.op_inputs, node.grad_functions):
-                        if not isinstance(op_input, md.Tensor):
+                def apply_node(record, grad, output=None):
+                    arg_slots, grad_fns, kwargs0 = record
+                    args = [
+                        shadows[slot] if kind == "t" else slot
+                        for kind, slot in arg_slots
+                    ]
+                    for arg, grad_fn in zip(args, grad_fns):
+                        if not isinstance(arg, md.Tensor):
                             continue
-                        if not op_input.allow_grad or grad_fn is None:
+                        if not arg.allow_grad or grad_fn is None:
                             continue
-                        shadow_args = [
-                            by_id[id(x)] if isinstance(x, md.Tensor) else x
-                            for x in node.op_inputs
-                        ]
-                        kwargs = node.op_kwargs if node.propagate_kwargs else {}
+                        kwargs = kwargs0
                         if getattr(grad_fn, "needs_output", False):
-                            kwargs = dict(kwargs)
+                            kwargs = dict(kwargs0)
                             kwargs["_output"] = output
-                        g = grad_fn(*shadow_args, grad, **kwargs)
-                        target = by_id[id(op_input)]
-                        if g.shape != target.shape:
-                            g = md.unbroadcast(g, target.shape)
-                        target.grad = g if target.grad is None else target.grad + g
+                        g = grad_fn(*args, grad, **kwargs)
+                        if g.shape != arg.shape:
+                            g = md.unbroadcast(g, arg.shape)
+                        arg.grad = g if arg.grad is None else arg.grad + g
 
-                apply_node(root_node, md.Tensor(seed_val))
-                for tid, is_leaf in zip(reversed(trav_ids), reversed(leaf_mask)):
-                    if is_leaf:
-                        continue
-                    sh = by_id[tid]
-                    apply_node(sh_node_lookup[tid], sh.grad, output=sh)
+                apply_node(root_record, md.Tensor(seed_val))
+                for record, out_pos in steps:
+                    sh = shadows[out_pos]
+                    apply_node(record, sh.grad, output=sh)
                     if not retain_grads:
                         sh.grad = None
 
@@ -167,10 +184,6 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
                         outs.append(sh.grad._data)
                 return outs
 
-        sh_node_lookup = {
-            id(t): t.op_node for t in traversal if not t.is_leaf
-        }
-        positions_frozen = [False]
         compiled = jax.jit(pure_backward)
         # Trace now with the current values so `positions` is filled before
         # the entry is cached (jax traces lazily otherwise).

@@ -99,9 +99,13 @@ def jvp(fn: "Callable[[md.Tensor], md.Tensor]"):
             s = md.sum(u * y)
             s.backward(allow_higher_order=True)
             g = x.grad  # J^T u, still on tape (linear in u)
+            if g is None:  # output independent of x -> zero tangent
+                return y.detach(), md.zeros_like(y)
             t = md.sum(g * v.detach())
             t.backward()
-        return y.detach(), u.grad
+        # u absent from the second tape (fn linear in x) -> J v is constant 0
+        tangent = u.grad if u.grad is not None else md.zeros_like(y)
+        return y.detach(), tangent
 
     return wrapper
 
@@ -139,9 +143,16 @@ def hvp(fn: "Callable[[md.Tensor], md.Tensor]"):
             out = fn(x)
             out.backward(allow_higher_order=True)
             g = x.grad
+            if g is None:
+                return md.zeros_like(x)
+            # The second tape (of <g, v>) may not reference x at all when fn
+            # is affine; backward's reset only touches ITS traversal, so clear
+            # x.grad explicitly or the first-order gradient would be returned
+            # as a bogus "Hessian-vector product".
+            x.grad = None
             s = md.sum(g * v.detach())
             s.backward()
-        return x.grad
+        return x.grad if x.grad is not None else md.zeros_like(x)
 
     return wrapper
 
@@ -203,7 +214,14 @@ def jit(
         meta = tuple(meta)
         key = (treedef, meta)
 
-        if key not in cache:
+        try:
+            hit = key in cache
+        except TypeError as e:
+            raise TypeError(
+                "md.jit arguments must be Tensors, arrays, numbers, or "
+                f"hashable statics; got an unhashable static leaf: {e}"
+            ) from None
+        if not hit:
 
             def pure(dyn: "list") -> "Any":
                 it = iter(dyn)
@@ -333,19 +351,33 @@ def lower(fn: "Callable[..., Any]", *args: "Any", **kwargs: "Any"):
     if backend.backend_name() != "xla":
         raise RuntimeError("md.lower requires the xla backend")
 
-    leaves, treedef = jax.tree.flatten(args, is_leaf=_is_tensor)
-    meta = [
-        ("tensor", leaf.allow_grad) if _is_tensor(leaf) else ("raw", None)
-        for leaf in leaves
-    ]
-    dynamic = [leaf._data if _is_tensor(leaf) else leaf for leaf in leaves]
+    # classify leaves exactly like md.jit: Tensors and arrays are dynamic
+    # inputs, hashable non-arrays (strings, dtypes, shape tuples) are statics
+    leaves, treedef = jax.tree.flatten((args, kwargs))
+    meta = []
+    dynamic = []
+    for leaf in leaves:
+        if _is_tensor(leaf):
+            meta.append(("tensor", leaf.allow_grad))
+            dynamic.append(leaf._data)
+        elif _is_dynamic_leaf(leaf):
+            meta.append(("array", None))
+            dynamic.append(leaf)
+        else:
+            meta.append(("static", leaf))
 
     def pure(dyn):
-        rebuilt = [
-            md.Tensor(d, allow_grad=m[1]) if m[0] == "tensor" else d
-            for d, m in zip(dyn, meta)
-        ]
-        out = fn(*jax.tree.unflatten(treedef, rebuilt), **kwargs)
+        it = iter(dyn)
+        rebuilt = []
+        for kind, info in meta:
+            if kind == "tensor":
+                rebuilt.append(md.Tensor(next(it), allow_grad=info))
+            elif kind == "array":
+                rebuilt.append(next(it))
+            else:
+                rebuilt.append(info)
+        a, k = jax.tree.unflatten(treedef, rebuilt)
+        out = fn(*a, **k)
         return jax.tree.map(
             lambda t: t._data if _is_tensor(t) else t, out, is_leaf=_is_tensor
         )

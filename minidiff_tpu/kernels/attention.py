@@ -358,7 +358,12 @@ def _composed_sdpa(q, k, v, scale, causal, mask=None):
     # softmax in AT LEAST f32 (bf16 scores lose the max-subtraction), but
     # never downcast — f64 inputs keep f64 so the fd oracle stays sharp
     acc = jnp.promote_types(q.dtype, jnp.float32)
-    s = jnp.einsum("...qd,...kd->...qk", q, k).astype(acc) * scale
+    # cast BEFORE the contraction: einsum's output dtype follows its inputs,
+    # and a bf16 score matrix cast to f32 afterwards has already lost the
+    # bits (the flash kernel accumulates scores in f32 natively)
+    s = jnp.einsum(
+        "...qd,...kd->...qk", q.astype(acc), k.astype(acc)
+    ) * scale
     if causal:
         sq, sk = s.shape[-2], s.shape[-1]
         rows = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
@@ -423,8 +428,12 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
             bool(causal),
         ).reshape(b, h, s, d)
     else:
-        if mask is not None and squeeze and hasattr(mask, "ndim") and mask.ndim >= 3:
-            mask = jnp.asarray(mask)[:, None]
+        if mask is not None:
+            mask = jnp.asarray(mask, bool)
+            if mask.ndim == 3:
+                # (B, Sq, Sk): insert the head axis so the batch axis never
+                # right-aligns against H in the (B, H, Sq, Sk) score shape
+                mask = mask[:, None]
         out = _composed_sdpa(q, k, v, scale, bool(causal), mask=mask)
     return out[:, 0] if squeeze else out
 
@@ -447,7 +456,7 @@ def _attn_key(bh, s, sk, d, dtype, causal):
     return (bh, s, sk, d, str(dtype), bool(causal))
 
 
-def _time_thunk(thunk, pull_latency, reps: int = 0) -> float:
+def _time_thunk(thunk, pull_latency) -> float:
     from minidiff_tpu.kernels.matmul import time_device_thunk
 
     return time_device_thunk(thunk, pull_latency)
@@ -472,20 +481,17 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
 
     lat = _measure_pull_latency(q)
 
-    # composed baseline: fwd and fwd+bwd
-    comp_f = jax.jit(lambda q, k, v: _composed_sdpa(q, k, v, scale, causal))
-    comp_g = jax.jit(jax.grad(
+    # composed baseline: ONE value_and_grad executable = fwd + bwd (charging
+    # an extra standalone forward would bias the race toward flash)
+    comp_g = jax.jit(jax.value_and_grad(
         lambda q, k, v: jnp.sum(
             _composed_sdpa(q, k, v, scale, causal).astype(jnp.float32)
             * do.astype(jnp.float32)
         ),
         argnums=(0, 1, 2),
     ))
-    warm(comp_f, q, k, v)
     warm(comp_g, q, k, v)
-    t_comp = _time_thunk(lambda: comp_f(q, k, v), lat) + _time_thunk(
-        lambda: comp_g(q, k, v), lat
-    )
+    t_comp = _time_thunk(lambda: comp_g(q, k, v), lat)
 
     # best flash fwd blocks
     best_f, best_f_t, lse = None, float("inf"), None

@@ -185,3 +185,24 @@ def test_compiled_replay_skips_numpy_backend():
     np.testing.assert_allclose(np.asarray(a.grad._data), 2.0 * np.ones(4))
     assert len(mcb._cache) == n_before  # nothing compiled
     md.set_backend("xla")
+
+
+def test_compiled_replay_does_not_pin_graph_tensors():
+    """The executable cache must not retain the traced graph instance."""
+    import gc
+    import weakref
+
+    md.set_backend("xla")
+
+    def run():
+        a = md.Tensor(np.ones((16, 16)), allow_grad=True)
+        with md.reuse_graph():
+            mid = md.tanh(a @ a)
+            out = md.sum(mid**2)
+            out.backward()
+        return weakref.ref(mid), weakref.ref(out)
+
+    mid_ref, out_ref = run()
+    gc.collect()
+    assert mid_ref() is None, "compiled replay pinned an intermediate tensor"
+    assert out_ref() is None, "compiled replay pinned the root tensor"

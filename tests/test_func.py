@@ -245,3 +245,24 @@ def test_remat_shrinks_eager_tape(backend):
     n_plain = len(segment(x, w).op_node.toposort())
     n_remat = len(md.remat(segment)(x, w).op_node.toposort())
     assert n_remat < n_plain  # segment intermediates never join the tape
+
+
+def test_jit_unhashable_static_raises_cleanly():
+    md.set_backend("xla")
+
+    class Cfg:
+        __hash__ = None  # unhashable
+
+    f = md.jit(lambda x, cfg: x * 2)
+    with pytest.raises(TypeError, match="hashable"):
+        f(md.Tensor(np.ones(2)), Cfg())
+
+
+def test_lower_accepts_static_strings():
+    md.set_backend("xla")
+
+    def fn(x, mode):
+        return md.sum(x) if mode == "sum" else md.mean(x)
+
+    text = md.lower(fn, md.Tensor(np.ones((3, 3))), "sum").as_text()
+    assert "reduce" in text

@@ -135,3 +135,27 @@ def test_hessian_helper_rosenbrock(backend):
     np.testing.assert_allclose(
         np.asarray(backend_mod.as_numpy(H._data)), want, rtol=1e-5, atol=1e-6
     )
+
+
+def test_hvp_affine_is_zero(backend):
+    x = md.Tensor(np.array([1.0, 2.0]))
+    v = md.Tensor(np.array([1.0, -1.0]))
+    hv = md.hvp(lambda z: md.sum(2.0 * z))(x, v)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(hv._data)), 0.0, atol=1e-12)
+    hv2 = md.hvp(lambda z: md.sum(z * z))(x, v)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(hv2._data)),
+        2.0 * np.array([1.0, -1.0]))
+
+
+def test_jvp_degenerate_functions(backend):
+    x = md.Tensor(np.array([1.0, 2.0]))
+    v = md.Tensor(np.array([3.0, 4.0]))
+    # output independent of x -> zero tangent, no crash
+    y, t = md.jvp(lambda z: md.sum(z.detach() * 0.0 + 3.0))(x, v)
+    np.testing.assert_allclose(np.asarray(backend_mod.as_numpy(t._data)), 0.0)
+    # linear fn -> tangent = J v exactly
+    y2, t2 = md.jvp(lambda z: 2.0 * z)(x, v)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(t2._data)), 2.0 * np.array([3.0, 4.0]))
