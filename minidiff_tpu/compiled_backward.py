@@ -92,7 +92,7 @@ def _node_sig(node):
 
 
 def try_run(root_node, traversal, seed_grad, retain_grads: bool,
-            cleanup_mode: str) -> bool:
+            cleanup_mode: str, root_output=None) -> bool:
     """Run the backward as a compiled replay; False → caller goes eager."""
     if not enabled():
         return False
@@ -109,6 +109,7 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
         tuple(sigs),
         tuple(t.allow_grad for t in order),
         retain_grads,
+        root_output is not None,
     )
 
     import jax
@@ -143,11 +144,12 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
         positions: "List[int]" = []
         positions_frozen = [False]
 
-        def pure_backward(values, seed_val):
+        def pure_backward(values, seed_val, root_val):
             with md.no_grad():
                 shadows = [
                     md.Tensor(v, allow_grad=f) for v, f in zip(values, flags)
                 ]
+                root_shadow = md.Tensor(root_val) if root_val is not None else None
 
                 def apply_node(record, grad, output=None):
                     arg_slots, grad_fns, kwargs0 = record
@@ -169,7 +171,7 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
                             g = md.unbroadcast(g, arg.shape)
                         arg.grad = g if arg.grad is None else arg.grad + g
 
-                apply_node(root_record, md.Tensor(seed_val))
+                apply_node(root_record, md.Tensor(seed_val), output=root_shadow)
                 for record, out_pos in steps:
                     sh = shadows[out_pos]
                     apply_node(record, sh.grad, output=sh)
@@ -188,14 +190,20 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
         # Trace now with the current values so `positions` is filled before
         # the entry is cached (jax traces lazily otherwise).
         values = [t._data for t in order]
-        outs = compiled(values, seed_grad._data)
+        outs = compiled(
+            values, seed_grad._data,
+            root_output._data if root_output is not None else None,
+        )
         positions_frozen[0] = True
         positions = tuple(positions)
         _cache[key] = (compiled, positions)
     else:
         compiled, positions = entry
         values = [t._data for t in order]
-        outs = compiled(values, seed_grad._data)
+        outs = compiled(
+            values, seed_grad._data,
+            root_output._data if root_output is not None else None,
+        )
     # assign grads exactly as the eager sweep would leave them
     grads_by_pos = dict(zip(positions, outs))
     for i, t in enumerate(order):

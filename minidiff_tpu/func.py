@@ -287,6 +287,8 @@ def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
             out = fn(*inputs, **kwargs)
         return out.detach()
 
+    forward._structural_id = ("remat", id(fn))  # stable for reuse_graph hashing
+
     def _barrier(inputs: "Sequence[md.Tensor]") -> "list":
         # Without a barrier XLA CSEs the recompute against the forward pass
         # and keeps the residuals alive anyway — the same reason

@@ -66,8 +66,13 @@ class MultiHeadAttention(Module):
         b, s, d = x.shape
         h, hd = self.num_heads, self.head_dim
         qkv = self.qkv.apply(params["qkv"], x)  # (b, s, 3d)
-        qkv = qkv.reshape((b, s, 3, h, hd))
-        qkv = md.transpose(qkv, axes=(2, 0, 3, 1, 4))  # (3, b, h, s, hd)
+        # HEAD-major column layout (h, 3, hd): a tp shard of the fused weight
+        # then holds whole heads, so XLA SPMD propagates the sharding through
+        # this reshape instead of all-gathering the qkv activation (qkv-major
+        # would split across the q/k/v boundary: tp never divides the leading
+        # factor 3)
+        qkv = qkv.reshape((b, s, h, 3, hd))
+        qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, s, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
         o = md.sdpa(q, k, v, causal=self.causal)  # (b, h, s, hd)
         o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
@@ -156,7 +161,12 @@ class TransformerLM(Module):
 
 
 def lm_loss(logits: "md.Tensor", targets: "md.Tensor") -> "md.Tensor":
-    """Mean next-token cross-entropy over (B, S, V) logits / (B, S) ids."""
+    """Mean SAME-POSITION cross-entropy over (B, S, V) logits / (B, S) ids.
+
+    For next-token training, shift at the call site:
+    ``lm_loss(logits[:, :-1], tokens[:, 1:])`` — the synthetic identity task
+    in this repo deliberately scores position t against token t.
+    """
     b, s, v = logits.shape
     return F.cross_entropy(logits.reshape((b * s, v)), targets.reshape((b * s,)))
 
@@ -242,8 +252,8 @@ def _mha_step(attn: "MultiHeadAttention", params, x, cache, pos: int):
     b, one, d = x.shape
     h, hd = attn.num_heads, attn.head_dim
     qkv = attn.qkv.apply(params["qkv"], x)  # (b, 1, 3d)
-    qkv = qkv.reshape((b, 1, 3, h, hd))
-    qkv = md.transpose(qkv, axes=(2, 0, 3, 1, 4))  # (3, b, h, 1, hd)
+    qkv = qkv.reshape((b, 1, h, 3, hd))  # head-major, matching apply()
+    qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, 1, hd)
     q, k, v = qkv[0], qkv[1], qkv[2]
     cache["k"][:, :, pos:pos + 1, :] = k.astype(cache["k"].dtype)
     cache["v"][:, :, pos:pos + 1, :] = v.astype(cache["v"].dtype)
@@ -278,6 +288,7 @@ def generate_cached(model: "TransformerLM", params, prompt: "md.Tensor",
                     max_new_tokens: int) -> "md.Tensor":
     """Greedy decoding with a KV cache; matches ``generate`` token-for-token."""
     b, s0 = prompt.shape
+    assert s0 >= 1, "generate_cached needs a non-empty prompt to prefill"
     assert s0 + max_new_tokens <= model.max_seq_len + 1, "cache too small"
     caches = init_kv_cache(model, b)
     tokens = prompt

@@ -675,6 +675,9 @@ def concat(tensors: "Sequence[md.Tensor]", axis: int = 0) -> "md.Tensor":
         lambda *raw, axis=0: wrapping.backend.concatenate(raw, axis=axis)
     )
     forward.__name__ = "concat"
+    # stable structural token: per-call closures would never repeat a
+    # reuse_graph hash (and recycled id()s could alias stale cache entries)
+    forward._structural_id = ("concat", ax, tuple(offsets))
     op = wrapping.create_op_func(
         forward_func=forward,
         grad_funcs=[make_grad(i) for i in range(len(tensors))],

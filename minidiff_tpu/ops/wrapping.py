@@ -95,8 +95,10 @@ def create_op_func(
 ) -> "Callable[..., md.Tensor]":
     """Manufacture a graph-building op (wrapping.py:137-178).
 
-    Non-differentiable ops still join the graph with all-None VJPs so
-    backprop skips them silently instead of erroring.
+    Non-differentiable ops never attach a tape node (reference-faithful:
+    wrapping.py:163 gates on ``is_differentiable``), so they appear as
+    fresh leaves to consumers; their outputs still inherit allow_grad so a
+    consumer's backward accumulates a .grad on them that stops there.
     """
     if not is_differentiable:
         grad_funcs = [None] * len(grad_funcs)
@@ -165,6 +167,9 @@ def create_stateful_op_func(
         allow_grad = _should_allow_grad(op_inputs)
         instance = op_class()
         forward = instance.create_forward()
+        # per-call closures need a stable structural token or reuse_graph's
+        # hash would never repeat (and recycled id()s could alias)
+        forward._structural_id = ("stateful", op_class.__module__, op_class.__qualname__)
         output = forward(*op_inputs, **op_kwargs)
         if output.op_node is not None:
             output = output.detach()

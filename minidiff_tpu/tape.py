@@ -10,7 +10,12 @@ Semantic parity with the reference engine (minidiff/topology.py):
   (keep / prune / destroy) and higher-order support via re-taping under
   ``enable_grad`` (topology.py:132-200): when ``allow_higher_order`` is on,
   each VJP call itself builds a fresh tape, which is what makes
-  ``x.grad.backward()`` work.
+  ``x.grad.backward()`` work.  Note on ``prune`` (reference-faithful,
+  topology.py:195-200): it only wipes tensors whose refcount has reached 0;
+  interior tensors are inputs of their consumers (refs >= 1) and the root
+  output is not in the traversal, so on a typical graph prune frees nothing
+  extra — Python GC reclaims the graph when the user drops the root.
+  ``destroy`` is the mode that actively severs every visited tensor.
 
 Engine-level differences from the reference (behavior-preserving):
 
@@ -62,6 +67,11 @@ class OpNode:
         # *shape* (which forward fns feed which positions), _tensor_graph is a
         # nested list that lets cached toposort orders be replayed by index.
         self._tensor_graph: list = []
+        # replay metadata is only trustworthy if EVERY reachable node was
+        # built inside reuse_graph; nodes created outside poison the flag so
+        # backward falls back to a real toposort instead of crashing on (or
+        # colliding with) incomplete index paths
+        self._cache_meta_complete = mdc.currently_caching()
         if not mdc.currently_caching():
             self._op_ids: tuple = ()
             return
@@ -71,8 +81,16 @@ class OpNode:
             if not isinstance(op_input, md.Tensor) or op_input.is_leaf:
                 ids.append(-1)
             else:
-                ids.append(op_input.op_node._op_ids)
-        ids.append(id(forward_func))
+                node = op_input.op_node
+                if not node._op_ids or not getattr(
+                    node, "_cache_meta_complete", False
+                ):
+                    self._cache_meta_complete = False
+                ids.append(node._op_ids)
+        # per-call forwards (stateful ops, concat, remat) carry a stable
+        # structural token — raw id() would never repeat across instances
+        # (cache never hits) and can alias recycled ids after GC
+        ids.append(getattr(forward_func, "_structural_id", None) or id(forward_func))
         self._op_ids = tuple(ids)
 
         seen: set = set()
@@ -166,6 +184,7 @@ class OpNode:
         cleanup_mode: "Literal['keep', 'prune', 'destroy']" = "prune",
         allow_higher_order: bool = False,
         reset_grads: bool = True,
+        root_output: "Optional[md.Tensor]" = None,
     ) -> None:
         if cleanup_mode not in ("keep", "prune", "destroy"):
             raise ValueError(f"Cleanup mode not recognized ({cleanup_mode})")
@@ -177,7 +196,7 @@ class OpNode:
             if cleanup_mode == "destroy":
                 cleanup_mode = "prune"
 
-        if mdc.currently_caching():
+        if mdc.currently_caching() and getattr(self, "_cache_meta_complete", False):
             traversal_path = mdc.replay_traversal(self)
             # reuse_graph's executable cache: same structural hash => the
             # whole reverse sweep replays as ONE compiled XLA call (first-
@@ -187,7 +206,8 @@ class OpNode:
                 import minidiff_tpu.compiled_backward as mcb
 
                 if mcb.try_run(
-                    self, traversal_path, seed_grad, retain_grads, cleanup_mode
+                    self, traversal_path, seed_grad, retain_grads,
+                    cleanup_mode, root_output=root_output,
                 ):
                     return
         else:
@@ -198,13 +218,15 @@ class OpNode:
                 tensor.grad = None
 
         with md.enable_grad(allow_higher_order):
-            self.update_grads(seed_grad)
+            self.update_grads(seed_grad, output=root_output)
             for tensor in reversed(traversal_path):
                 if tensor.is_leaf:
                     continue
-                # Never None: the root was seeded and each sweep step fills
-                # its inputs' grads before we reach them.
                 grad = tensor.grad
+                if grad is None:
+                    # reachable only through None-VJP slots (e.g. where's
+                    # condition, getitem keys): nothing to propagate
+                    continue
                 node = tensor.op_node
                 node.update_grads(grad, output=tensor)
                 if not retain_grads:

@@ -211,6 +211,7 @@ class Tensor:
             cleanup_mode=cleanup_mode,
             allow_higher_order=allow_higher_order,
             reset_grads=reset_grads,
+            root_output=self,
         )
 
     def wipe(self) -> None:

@@ -32,6 +32,11 @@ def _path_str(path) -> str:
     parts = []
     for p in path:
         if isinstance(p, jax.tree_util.DictKey):
+            if "/" in str(p.key):
+                raise ValueError(
+                    f"checkpoint keys may not contain '/': {p.key!r} "
+                    "(it is the keypath separator)"
+                )
             parts.append(str(p.key))
         elif isinstance(p, jax.tree_util.SequenceKey):
             parts.append(str(p.idx))
@@ -86,6 +91,9 @@ def load_pytree(file: "Any", like: "Optional[Any]" = None) -> "Any":
             else:
                 rebuilt.append(value)
         return jax.tree_util.tree_unflatten(treedef, rebuilt)
+
+    if list(arrays) == ["."]:  # a single-leaf tree saved at the root path
+        return md.Tensor(arrays["."])
 
     # pathwise reconstruction: dicts for string keys, lists for int keys
     root: dict = {}

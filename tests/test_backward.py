@@ -149,3 +149,15 @@ def test_nondiff_op_breaks_flow_silently(backend):
     out.backward()
     # only the direct multiply path contributes
     np.testing.assert_allclose(np.asarray(x.grad), np.sign(np.asarray(x.detach())))
+
+
+def test_none_vjp_slot_through_nonleaf_is_silent(backend):
+    """A differentiable tensor feeding only a None-VJP slot (where's
+    condition) must not crash the sweep; grads simply stop there."""
+    w = md.Tensor(np.array([0.5, -0.5]), allow_grad=True)
+    a = md.Tensor(np.array([1.0, 2.0]), allow_grad=True)
+    cond = md.tanh(w)  # non-leaf feeding where's condition slot
+    out = md.sum(md.where(cond > 0, a, 0.0))
+    out.backward()
+    assert a.grad is not None
+    assert w.grad is None  # nothing flows through the condition

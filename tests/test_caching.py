@@ -206,3 +206,16 @@ def test_compiled_replay_does_not_pin_graph_tensors():
     gc.collect()
     assert mid_ref() is None, "compiled replay pinned an intermediate tensor"
     assert out_ref() is None, "compiled replay pinned the root tensor"
+
+
+def test_reuse_graph_with_outside_built_inputs_falls_back(backend):
+    """Graphs partially built OUTSIDE reuse_graph must not crash or collide
+    in the replay cache — backward falls back to a real toposort."""
+    x = md.Tensor(np.array([1.0, 2.0]), allow_grad=True)
+    y = x * 2.0  # built outside the caching context
+    with md.reuse_graph():
+        z = md.sum(y * 3.0)
+        z.backward(cleanup_mode="keep")
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(x.grad._data)), [6.0, 6.0]
+    )

@@ -241,3 +241,19 @@ def test_load_pytree_missing_leaf_raises(tmp_path):
     save_pytree(path, {"a": md.ones((2,))})
     with pytest.raises(KeyError):
         load_pytree(path, like={"a": md.zeros((2,)), "b": md.zeros((2,))})
+
+
+def test_checkpoint_rejects_separator_keys(tmp_path):
+    from minidiff_tpu.utils import save_pytree
+
+    with pytest.raises(ValueError, match="separator"):
+        save_pytree(tmp_path / "bad.npz", {"a/b": md.ones((2,))})
+
+
+def test_checkpoint_single_leaf_roundtrip(tmp_path):
+    from minidiff_tpu.utils import load_pytree, save_pytree
+
+    path = tmp_path / "one.npz"
+    save_pytree(path, md.ones((3,)))
+    out = load_pytree(path)
+    np.testing.assert_allclose(np.asarray(backend_mod.as_numpy(out._data)), 1.0)
