@@ -89,8 +89,9 @@ def _gelu(x):
 def _attn(x, p):
     b, s, d = x.shape
     h, hd = HEADS, DIM // HEADS
-    qkv = jnp.matmul(x, p["qkv"]["w"]).reshape(b, s, 3, h, hd)
-    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    # head-major fused layout, matching models.MultiHeadAttention
+    qkv = jnp.matmul(x, p["qkv"]["w"]).reshape(b, s, h, 3, hd)
+    qkv = jnp.transpose(qkv, (3, 0, 2, 1, 4))
     q, k, v = qkv[0], qkv[1], qkv[2]
     scale = 1.0 / np.sqrt(hd)
     sc = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
