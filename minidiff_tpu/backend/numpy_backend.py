@@ -267,6 +267,8 @@ class NumpyBackend:
     # ---- functional ----
     @staticmethod
     def vmap(fun: Callable) -> Callable:
+        # reference contract (minidiff/tensor.py:518-536): the FIRST argument
+        # maps over its leading axis; extras pass through unmapped
         def mapped(arr: np.ndarray, *args: Any, **kwargs: Any) -> np.ndarray:
             return np.stack([fun(row, *args, **kwargs) for row in arr])
 

@@ -276,12 +276,19 @@ class XlaBackend:
             ok = True
             for d, i in enumerate(idx):
                 n = a.shape[d]
+                if isinstance(i, bool):
+                    # bool is an int subclass but means mask indexing
+                    ok = False
+                    break
                 if isinstance(i, int):
                     starts.append(i + n if i < 0 else i)
                     vshape.append(1)
                 elif i.step in (None, 1):
-                    st = 0 if i.start is None else (i.start + n if i.start < 0 else min(i.start, n))
-                    sp = n if i.stop is None else (i.stop + n if i.stop < 0 else min(i.stop, n))
+                    # full numpy slice resolution incl. clamping below -n / above n
+                    st = 0 if i.start is None else (i.start + n if i.start < 0 else i.start)
+                    sp = n if i.stop is None else (i.stop + n if i.stop < 0 else i.stop)
+                    st = min(max(st, 0), n)
+                    sp = min(max(sp, 0), n)
                     starts.append(st)
                     vshape.append(max(sp - st, 0))
                 else:
@@ -394,7 +401,13 @@ class XlaBackend:
     # ---- functional ----
     @staticmethod
     def vmap(fun: Callable) -> Callable:
-        return jax.vmap(fun)
+        # reference contract (minidiff/tensor.py:518-536): only the FIRST
+        # argument maps over its leading axis; extras pass through unmapped
+        # (bare jax.vmap would map every positional arg — backends diverge)
+        def mapped(arr: jax.Array, *args: Any, **kwargs: Any) -> jax.Array:
+            return jax.vmap(lambda a: fun(a, *args, **kwargs))(arr)
+
+        return mapped
 
     # ---- properties ----
     @staticmethod

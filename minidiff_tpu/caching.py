@@ -78,13 +78,26 @@ def backward_indices_for_root(root_node: "md.OpNode") -> tuple:
 
 
 def replay_traversal(root_node: "md.OpNode") -> "List[md.Tensor]":
-    """Materialize the cached traversal order by walking index paths."""
+    """Materialize the cached traversal order by walking index paths.
+
+    Defensive: if a cached path does not fit this graph's nested list (a
+    structural-hash collision the alias signature didn't cover), rebuild via
+    a real toposort instead of crashing or silently reordering.
+    """
+    import minidiff_tpu as md
+
     full_graph = root_node._tensor_graph
     traversal_indices = backward_indices_for_root(root_node)
     path: list = [None] * len(traversal_indices)
-    for i, indices in enumerate(traversal_indices):
-        item = full_graph
-        for index in indices:
-            item = item[index]
-        path[i] = item
+    try:
+        for i, indices in enumerate(traversal_indices):
+            item = full_graph
+            for index in indices:
+                item = item[index]
+            if not isinstance(item, md.Tensor):
+                raise TypeError
+            path[i] = item
+    except (IndexError, TypeError):
+        path = root_node.toposort()
+        _cached_graph_indices.get().pop(root_node.hash, None)
     return path

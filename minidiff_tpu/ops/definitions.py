@@ -48,6 +48,8 @@ def _normalize_axes(
     """None stays None (= all axes); ints/sequences become sorted non-negative tuples."""
     if axis is None:
         return None
+    if ndim == 0:
+        return ()  # numpy permits axis=-1/0 on 0-d arrays; nothing to reduce
     if isinstance(axis, int):
         axis = (axis,)
     return tuple(sorted(a % ndim if a < 0 else a for a in axis))
@@ -160,7 +162,9 @@ def unbroadcast_forward(x: "md.Tensor", target_shape: "Sequence[int]") -> "md.Te
     """
     target_shape = tuple(target_shape)
     if x.shape == target_shape:
-        return x
+        # a fresh view, never the input object itself: the op wrapper would
+        # otherwise attach a node to a LEAF input, creating a self-cycle
+        return x.detach(allow_grad=x.allow_grad)
     n_prepended = x.ndim - len(target_shape)
     if n_prepended > 0:
         x = x.sum(axis=tuple(range(n_prepended)))
@@ -237,6 +241,9 @@ def matmul_grad_x(x, y, grad):
     if y.ndim == 1:
         # out = x @ y contracts x's last dim: dx = grad ⊗ y over the last axes
         return expand_dims(grad, -1) * y
+    if x.ndim == 1:
+        # dx_k = sum_n y[..., k, n] g[..., n]; engine unbroadcast sums batches
+        return squeeze(matmul(y, expand_dims(grad, -1)), axis=-1)
     return matmul_nt(grad, y)
 
 
@@ -247,8 +254,11 @@ def matmul_grad_y(x, y, grad):
         # out = x @ y: dy = outer(x, grad) over the matrix axes
         return matmul(expand_dims(x, -1), expand_dims(grad, -2))
     if y.ndim == 1:
-        # np.matmul promotes 1-D y to a column; its grad is x^T @ grad
-        return matmul(swapaxes(x, -1, -2), grad)
+        # np.matmul promotes 1-D y to a column; keep grad a column too or a
+        # batched x^T would misread a (batch, m) grad as a matrix
+        return squeeze(
+            matmul(swapaxes(x, -1, -2), expand_dims(grad, -1)), axis=-1
+        )
     return matmul_tn(x, grad)
 
 
@@ -542,9 +552,19 @@ multiply = wrapping.create_binary_op_func(
 not_equal = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("not_equal")), is_differentiable=False
 )
+def power_grad_x(x, y, grad):
+    # guard the y == 0 slots: the naive grad*y*x**(y-1) is 0 * inf = NaN at
+    # x = 0 even though d/dx x^0 = 0 exactly
+    if not isinstance(y, md.Tensor):
+        if y == 0:
+            return md.zeros_like(x)
+        return grad * y * (x ** (y - 1))
+    return md.where(md.equal(y, 0), 0.0, grad * y * (x ** (y - 1)))
+
+
 power = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("power")),
-    grad_x=lambda x, y, grad: grad * y * (x ** (y - 1)),
+    grad_x=power_grad_x,
     grad_y=lambda x, y, grad: grad * log(x) * x**y,
 )
 reshape = wrapping.create_binary_op_func(

@@ -77,16 +77,24 @@ class OpNode:
             return
 
         ids: list = []
-        for op_input in self.op_inputs:
-            if not isinstance(op_input, md.Tensor) or op_input.is_leaf:
-                ids.append(-1)
+        seen_pos: dict = {}
+        for pos, op_input in enumerate(self.op_inputs):
+            if not isinstance(op_input, md.Tensor):
+                ids.append(("const",))
+                continue
+            # alias signature: repeated inputs (x*x vs a*b) must hash apart —
+            # their _tensor_graph shapes differ and replaying one graph's
+            # index paths onto the other crashes or silently reorders
+            first = seen_pos.setdefault(id(op_input), pos)
+            if op_input.is_leaf:
+                ids.append(("leaf", first))
             else:
                 node = op_input.op_node
                 if not node._op_ids or not getattr(
                     node, "_cache_meta_complete", False
                 ):
                     self._cache_meta_complete = False
-                ids.append(node._op_ids)
+                ids.append((first, node._op_ids))
         # per-call forwards (stateful ops, concat, remat) carry a stable
         # structural token — raw id() would never repeat across instances
         # (cache never hits) and can alias recycled ids after GC

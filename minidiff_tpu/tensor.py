@@ -450,6 +450,9 @@ class Tensor:
         return int(self.item())
 
     def __iter__(self) -> TensorIterator:
+        if self.ndim == 0:
+            # match numpy/jax: fail at iter() time, not mid-iteration
+            raise TypeError("iteration over a 0-d tensor")
         data_size = backend.tensor_size(self._data)
         return TensorIterator(self, len(self) if data_size > 1 else data_size)
 
@@ -532,6 +535,7 @@ def index_add(a: Tensor, indices: Any, b: Any = None) -> None:
     Reference: minidiff/tensor.py:493-501 mutates in place; on immutable
     backends we rebind ``a._data`` — graph-visible behavior is identical.
     """
+    a._validate_mutation()
     a._data = backend.index_add(a._data, try_unwrap(indices), try_unwrap(b))
 
 
@@ -574,6 +578,7 @@ def take_along_axis(
 
 
 def put_along_axis(arr: Tensor, indices: Tensor, values: Any, axis: Optional[int]) -> None:
+    arr._validate_mutation()
     arr._data = backend.put_along_axis(
         arr._data, try_unwrap(indices), try_unwrap(values), axis
     )
@@ -651,6 +656,7 @@ def permutation(x: Any, allow_grad: py_bool = False) -> Tensor:
 
 
 def shuffle(x: Tensor) -> None:
+    x._validate_mutation()
     x._data = backend.shuffle(x._data)
 
 

@@ -219,3 +219,24 @@ def test_reuse_graph_with_outside_built_inputs_falls_back(backend):
     np.testing.assert_allclose(
         np.asarray(backend_mod.as_numpy(x.grad._data)), [6.0, 6.0]
     )
+
+
+def test_alias_patterns_do_not_collide(backend):
+    """(a*b) and (c*c) share op structure but not aliasing; both must work
+    under one reuse_graph context."""
+    with md.reuse_graph():
+        a = md.Tensor(np.array([2.0]), allow_grad=True)
+        b = md.Tensor(np.array([3.0]), allow_grad=True)
+        md.sum(a * b).backward(cleanup_mode="keep")
+        np.testing.assert_allclose(
+            np.asarray(backend_mod.as_numpy(a.grad._data)), [3.0])
+
+        c = md.Tensor(np.array([4.0]), allow_grad=True)
+        md.sum(c * c).backward(cleanup_mode="keep")
+        np.testing.assert_allclose(
+            np.asarray(backend_mod.as_numpy(c.grad._data)), [8.0])
+
+        d = md.Tensor(np.array([5.0]), allow_grad=True)
+        md.sum(d + 1.0).backward(cleanup_mode="keep")
+        np.testing.assert_allclose(
+            np.asarray(backend_mod.as_numpy(d.grad._data)), [1.0])

@@ -456,3 +456,90 @@ def test_concat_is_differentiable(backend):
     out.backward(allow_higher_order=True)
     md.sum(x.grad * x.grad).backward()
     assert x.grad.shape == x.shape
+
+
+def test_matmul_batched_x_with_1d_y_gradcheck(backend):
+    x = md.randn(2, 3, 4)
+    y = md.randn(4)
+    manual, auto = compute_grads(
+        x, y, func=lambda a, b: md.sum(md.matmul(a, b) ** 2) / 2
+    )
+    for m, g in zip(manual, auto):
+        np.testing.assert_allclose(
+            np.asarray(backend_mod.as_numpy(m._data)),
+            np.asarray(backend_mod.as_numpy(g._data)),
+            rtol=1e-3, atol=1e-4)
+
+
+def test_matmul_1d_x_with_batched_y_gradcheck(backend):
+    x = md.randn(4)
+    y = md.randn(2, 4, 3)
+    manual, auto = compute_grads(
+        x, y, func=lambda a, b: md.sum(md.matmul(a, b) ** 2) / 2
+    )
+    for m, g in zip(manual, auto):
+        np.testing.assert_allclose(
+            np.asarray(backend_mod.as_numpy(m._data)),
+            np.asarray(backend_mod.as_numpy(g._data)),
+            rtol=1e-3, atol=1e-4)
+
+
+def test_power_grad_no_nan_at_zero_base(backend):
+    x = md.Tensor(np.array([0.0, 2.0]), allow_grad=True)
+    md.sum(md.power(x, 0)).backward()
+    g = np.asarray(backend_mod.as_numpy(x.grad._data))
+    np.testing.assert_allclose(g, [0.0, 0.0])  # d/dx x^0 = 0, not NaN
+    # tensor exponent with a zero slot
+    x2 = md.Tensor(np.array([0.0, 2.0]), allow_grad=True)
+    e = md.Tensor(np.array([0.0, 3.0]))
+    md.sum(md.power(x2, e)).backward()
+    g2 = np.asarray(backend_mod.as_numpy(x2.grad._data))
+    np.testing.assert_allclose(g2, [0.0, 12.0])
+
+
+def test_zero_dim_reduction_negative_axis_backward():
+    # numpy permits axis=-1 on 0-d arrays (jax raises at the forward, so this
+    # reference quirk is numpy-backend-only); the BACKWARD must not crash
+    md.set_backend("numpy")
+    x = md.Tensor(np.array(3.0), allow_grad=True)
+    md.sum(x, axis=-1).backward()
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(x.grad._data)), 1.0)
+
+
+def test_unbroadcast_same_shape_does_not_corrupt_leaf(backend):
+    leaf = md.Tensor(np.array([1.0, 2.0]), allow_grad=True)
+    out = md.unbroadcast(leaf, (2,))
+    assert out is not leaf
+    assert leaf.op_node is None and leaf.is_leaf
+    md.sum(out * 2.0).backward()
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(leaf.grad._data)), [2.0, 2.0])
+
+
+def test_getitem_clamped_negative_slice_grad(backend):
+    x = md.Tensor(np.arange(5.0), allow_grad=True)
+    y = x[-7:-4]  # numpy resolves to x[0:1]
+    assert y.shape == (1,)
+    md.sum(y).backward()
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(x.grad._data)), [1, 0, 0, 0, 0])
+
+
+def test_getitem_bool_scalar_index_grad(backend):
+    x = md.Tensor(np.array([0.0, 1.0, 2.0]), allow_grad=True)
+    y = x[True]  # adds a leading axis, not integer index 1
+    assert y.shape == (1, 3)
+    md.sum(y).backward()
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(x.grad._data)), [1.0, 1.0, 1.0])
+
+
+def test_vmap_extra_args_pass_through_unmapped(backend):
+    xs = md.Tensor(np.ones((3, 2)))
+    bias = md.Tensor(np.array([10.0, 20.0]))
+    out = md.vmap(lambda row, b: row + b)(xs, bias)
+    assert out.shape == (3, 2)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(out._data)),
+        np.full((3, 2), 1.0) + np.array([10.0, 20.0]))

@@ -257,3 +257,17 @@ def test_checkpoint_single_leaf_roundtrip(tmp_path):
     save_pytree(path, md.ones((3,)))
     out = load_pytree(path)
     np.testing.assert_allclose(np.asarray(backend_mod.as_numpy(out._data)), 1.0)
+
+
+def test_zero_dim_iter_raises_type_error(backend):
+    with pytest.raises(TypeError, match="0-d"):
+        iter(md.Tensor(np.array(1.0)))
+
+
+def test_rebinding_factories_respect_mutation_guard(backend):
+    x = md.Tensor(np.arange(4.0), allow_grad=True)
+    mid = x * 2.0  # graph-tracked
+    with pytest.raises(ValueError):
+        md.index_add(mid, np.array([0]), 5.0)
+    with pytest.raises(ValueError):
+        md.shuffle(mid)
