@@ -111,11 +111,15 @@ class NumpyBackend:
     @staticmethod
     def matmul_nt(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         # a @ b^T over the last two axes
+        if np.ndim(a) < 2 or np.ndim(b) < 2:
+            raise ValueError("matmul_nt requires operands with ndim >= 2")
         return np.matmul(a, np.swapaxes(b, -1, -2))
 
     @staticmethod
     def matmul_tn(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         # a^T @ b over the last two axes
+        if np.ndim(a) < 2 or np.ndim(b) < 2:
+            raise ValueError("matmul_tn requires operands with ndim >= 2")
         return np.matmul(np.swapaxes(a, -1, -2), b)
 
     # -- conv2d family (NHWC inputs, HWIO kernels; the oracle for the XLA

@@ -238,6 +238,8 @@ def matmul_nt(x: jax.Array, y: jax.Array) -> jax.Array:
     """x @ y^T over the last two axes, transpose-free."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
+    if x.ndim < 2 or y.ndim < 2:
+        raise ValueError("matmul_nt requires operands with ndim >= 2")
     if x.ndim == 2 and y.ndim == 2:
         choice = _choose("nt", x, y)
         if choice is not None:
@@ -251,6 +253,8 @@ def matmul_tn(x: jax.Array, y: jax.Array) -> jax.Array:
     """x^T @ y over the last two axes, transpose-free."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
+    if x.ndim < 2 or y.ndim < 2:
+        raise ValueError("matmul_tn requires operands with ndim >= 2")
     if x.ndim == 2 and y.ndim == 2:
         choice = _choose("tn", x, y)
         if choice is not None:
@@ -336,7 +340,7 @@ def time_device_thunk(thunk, pull_latency: float) -> float:
     return min(times)
 
 
-def _time_fn(fn, a, b, reps: int = 0) -> float:
+def _time_fn(fn, a, b) -> float:
     return time_device_thunk(lambda: fn(a, b), _time_fn.pull_latency)
 
 

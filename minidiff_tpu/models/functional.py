@@ -20,7 +20,9 @@ def relu(x: "md.Tensor") -> "md.Tensor":
 
 
 def sigmoid(x: "md.Tensor") -> "md.Tensor":
-    return 1.0 / (1.0 + md.exp(-x))
+    # tanh form: stable in forward AND backward for any |x| (1/(1+exp(-x))
+    # overflows exp at x < -88 in f32 and its VJP produces 0 * inf = NaN)
+    return 0.5 * (md.tanh(x * 0.5) + 1.0)
 
 
 def gelu(x: "md.Tensor") -> "md.Tensor":
@@ -61,8 +63,11 @@ def cross_entropy(logits: "md.Tensor", labels: "md.Tensor") -> "md.Tensor":
     logp = log_softmax(logits, axis=-1)
     if labels.ndim == logits.ndim:
         return -md.mean(md.sum(labels * logp, axis=-1))
-    n = logits.shape[0]
-    picked = logp[(md.arange(n), labels)]
+    # integer labels: flatten any leading batch dims to one gather
+    v = logits.shape[-1]
+    n = logits.size // v
+    flat = logp.reshape((n, v))
+    picked = flat[(md.arange(n), labels.reshape((n,)))]
     return -md.mean(picked)
 
 
@@ -96,22 +101,29 @@ def avg_pool2d(x: "md.Tensor", window: int = 2) -> "md.Tensor":
 
 
 def dropout(x: "md.Tensor", rate: float, key: "Optional[int]" = None,
-            deterministic: bool = False) -> "md.Tensor":
+            deterministic: bool = False,
+            mask: "Optional[md.Tensor]" = None) -> "md.Tensor":
     """Inverted dropout built from framework ops.
 
-    ``key``: optional integer seed for a *local* mask draw so the mask is
-    reproducible and, unlike the library's stateful RNG, well-defined inside
-    an ``md.jit`` trace when varied per call site.  With ``key=None`` the
-    mask comes from the library RNG (a trace-time constant under md.jit —
-    fine for eval, wrong for compiled training; pass a key there).
+    Randomness sources, in priority order:
+    * ``mask``: a caller-supplied boolean keep-mask Tensor.  This is the ONLY
+      form that stays random per step inside an ``md.jit``-compiled train
+      step — pass a fresh mask in as an input each call.
+    * ``key``: integer seed for a reproducible eager mask.  NOTE: under
+      md.jit this (like the library RNG) bakes ONE mask into the trace — the
+      same units drop every step, which is pruning, not dropout.
+    * neither: a draw from the library RNG (eager use / evaluation).
     """
     if deterministic or rate <= 0.0:
         return x
-    if key is None:
-        mask = md.rand(*x.shape) >= rate
-    else:
-        import numpy as _np
+    if rate >= 1.0:
+        return md.zeros_like(x)
+    if mask is None:
+        if key is None:
+            mask = md.rand(*x.shape) >= rate
+        else:
+            import numpy as _np
 
-        bits = _np.random.RandomState(key).random_sample(x.shape)
-        mask = md.Tensor(bits) >= rate
+            bits = _np.random.RandomState(key).random_sample(x.shape)
+            mask = md.Tensor(bits) >= rate
     return x * mask.astype(x.dtype) / (1.0 - rate)

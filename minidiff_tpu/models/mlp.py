@@ -83,5 +83,5 @@ def train(
     losses = []
     for x, y in batches:
         params, opt_state, loss = step(params, opt_state, x, y)
-        losses.append(float(loss.item()))
-    return params, losses
+        losses.append(loss)  # device values: no per-step host sync
+    return params, [float(l.item()) for l in losses]

@@ -25,10 +25,18 @@ if TYPE_CHECKING:
     import minidiff_tpu.typing as mdt
 
 
+def _default_h(tensor: "md.Tensor") -> float:
+    """Step size matched to the input's precision: 1e-7 is BELOW the f32 ulp
+    near |x| ~ 2 (x + h rounds back to x -> FD grad silently 0), so f32
+    inputs get 1e-3 and only f64 keeps the tight step."""
+    name = str(tensor.dtype)
+    return 1e-7 if "64" in name else 1e-3
+
+
 def calculate_finite_differences(
     *input_tensors: "md.Tensor",
     func: "mdt.GenericOp",
-    h: float = 1e-7,
+    h: "Optional[float]" = None,
     exclude: "Optional[Sequence[md.Tensor]]" = None,
 ) -> "List[Optional[md.Tensor]]":
     manual_gradients: list = []
@@ -48,6 +56,8 @@ def calculate_finite_differences(
             n_elements = input_tensor.size
             dummy_axes = (1,) * n_dimensions
 
+            step_h = h if h is not None else _default_h(input_tensor)
+
             left_args = input_tensors[:i]
             right_args = input_tensors[i + 1 :]
 
@@ -66,13 +76,13 @@ def calculate_finite_differences(
             base = input_tensor.detach().copy()
             plus = md.tile(base, (n_elements, *dummy_axes))
             minus = md.tile(base, (n_elements, *dummy_axes))
-            plus[element_selector] = plus[element_selector]._data + h
-            minus[element_selector] = minus[element_selector]._data - h
+            plus[element_selector] = plus[element_selector]._data + step_h
+            minus[element_selector] = minus[element_selector]._data - step_h
 
             forward = vmapped_func(plus)
             backward = vmapped_func(minus)
 
-            grads = ((forward - backward) / (2 * h)).reshape(input_tensor.shape)
+            grads = ((forward - backward) / (2 * step_h)).reshape(input_tensor.shape)
             manual_gradients.append(grads)
 
     return manual_gradients
@@ -81,7 +91,7 @@ def calculate_finite_differences(
 def compute_grads(
     *input_tensors: "md.Tensor",
     func: "mdt.GenericOp",
-    h: float = 1e-7,
+    h: "Optional[float]" = None,
     exclude: "Optional[Sequence[md.Tensor]]" = None,
 ) -> "Tuple[List[Optional[md.Tensor]], List[Optional[md.Tensor]]]":
     """Return (finite-difference grads, tape grads) for each input of func."""

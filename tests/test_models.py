@@ -217,3 +217,50 @@ def test_gru_gradcheck_small(backend):
         np.asarray(backend_mod.as_numpy(auto[0]._data)),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_sigmoid_stable_at_extremes(backend):
+    x = md.Tensor(np.array([-100.0, 0.0, 100.0]), allow_grad=True)
+    y = F.sigmoid(x)
+    vals = np.asarray(backend_mod.as_numpy(y._data))
+    np.testing.assert_allclose(vals, [0.0, 0.5, 1.0], atol=1e-6)
+    md.sum(y).backward()
+    g = np.asarray(backend_mod.as_numpy(x.grad._data))
+    assert np.all(np.isfinite(g)), g  # no 0 * inf NaNs in the VJP
+    np.testing.assert_allclose(g[1], 0.25, rtol=1e-6)
+
+
+def test_cross_entropy_3d_logits(backend):
+    logits = md.randn(2, 3, 5)
+    labels = md.Tensor(np.random.randint(0, 5, (2, 3)))
+    loss = F.cross_entropy(logits, labels)
+    # reference: flatten manually
+    flat = F.cross_entropy(
+        logits.reshape((6, 5)), labels.reshape((6,))
+    )
+    np.testing.assert_allclose(
+        float(loss.item()), float(flat.item()), rtol=1e-6)
+
+
+def test_dropout_rate_edge_cases(backend):
+    from minidiff_tpu.models.functional import dropout
+
+    x = md.Tensor(np.ones((4, 4)))
+    out = dropout(x, 1.0)
+    np.testing.assert_allclose(np.asarray(backend_mod.as_numpy(out._data)), 0.0)
+    # explicit mask input (the jit-correct form)
+    mask = md.Tensor(np.array([[True, False], [True, True]]))
+    x2 = md.Tensor(np.ones((2, 2)))
+    out2 = dropout(x2, 0.5, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(out2._data)),
+        [[2.0, 0.0], [2.0, 2.0]])
+
+
+def test_matmul_nt_tn_reject_vectors(backend):
+    a = md.randn(3, 4)
+    v = md.randn(4)
+    with pytest.raises(ValueError, match="ndim >= 2"):
+        md.matmul_nt(a, v)
+    with pytest.raises(ValueError, match="ndim >= 2"):
+        md.matmul_tn(v, a)
