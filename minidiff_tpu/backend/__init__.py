@@ -53,16 +53,24 @@ def _ensure_registered() -> None:
     importlib.import_module("minidiff_tpu.backend.numpy_backend")
     try:
         importlib.import_module("minidiff_tpu.backend.xla_backend")
-    except Exception:  # pragma: no cover - jax should always be present
-        pass
+    except Exception as e:  # pragma: no cover - jax should always be present
+        _import_errors["xla"] = repr(e)
+
+
+_import_errors: dict = {}
 
 
 def set_backend(name: str) -> None:
     """Select the active array backend by name (``xla`` or ``numpy``)."""
     _ensure_registered()
     if name not in _BACKENDS:
+        hint = (
+            f" (import failed: {_import_errors[name]})"
+            if name in _import_errors
+            else ""
+        )
         raise ValueError(
-            f"unknown backend {name!r}; available: {sorted(_BACKENDS)}"
+            f"unknown backend {name!r}; available: {sorted(_BACKENDS)}{hint}"
         )
     _active[0] = _BACKENDS[name]
     _active_name[0] = name

@@ -64,13 +64,19 @@ class CNN(Module):
         self.convs = []
         c_in = in_channels
         size = image_size
-        for c_out in channels:
+        for i, c_out in enumerate(channels):
+            if size % 2 != 0:
+                raise ValueError(
+                    f"image_size={image_size} is not divisible by 2^{i + 1} "
+                    f"(stage {i} would pool a {size}x{size} map); pick an "
+                    f"image size divisible by 2**len(channels)"
+                )
             self.convs.append(Conv2d(c_in, c_out, kernel_size=3, padding=1,
                                      dtype=dtype))
             c_in = c_out
             size //= 2  # each stage ends with 2x2 max pooling
-        self.head = Linear(size * size * c_in, num_classes, dtype=dtype)
         self._flat = size * size * c_in
+        self.head = Linear(self._flat, num_classes, dtype=dtype)
 
     def init(self):
         return {

@@ -57,14 +57,21 @@ def mnist_like_batches(
 ) -> "Iterator[Tuple[md.Tensor, md.Tensor]]":
     """Yield (x, y) Tensor batches of MNIST shape (real file if configured)."""
     loaded = _load_mnist()
+    rng = np.random.RandomState(seed)
     if loaded is not None:
         x, y = loaded
+        if n < x.shape[0]:
+            # honor `n` on the real file too: a seeded subsample, so the same
+            # call yields the same dataset size with or without the env var
+            pick = rng.choice(x.shape[0], size=n, replace=False)
+            x, y = x[pick], y[pick]
     else:
         x, y = synthetic_classification(n, 784, 10, seed=seed)
     n_total = x.shape[0]
-    rng = np.random.RandomState(seed)
     for _ in range(epochs):
         order = rng.permutation(n_total)
-        for start in range(0, n_total - batch_size + 1, batch_size):
+        # include the trailing partial batch (dropping it silently yields
+        # ZERO batches whenever batch_size > n_total)
+        for start in range(0, n_total, batch_size):
             idx = order[start : start + batch_size]
             yield md.Tensor(x[idx]), md.Tensor(y[idx])

@@ -60,9 +60,7 @@ class GRUCell(Module):
         """x (B, S, D) -> final hidden state (B, H)."""
         b, s, _ = x.shape
         h = md.zeros((b, self.hidden))
-        if self.dtype is not None:
-            h = h.astype(self.dtype)
-        h = h.astype(x.dtype)
+        h = h.astype(self.dtype if self.dtype is not None else x.dtype)
         for t in range(s):
             h = self.step(params, x[:, t, :], h)
         return h

@@ -38,14 +38,16 @@ def _build_graph(
         return f"{node.op_name}({', '.join(input_names)})"
 
     def lookup_name(tensor) -> str:
+        # key on the Tensor object itself — never on id() of a transient
+        # .item() scalar (CPython freelists recycle those addresses, which
+        # mislabeled later scalars and shadowed user tensor_names entries)
         key = id(tensor)
-        if isinstance(tensor, md.Tensor) and tensor.size == 1:
-            tensor = tensor.item()
-            key = id(tensor)
         if key in all_names:
             return all_names[key]
         if not isinstance(tensor, md.Tensor):
             name = str(tensor)
+        elif tensor.size == 1 and tensor.is_leaf:
+            name = str(tensor.item())  # label scalars by value
         elif insert_intermediates or tensor.is_leaf:
             name = f"t{counter[0]}"
             counter[0] += 1
@@ -65,8 +67,16 @@ def _build_graph(
             label = f"{label} = {nested_name(tensor)}"
         nodes.append((tid, label))
         if not tensor.is_leaf:
-            for child in tensor.op_node.op_inputs:
-                edges.append((str(id(child)), tid))
+            for pos, child in enumerate(tensor.op_node.op_inputs):
+                if isinstance(child, md.Tensor):
+                    edges.append((str(id(child)), tid))
+                else:
+                    # constants get their own labeled node per (op, slot) —
+                    # raw id() edges would render as bare memory addresses
+                    # (and every None would collapse into one shared node)
+                    cid = f"{tid}_c{pos}"
+                    nodes.append((cid, str(child)))
+                    edges.append((cid, tid))
     return nodes, edges
 
 

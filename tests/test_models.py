@@ -264,3 +264,31 @@ def test_matmul_nt_tn_reject_vectors(backend):
         md.matmul_nt(a, v)
     with pytest.raises(ValueError, match="ndim >= 2"):
         md.matmul_tn(v, a)
+
+
+def test_cnn_rejects_unpoolable_image_size():
+    from minidiff_tpu.models import CNN
+
+    with pytest.raises(ValueError, match="divisible"):
+        CNN(channels=(16, 32, 64), image_size=28)  # 7x7 can't pool again
+    with pytest.raises(ValueError, match="divisible"):
+        CNN(channels=(8,), image_size=27)
+
+
+def test_batches_include_trailing_partial():
+    md.set_backend("xla")
+    batches = list(mnist_like_batches(batch_size=128, epochs=1, n=100))
+    assert len(batches) == 1 and batches[0][0].shape[0] == 100
+    batches = list(mnist_like_batches(batch_size=64, epochs=1, n=100))
+    assert [b[0].shape[0] for b in batches] == [64, 36]
+
+
+def test_gru_respects_configured_dtype():
+    from minidiff_tpu.models import GRUCell
+
+    md.set_backend("xla")
+    cell = GRUCell(4, 8, dtype=md.float32)
+    params = cell.init()
+    x = md.Tensor(np.random.randn(2, 3, 4))  # float64 input under x64
+    h = cell.apply(params, x)
+    assert "32" in str(params["wxz"].dtype)
