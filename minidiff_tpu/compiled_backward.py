@@ -142,6 +142,10 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
             if not t.is_leaf
         )
         positions: "List[int]" = []
+        # which sweep steps saw a None grad at trace time (None-VJP-slot
+        # tensors): the eager loop `continue`s on those BEFORE cleanup, so
+        # the host-side cleanup below must skip them identically
+        none_steps: "List[bool]" = []
         positions_frozen = [False]
 
         def pure_backward(values, seed_val, root_val):
@@ -174,6 +178,14 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
                 apply_node(root_record, md.Tensor(seed_val), output=root_shadow)
                 for record, out_pos in steps:
                     sh = shadows[out_pos]
+                    if sh.grad is None:
+                        # same guard as the eager sweep: reachable only
+                        # through None-VJP slots -> nothing to propagate
+                        if not positions_frozen[0]:
+                            none_steps.append(True)
+                        continue
+                    if not positions_frozen[0]:
+                        none_steps.append(False)
                     apply_node(record, sh.grad, output=sh)
                     if not retain_grads:
                         sh.grad = None
@@ -196,9 +208,10 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
         )
         positions_frozen[0] = True
         positions = tuple(positions)
-        _cache[key] = (compiled, positions)
+        skip_cleanup = tuple(none_steps)
+        _cache[key] = (compiled, positions, skip_cleanup)
     else:
-        compiled, positions = entry
+        compiled, positions, skip_cleanup = entry
         values = [t._data for t in order]
         outs = compiled(
             values, seed_grad._data,
@@ -210,9 +223,15 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
         g = grads_by_pos.get(i)
         t.grad = md.Tensor(g) if g is not None else None
 
-    # replicate the eager cleanup loop's side effects
+    # replicate the eager cleanup loop's side effects (skipping the steps
+    # the eager sweep would have `continue`d on for a None grad)
+    step_i = 0
     for tensor in reversed(traversal):
         if tensor.is_leaf:
+            continue
+        skipped = step_i < len(skip_cleanup) and skip_cleanup[step_i]
+        step_i += 1
+        if skipped:
             continue
         node = tensor.op_node
         if cleanup_mode == "keep":

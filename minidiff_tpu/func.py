@@ -116,14 +116,13 @@ def hessian(fn: "Callable[[md.Tensor], md.Tensor]"):
     then one backward per basis direction of <grad, e_i>."""
 
     def wrapper(x: "md.Tensor"):
-        import numpy as np
-
         n = int(x.size)
+        hv = hvp(fn)
         rows = []
         for i in range(n):
             e = np.zeros(n)
             e[i] = 1.0
-            rows.append(hvp(fn)(x, md.Tensor(e.reshape(x.shape))))
+            rows.append(hv(x, md.Tensor(e.reshape(x.shape))))
         return md.stack(rows)
 
     return wrapper
@@ -258,6 +257,9 @@ def jit(
     return wrapper
 
 
+_remat_counter = __import__("itertools").count()
+
+
 def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
     """Rematerialization: don't store ``fn``'s intermediate tape; recompute it
     inside the VJP (the tape-engine analog of ``jax.checkpoint``).
@@ -287,7 +289,7 @@ def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
             out = fn(*inputs, **kwargs)
         return out.detach()
 
-    forward._structural_id = ("remat", id(fn))  # stable for reuse_graph hashing
+    forward._structural_id = ("remat", next(_remat_counter))  # never recycled
 
     def _barrier(inputs: "Sequence[md.Tensor]") -> "list":
         # Without a barrier XLA CSEs the recompute against the forward pass

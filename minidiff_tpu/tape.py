@@ -86,15 +86,21 @@ class OpNode:
             # their _tensor_graph shapes differ and replaying one graph's
             # index paths onto the other crashes or silently reorders
             first = seen_pos.setdefault(id(op_input), pos)
+            # graph_refs at consumption time = number of consumers so far:
+            # this encodes CROSS-node sharing (a diamond's second consumer
+            # sees refs=2, an unshared twin sees refs=1), which nested ids
+            # alone cannot distinguish — confirmed to otherwise collide and
+            # replay a traversal that silently drops gradient terms
+            share = op_input.graph_refs
             if op_input.is_leaf:
-                ids.append(("leaf", first))
+                ids.append(("leaf", first, share))
             else:
                 node = op_input.op_node
                 if not node._op_ids or not getattr(
                     node, "_cache_meta_complete", False
                 ):
                     self._cache_meta_complete = False
-                ids.append((first, node._op_ids))
+                ids.append((first, share, node._op_ids))
         # per-call forwards (stateful ops, concat, remat) carry a stable
         # structural token — raw id() would never repeat across instances
         # (cache never hits) and can alias recycled ids after GC

@@ -240,3 +240,38 @@ def test_alias_patterns_do_not_collide(backend):
         md.sum(d + 1.0).backward(cleanup_mode="keep")
         np.testing.assert_allclose(
             np.asarray(backend_mod.as_numpy(d.grad._data)), [1.0])
+
+
+def test_cross_node_sharing_hashes_apart(backend):
+    """Shared-interior (diamond) graphs must not collide with their
+    unshared twins — a collision replays a traversal that silently drops
+    gradient terms."""
+    ref = float(
+        (np.cos(np.tanh(0.3)) - np.sin(np.tanh(0.3))) * (1 - np.tanh(0.3) ** 2)
+    )
+    with md.reuse_graph():
+        x = md.Tensor(np.array([0.3]), allow_grad=True)
+        y = md.tanh(x)
+        md.sum(md.sin(y) + md.cos(y)).backward(cleanup_mode="keep")
+        np.testing.assert_allclose(
+            float(np.asarray(backend_mod.as_numpy(x.grad._data))[0]), ref,
+            rtol=1e-6)
+        x2 = md.Tensor(np.array([0.3]), allow_grad=True)
+        md.sum(md.sin(md.tanh(x2)) + md.cos(md.tanh(x2))).backward(
+            cleanup_mode="keep")
+        np.testing.assert_allclose(
+            float(np.asarray(backend_mod.as_numpy(x2.grad._data))[0]), ref,
+            rtol=1e-6)
+
+
+def test_none_vjp_slot_under_reuse_graph(backend):
+    """The compiled replay needs the same None-grad guard as the eager
+    sweep (where's condition through a non-leaf)."""
+    with md.reuse_graph():
+        t = md.Tensor(np.array([0.2, -0.2]), allow_grad=True)
+        a = md.Tensor(np.array([1.0, 2.0]), allow_grad=True)
+        c = md.tanh(t)
+        md.sum(md.where(c > 0, a * 2.0, a * 3.0)).backward()
+    np.testing.assert_allclose(
+        np.asarray(backend_mod.as_numpy(a.grad._data)), [2.0, 3.0])
+    assert t.grad is None
