@@ -24,6 +24,7 @@ Elementwise unary:  absolute, ceil, copy, cos, cosh, exp, floor, invert, log,
 Shape unary:        atleast_1d, atleast_2d, atleast_3d, flatten, flip, ravel,
     squeeze, transpose
 Reductions:         all, any, argmax, argmin, max, mean, min, prod, std, sum
+Scans:              cumsum
 Search:             argwhere
 Binary:             add, astype, broadcast_to, dot, equal, expand_dims,
     floor_divide, getitem, greater, greater_equal, less, less_equal,
@@ -57,9 +58,9 @@ REQUIRED_ATTRS = [
     # shape unary
     "atleast_1d", "atleast_2d", "atleast_3d", "flatten", "flip", "ravel",
     "squeeze", "transpose",
-    # reductions / search
+    # reductions / search / scans
     "all", "any", "argmax", "argmin", "max", "mean", "min", "prod", "std",
-    "sum", "argwhere",
+    "sum", "cumsum", "argwhere",
     # binary
     "add", "astype", "broadcast_to", "dot", "equal", "expand_dims",
     "floor_divide", "getitem", "greater", "greater_equal", "less",

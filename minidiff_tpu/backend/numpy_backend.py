@@ -81,6 +81,7 @@ class NumpyBackend:
     prod = staticmethod(np.prod)
     std = staticmethod(np.std)
     sum = staticmethod(np.sum)
+    cumsum = staticmethod(np.cumsum)
 
     # ---- binary ----
     add = staticmethod(np.add)

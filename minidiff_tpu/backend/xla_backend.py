@@ -124,6 +124,7 @@ class XlaBackend:
     prod = staticmethod(jnp.prod)
     std = staticmethod(jnp.std)
     sum = staticmethod(jnp.sum)
+    cumsum = staticmethod(jnp.cumsum)
 
     # ---- binary ----
     add = staticmethod(jnp.add)

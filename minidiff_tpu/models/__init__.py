@@ -34,6 +34,12 @@ from minidiff_tpu.models.transformer import (  # noqa: F401
     init_kv_cache,
 )
 from minidiff_tpu.models.cnn import CNN, Conv2d  # noqa: F401
+from minidiff_tpu.models.moe import (  # noqa: F401
+    MoEFeedForward,
+    MoETransformerBlock,
+    MoETransformerLM,
+    make_moe_loss,
+)
 from minidiff_tpu.models.rnn import (  # noqa: F401
     GRUCell,
     GRUClassifier,

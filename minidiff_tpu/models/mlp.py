@@ -48,17 +48,22 @@ def make_train_step(
     optimizer: "Optional[Optimizer]" = None,
     loss_fn: "Callable" = F.cross_entropy,
     jit: bool = True,
+    apply_fn: "Optional[Callable]" = None,
 ):
     """Build ``step(params, opt_state, x, y) -> (params, opt_state, loss)``.
 
     The whole step — tape forward, engine backward, optimizer update — is one
     pure function; with jit=True it compiles into a single XLA executable.
+    ``apply_fn`` overrides ``model.apply`` for models whose training forward
+    returns extra outputs (e.g. MoE's ``apply_with_aux``); ``loss_fn`` then
+    receives whatever it returns.
     """
     optimizer = optimizer or SGD(0.1)
+    apply = apply_fn or model.apply
 
     def step(params, opt_state, x, y):
         def objective(p):
-            return loss_fn(model.apply(p, x), y)
+            return loss_fn(apply(p, x), y)
 
         loss, grads = md.value_and_grad(objective)(params)
         params, opt_state = optimizer.update(params, grads, opt_state)

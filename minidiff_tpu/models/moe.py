@@ -1,0 +1,243 @@
+"""Mixture-of-Experts transformer — the expert-parallel model family.
+
+The reference has no models layer at all (SURVEY.md §1 "no L6"); this module
+extends the framework the way models/transformer.py does, adding the one model
+shape that exercises *expert parallelism* (the ``ep`` mesh axis).
+
+TPU-first routing design (Switch/GShard style, static shapes throughout):
+
+* top-k routing with a fixed per-expert **capacity** C, so every shape is
+  known at trace time — no dynamic gather/scatter, nothing XLA can't tile.
+* dispatch and combine are one-hot **tensordot contractions** (MXU work),
+  not scatter ops: ``expert_in = tensordot(dispatch, tokens)`` and
+  ``y = tensordot(combine, expert_out)``.
+* per-token queue positions come from ``md.cumsum`` over the one-hot
+  assignment matrix — a parallel prefix scan, not a Python loop.
+* all experts run as ONE batched matmul pair ``(E, C, d) @ (E, d, ff)`` —
+  stacked expert weights keep the MXU busy and shard cleanly on ``ep``
+  (PartitionSpec("ep", None, None)); XLA SPMD inserts the all-to-all-shaped
+  collectives from the shardings alone.
+
+Gradient flow matches the standard router formulation: the one-hot dispatch
+masks are non-differentiable (built from argmax/equal, which the op registry
+marks non-diff), while the combine weights carry the softmax gate so the
+router learns through the tape like any other parameter.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+import minidiff_tpu as md
+from minidiff_tpu.models import functional as F
+from minidiff_tpu.models.layers import Module
+from minidiff_tpu.models.transformer import (
+    LayerNorm,
+    MultiHeadAttention,
+    lm_loss,
+)
+
+if TYPE_CHECKING:
+    from typing import Any, Dict, Optional, Tuple
+
+
+class MoEFeedForward(Module):
+    """Top-k routed expert FFNs replacing a transformer block's dense MLP.
+
+    ``apply_with_aux`` returns ``(y, aux)`` where ``aux`` is the Switch
+    load-balancing loss ``E * sum_e f_e * P_e`` (f_e = fraction of tokens
+    whose first choice is expert e, P_e = mean router probability); ``apply``
+    drops the aux term for inference call sites.
+    """
+
+    def __init__(self, dim: int, num_experts: int, mlp_ratio: int = 4,
+                 k: int = 1, capacity_factor: float = 1.25,
+                 dtype: "Optional[Any]" = None):
+        assert 1 <= k <= num_experts, (k, num_experts)
+        self.dim = dim
+        self.num_experts = num_experts
+        self.ff = mlp_ratio * dim
+        self.k = k
+        self.capacity_factor = capacity_factor
+        self.dtype = dtype
+
+    def init(self) -> "Dict[str, Any]":
+        d, e, ff = self.dim, self.num_experts, self.ff
+        b1 = 1.0 / math.sqrt(d)
+        b2 = 1.0 / math.sqrt(ff)
+        return {
+            "router": {"w": md.Tensor(
+                np.random.uniform(-b1, b1, (d, e)), allow_grad=True,
+                dtype=self.dtype)},
+            "experts": {
+                "w1": md.Tensor(np.random.uniform(-b1, b1, (e, d, ff)),
+                                allow_grad=True, dtype=self.dtype),
+                "b1": md.Tensor(np.zeros((e, ff)), allow_grad=True,
+                                dtype=self.dtype),
+                "w2": md.Tensor(np.random.uniform(-b2, b2, (e, ff, d)),
+                                allow_grad=True, dtype=self.dtype),
+                "b2": md.Tensor(np.zeros((e, d)), allow_grad=True,
+                                dtype=self.dtype),
+            },
+        }
+
+    def capacity(self, tokens: int) -> int:
+        return max(1, math.ceil(self.capacity_factor * self.k * tokens
+                                / self.num_experts))
+
+    def apply_with_aux(self, params, x) -> "Tuple[md.Tensor, md.Tensor]":
+        b, s, d = x.shape
+        e, t = self.num_experts, b * s
+        c = self.capacity(t)
+        xt = x.reshape((t, d))
+
+        probs = F.softmax(xt @ params["router"]["w"], axis=-1)  # (T, E)
+
+        remaining = probs
+        counts = md.zeros((1, e)).astype(probs.dtype)  # tokens queued per expert
+        dispatch = None  # (T, E, C) one-hot, non-diff
+        combine = None   # (T, E, C) gate-weighted, diff through probs
+        first_choice = None
+        for _ in range(self.k):
+            oh = F.one_hot(md.argmax(remaining, axis=-1), e)  # (T, E) non-diff
+            oh = oh.astype(probs.dtype)
+            if first_choice is None:
+                first_choice = oh
+            gate = md.sum(probs * oh, axis=-1, keepdims=True)  # (T, 1)
+            # queue position of each token within its expert (prefix count of
+            # earlier tokens routed to the same expert, + prior choices' load)
+            pos = md.cumsum(oh, axis=0) - oh + counts  # (T, E)
+            counts = counts + md.sum(oh, axis=0, keepdims=True)
+            pos_tok = md.sum(pos * oh, axis=-1)  # (T,)
+            keep = md.less(pos_tok, float(c)).astype(probs.dtype)  # capacity drop
+            poh = F.one_hot(pos_tok, c).astype(probs.dtype)  # (T, C)
+            disp = (md.expand_dims(oh, -1) * md.expand_dims(poh, 1)
+                    * keep.reshape((t, 1, 1)))  # (T, E, C)
+            dispatch = disp if dispatch is None else dispatch + disp
+            comb = disp * gate.reshape((t, 1, 1))
+            combine = comb if combine is None else combine + comb
+            remaining = remaining * (1 - oh)
+
+        # dispatch: (T, E, C) x (T, d) -> (E, C, d); one MXU contraction
+        expert_in = md.tensordot(dispatch, xt, axes=([0], [0]))
+        h = F.gelu(md.matmul(expert_in, params["experts"]["w1"])
+                   + md.expand_dims(params["experts"]["b1"], 1))
+        out = (md.matmul(h, params["experts"]["w2"])
+               + md.expand_dims(params["experts"]["b2"], 1))  # (E, C, d)
+        # combine: (T, E, C) x (E, C, d) -> (T, d)
+        y = md.tensordot(combine, out, axes=([1, 2], [0, 1]))
+
+        frac = md.mean(first_choice, axis=0)  # f_e: first-choice load share
+        mean_prob = md.mean(probs, axis=0)    # P_e
+        aux = md.sum(frac * mean_prob) * float(e)
+        return y.reshape((b, s, d)), aux
+
+    def apply(self, params, x):
+        y, _ = self.apply_with_aux(params, x)
+        return y
+
+
+class MoETransformerBlock(Module):
+    """Pre-LN block: x + MHA(LN(x)); x + MoE(LN(x))."""
+
+    def __init__(self, dim: int, num_heads: int, num_experts: int,
+                 mlp_ratio: int = 4, k: int = 1,
+                 capacity_factor: float = 1.25, causal: bool = True,
+                 dtype: "Optional[Any]" = None):
+        self.ln1 = LayerNorm(dim, dtype=dtype)
+        self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
+                                       dtype=dtype)
+        self.ln2 = LayerNorm(dim, dtype=dtype)
+        self.moe = MoEFeedForward(dim, num_experts, mlp_ratio, k,
+                                  capacity_factor, dtype=dtype)
+
+    def init(self):
+        return {
+            "ln1": self.ln1.init(),
+            "attn": self.attn.init(),
+            "ln2": self.ln2.init(),
+            "moe": self.moe.init(),
+        }
+
+    def apply_with_aux(self, params, x):
+        x = x + self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x))
+        y, aux = self.moe.apply_with_aux(
+            params["moe"], self.ln2.apply(params["ln2"], x))
+        return x + y, aux
+
+    def apply(self, params, x):
+        y, _ = self.apply_with_aux(params, x)
+        return y
+
+
+class MoETransformerLM(Module):
+    """Decoder-only LM with MoE feed-forward blocks (expert-parallel ready).
+
+    ``apply`` returns logits (decode path, reuses transformer.generate's
+    contract); ``apply_with_aux`` returns (logits, total_aux) for training
+    with the load-balancing term (see ``make_moe_loss``).
+    """
+
+    def __init__(self, vocab_size: int = 256, dim: int = 128,
+                 num_heads: int = 4, num_layers: int = 2,
+                 num_experts: int = 4, max_seq_len: int = 256,
+                 mlp_ratio: int = 4, k: int = 1,
+                 capacity_factor: float = 1.25,
+                 dtype: "Optional[Any]" = None):
+        self.vocab_size = vocab_size
+        self.dim = dim
+        self.max_seq_len = max_seq_len
+        self.num_experts = num_experts
+        self.blocks = [
+            MoETransformerBlock(dim, num_heads, num_experts, mlp_ratio, k,
+                                capacity_factor, causal=True, dtype=dtype)
+            for _ in range(num_layers)
+        ]
+        self.ln_f = LayerNorm(dim, dtype=dtype)
+        from minidiff_tpu.models.layers import Linear
+
+        self.head = Linear(dim, vocab_size, bias=False, dtype=dtype)
+        self.dtype = dtype
+
+    def init(self):
+        scale = 1.0 / math.sqrt(self.dim)
+        tok = np.random.normal(0.0, scale, (self.vocab_size, self.dim))
+        pos = np.random.normal(0.0, scale, (self.max_seq_len, self.dim))
+        return {
+            "tok_emb": md.Tensor(tok, allow_grad=True, dtype=self.dtype),
+            "pos_emb": md.Tensor(pos, allow_grad=True, dtype=self.dtype),
+            "blocks": [blk.init() for blk in self.blocks],
+            "ln_f": self.ln_f.init(),
+            "head": self.head.init(),
+        }
+
+    def apply_with_aux(self, params, tokens):
+        b, s = tokens.shape
+        x = params["tok_emb"][tokens] + params["pos_emb"][:s]
+        aux_total = None
+        for blk, p in zip(self.blocks, params["blocks"]):
+            x, aux = blk.apply_with_aux(p, x)
+            aux_total = aux if aux_total is None else aux_total + aux
+        x = self.ln_f.apply(params["ln_f"], x)
+        return self.head.apply(params["head"], x), aux_total
+
+    def apply(self, params, tokens):
+        logits, _ = self.apply_with_aux(params, tokens)
+        return logits
+
+
+def make_moe_loss(aux_coef: float = 0.01):
+    """Loss for apply_with_aux outputs: lm_loss(logits) + aux_coef * aux.
+
+    Pass as ``loss_fn`` together with ``apply_fn=model.apply_with_aux`` to
+    models.make_train_step / parallel.make_sharded_train_step.
+    """
+
+    def loss(output, targets):
+        logits, aux = output
+        return lm_loss(logits, targets) + aux.astype(logits.dtype) * aux_coef
+
+    return loss

@@ -430,6 +430,24 @@ sum = wrapping.create_unary_op_func(
     grad=sum_grad,
     propagate_kwargs=True,
 )
+
+
+def cumsum_grad(x, grad, axis=None, **kwargs):
+    """d(cumsum)/dx = reverse cumsum of the cotangent along the scan axis.
+
+    With axis=None numpy scans the flattened array, so the cotangent arrives
+    flat and the reversed scan runs flat before reshaping back to x.
+    """
+    if axis is None:
+        return flip(cumsum(flip(grad))).reshape(x.shape)
+    return flip(cumsum(flip(grad, axis=axis), axis=axis), axis=axis)
+
+
+cumsum = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("cumsum")),
+    grad=cumsum_grad,
+    propagate_kwargs=True,
+)
 tan = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("tan")),
     grad=lambda x, grad: grad * (1 / cos(x) ** 2),
@@ -820,6 +838,7 @@ __all__ = [
     "squeeze",
     "std",
     "sum",
+    "cumsum",
     "tan",
     "tanh",
     "transpose",

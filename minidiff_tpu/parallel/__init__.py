@@ -2,6 +2,7 @@ from minidiff_tpu.parallel.mesh import (  # noqa: F401
     constrain,
     make_mesh,
     mlp_sharding_rules,
+    moe_sharding_rules,
     named_sharding,
     shard_tree,
     transformer_sharding_rules,

@@ -113,6 +113,44 @@ def transformer_sharding_rules(params: "Any") -> "Any":
     }
 
 
+def moe_sharding_rules(params: "Any") -> "Any":
+    """Expert-parallel placement for models.MoETransformerLM parameter trees.
+
+    Stacked expert weights (E, d, ff)/(E, ff, d) shard their leading expert
+    axis on ``ep`` — each device holds E/ep whole experts, and XLA SPMD turns
+    the dispatch/combine tensordots into the all-to-all-shaped collectives.
+    The router, attention, norms, embeddings, and head are replicated (compose
+    a ``dp`` axis for batch scaling; ``tp`` composes via the attention rules
+    of transformer_sharding_rules if needed).
+    """
+    blocks = []
+    for _ in params["blocks"]:
+        blocks.append({
+            "ln1": {"g": PartitionSpec(), "b": PartitionSpec()},
+            "attn": {
+                "qkv": {"w": PartitionSpec()},
+                "out": {"w": PartitionSpec()},
+            },
+            "ln2": {"g": PartitionSpec(), "b": PartitionSpec()},
+            "moe": {
+                "router": {"w": PartitionSpec()},
+                "experts": {
+                    "w1": PartitionSpec("ep", None, None),
+                    "b1": PartitionSpec("ep", None),
+                    "w2": PartitionSpec("ep", None, None),
+                    "b2": PartitionSpec("ep", None),
+                },
+            },
+        })
+    return {
+        "tok_emb": PartitionSpec(),
+        "pos_emb": PartitionSpec(),
+        "blocks": blocks,
+        "ln_f": {"g": PartitionSpec(), "b": PartitionSpec()},
+        "head": {"w": PartitionSpec()},
+    }
+
+
 def mlp_sharding_rules(params: "Any") -> "Any":
     """Megatron-style TP placement for models.MLP parameter trees.
 

@@ -29,6 +29,7 @@ def make_sharded_train_step(
     loss_fn: "Callable" = F.cross_entropy,
     param_specs: "Any" = None,
     batch_spec: "Optional[PartitionSpec]" = None,
+    apply_fn: "Optional[Callable]" = None,
 ):
     """Returns (step, place_params, place_batch).
 
@@ -39,7 +40,8 @@ def make_sharded_train_step(
     gathers state back to one device.
     """
     optimizer = optimizer or SGD(0.1)
-    step = make_train_step(model, optimizer, loss_fn=loss_fn, jit=True)
+    step = make_train_step(model, optimizer, loss_fn=loss_fn, jit=True,
+                           apply_fn=apply_fn)
 
     if batch_spec is None:
         batch_spec = PartitionSpec("dp") if "dp" in mesh.axis_names else PartitionSpec()

@@ -232,6 +232,12 @@ def test_reduction_negative_axis(backend):
     check_op(md.mean, "mean", [rnd(2, 3, 4)], {"axis": (-1, 0)})
 
 
+def test_cumsum(backend):
+    check_op(md.cumsum, "cumsum", [rnd(2, 3, 4)], {"axis": 1})
+    check_op(md.cumsum, "cumsum", [rnd(2, 3, 4)], {"axis": -1})
+    check_op(md.cumsum, "cumsum", [rnd(3, 4)])  # axis=None scans the flat array
+
+
 # ---------------------------------------------------------------------------
 # binary arithmetic
 # ---------------------------------------------------------------------------
