@@ -38,6 +38,8 @@ Indexing/scatter:   index_add, put_along_axis, take_along_axis, setitem,
 Random:             choice, rand, randint, randn, binomial, permutation,
     shuffle, seed
 IO:                 save, load
+Collectives:        psum, ppermute (SPMD axis collectives; identity /
+    self-edge-only on the single-device numpy backend)
 Functional:         vmap
 Properties:         tensor_shape, tensor_size, tensor_ndim, tensor_dtype,
     tensor_item, repr, len, array_interface, array
@@ -82,6 +84,8 @@ REQUIRED_ATTRS = [
     "shuffle", "seed",
     # io
     "save", "load",
+    # collectives
+    "psum", "ppermute",
     # functional
     "vmap",
     # properties

@@ -269,6 +269,19 @@ class NumpyBackend:
     save = staticmethod(np.save)
     load = staticmethod(np.load)
 
+    # ---- collectives: single-device world, so psum is identity and
+    # ppermute delivers only the self-edge (absent edge -> zeros, matching
+    # jax.lax.ppermute's missing-source semantics) ----
+    @staticmethod
+    def psum(x: np.ndarray, axis_name: str) -> np.ndarray:
+        return x
+
+    @staticmethod
+    def ppermute(x: np.ndarray, axis_name: str, perm: Any) -> np.ndarray:
+        if any(tuple(p) == (0, 0) for p in perm):
+            return x
+        return np.zeros_like(x)
+
     # ---- functional ----
     @staticmethod
     def vmap(fun: Callable) -> Callable:

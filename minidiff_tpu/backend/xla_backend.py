@@ -399,6 +399,15 @@ class XlaBackend:
     def load(file: Any) -> jax.Array:
         return jnp.asarray(np.load(file))
 
+    # ---- collectives (SPMD, inside shard_map regions) ----
+    @staticmethod
+    def psum(x: jax.Array, axis_name: str) -> jax.Array:
+        return jax.lax.psum(x, axis_name)
+
+    @staticmethod
+    def ppermute(x: jax.Array, axis_name: str, perm: Any) -> jax.Array:
+        return jax.lax.ppermute(x, axis_name, perm=[tuple(p) for p in perm])
+
     # ---- functional ----
     @staticmethod
     def vmap(fun: Callable) -> Callable:

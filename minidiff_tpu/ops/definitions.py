@@ -448,6 +448,35 @@ cumsum = wrapping.create_unary_op_func(
     grad=cumsum_grad,
     propagate_kwargs=True,
 )
+
+
+# ---------------------------------------------------------------------------
+# SPMD collectives (extension ops; the reference is single-device, SURVEY §2.2)
+#
+# These are differentiable, so the tape backward of an SPMD program (e.g. the
+# shard_map pipeline in parallel/pipeline.py) emits the transposed collective:
+# the cotangent of a ppermute rides the inverse permutation, and psum's
+# cotangent passes through unchanged (each device's summand contributes with
+# weight 1 to the replicated total).
+# ---------------------------------------------------------------------------
+
+psum = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("psum")),
+    grad=lambda x, grad, axis_name: grad,
+    propagate_kwargs=True,
+)
+
+
+def ppermute_grad(x, grad, axis_name, perm):
+    inverse = [(int(d), int(s)) for (s, d) in perm]
+    return ppermute(grad, axis_name=axis_name, perm=inverse)
+
+
+ppermute = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("ppermute")),
+    grad=ppermute_grad,
+    propagate_kwargs=True,
+)
 tan = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("tan")),
     grad=lambda x, grad: grad * (1 / cos(x) ** 2),
@@ -839,6 +868,8 @@ __all__ = [
     "std",
     "sum",
     "cumsum",
+    "psum",
+    "ppermute",
     "tan",
     "tanh",
     "transpose",

@@ -8,3 +8,8 @@ from minidiff_tpu.parallel.mesh import (  # noqa: F401
     transformer_sharding_rules,
 )
 from minidiff_tpu.parallel.train import make_sharded_train_step  # noqa: F401
+from minidiff_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_train_step,
+    stack_stage_params,
+    unstack_stage_params,
+)

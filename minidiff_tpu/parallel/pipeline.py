@@ -1,0 +1,244 @@
+"""Pipeline parallelism: GPipe microbatch schedule over a ``pp`` mesh axis.
+
+The reference is single-device (SURVEY.md §2.2 lists PP as absent); this is
+the TPU-native pipeline layer.  The design is the *collective pipeline* of
+the SPMD world, not a multi-process runtime:
+
+* the WHOLE train step — embedding, blocks, head, loss, engine backward,
+  optimizer — runs inside ONE ``jax.shard_map`` over the ``pp`` axis, so all
+  devices execute the same compiled program on their local stage;
+* per-stage block parameters are stacked on a leading stage axis and arrive
+  pre-sharded (in_specs ``P('pp')``) — each device holds its stage's blocks;
+* activations move between stages with the differentiable ``md.ppermute``
+  op, so the engine's own tape backward emits the reverse pipeline (the
+  cotangent rides the inverse permutation) — no jax.grad involved;
+* stage-specific work (embedding on stage 0, head+loss on the last stage)
+  is computed everywhere and masked by ``axis_index`` — the SPMD idiom:
+  identical program, divergent data;
+* replicated parameters (embeddings, final norm, head) get their gradients
+  summed across stages with the differentiable ``md.psum`` before the
+  optimizer update, keeping every device's copy bit-identical.
+
+The schedule is classic GPipe: ``n_micro`` microbatches flow through
+``pp`` stages in ``n_micro + pp - 1`` ticks (statically unrolled — tick
+structure is compile-time, only data is dynamic).  Bubble fraction is
+``(pp-1)/(n_micro+pp-1)``; raise ``n_micro`` to amortize.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+import minidiff_tpu as md
+from minidiff_tpu.models.optim import SGD, Optimizer
+from minidiff_tpu.models.transformer import lm_loss
+
+if TYPE_CHECKING:
+    from typing import Any, Callable, Optional
+
+    from minidiff_tpu.models.transformer import TransformerLM
+
+
+def _is_tensor(x):
+    return isinstance(x, md.Tensor)
+
+
+def _unwrap(tree):
+    return jax.tree.map(lambda t: t._data, tree, is_leaf=_is_tensor)
+
+
+def _wrap(tree, allow_grad=False):
+    return jax.tree.map(lambda a: md.Tensor(a, allow_grad=allow_grad), tree)
+
+
+def stack_stage_params(params: "Any", pp: int) -> "Any":
+    """TransformerLM params -> {"stages": [per-stage-stacked block trees],
+    "shared": everything else}.
+
+    ``stages[j]`` holds block ``s*per_stage + j`` of every stage ``s``,
+    stacked on a new leading axis of size ``pp`` (the axis shard_map splits).
+    """
+    blocks = params["blocks"]
+    assert len(blocks) % pp == 0, (len(blocks), pp)
+    per_stage = len(blocks) // pp
+    stages = []
+    for j in range(per_stage):
+        group = [blocks[s * per_stage + j] for s in range(pp)]
+        stages.append(
+            jax.tree.map(
+                lambda *ts: md.Tensor(
+                    jnp.stack([t._data for t in ts]), allow_grad=True
+                ),
+                *group,
+                is_leaf=_is_tensor,
+            )
+        )
+    shared = {k: v for k, v in params.items() if k != "blocks"}
+    return {"stages": stages, "shared": shared}
+
+
+def unstack_stage_params(stacked: "Any", pp: int) -> "Any":
+    """Inverse of stack_stage_params (for checkpointing / single-device use)."""
+    per_stage = len(stacked["stages"])
+    blocks = []
+    for s in range(pp):
+        for j in range(per_stage):
+            blocks.append(
+                jax.tree.map(
+                    lambda t: md.Tensor(t._data[s], allow_grad=True),
+                    stacked["stages"][j],
+                    is_leaf=_is_tensor,
+                )
+            )
+    out = dict(stacked["shared"])
+    out["blocks"] = blocks
+    return out
+
+
+def _state_specs(raw_state, raw_params, param_specs):
+    """Specs for an optimizer-state tree: reuse the param spec tree wherever
+    the state embeds a params-shaped subtree (SGD momentum, Adam m/v);
+    everything else (step counters, scalars) is replicated."""
+    if raw_state is None:
+        return None
+    pstruct = jax.tree.structure(raw_params)
+
+    def match(sub):
+        try:
+            return jax.tree.structure(sub) == pstruct
+        except Exception:
+            return False
+
+    if match(raw_state):
+        return param_specs
+    if isinstance(raw_state, dict):
+        return {
+            k: (param_specs if match(v) else jax.tree.map(lambda _: P(), v))
+            for k, v in raw_state.items()
+        }
+    return jax.tree.map(lambda _: P(), raw_state)
+
+
+def make_pipeline_train_step(
+    model: "TransformerLM",
+    mesh: Mesh,
+    n_micro: int,
+    optimizer: "Optional[Optimizer]" = None,
+    loss_fn: "Callable" = lm_loss,
+    init_params: "Any" = None,
+):
+    """Returns (step, stacked_params, opt_state).
+
+    ``step(params, opt_state, x, y) -> (params, opt_state, loss)`` where
+    ``params`` is the stacked tree from ``stack_stage_params`` (leading
+    stage axis sharded on ``pp``); x/y are full-batch (B, S) token Tensors,
+    split into ``n_micro`` equal microbatches along B inside the step.
+    ``init_params`` (unstacked TransformerLM tree) seeds the stacked params;
+    omitted, a fresh ``model.init()`` is used.
+    """
+    pp = mesh.shape["pp"]
+    assert len(model.blocks) % pp == 0, "num_layers must divide over pp stages"
+    per_stage = len(model.blocks) // pp
+    optimizer = optimizer or SGD(0.1)
+
+    stacked = stack_stage_params(init_params or model.init(), pp)
+    opt_state = optimizer.init(stacked)
+
+    raw_params = _unwrap(stacked)
+    param_specs = {
+        "stages": jax.tree.map(lambda _: P("pp"), raw_params["stages"]),
+        "shared": jax.tree.map(lambda _: P(), raw_params["shared"]),
+    }
+    raw_state = _unwrap(opt_state) if opt_state is not None else None
+    state_specs = _state_specs(raw_state, raw_params, param_specs)
+
+    send_next = [(i, i + 1) for i in range(pp - 1)]
+
+    def body(raw_p, raw_s, raw_x, raw_y):
+        params = {
+            "stages": _wrap(raw_p["stages"], allow_grad=True),
+            "shared": _wrap(raw_p["shared"], allow_grad=True),
+        }
+        state = _wrap(raw_s) if raw_s is not None else None
+        x, y = md.Tensor(raw_x), md.Tensor(raw_y)
+
+        stage = jax.lax.axis_index("pp")
+        is_first = md.Tensor(stage == 0)
+        is_last_f = md.Tensor((stage == pp - 1))
+
+        b, s_len = x.shape
+        assert b % n_micro == 0, (b, n_micro)
+        mb = b // n_micro
+        ticks = n_micro + pp - 1
+
+        def objective(p):
+            tok, pos = p["shared"]["tok_emb"], p["shared"]["pos_emb"]
+            carry = md.zeros((mb, s_len, model.dim)).astype(tok.dtype)
+            loss_total = None
+            for t in range(ticks):
+                if t < n_micro:
+                    xt = x[t * mb:(t + 1) * mb]
+                    inp0 = tok[xt] + pos[:s_len]
+                else:
+                    inp0 = md.zeros_like(carry)
+                h = md.where(is_first, inp0, carry)
+                for j in range(per_stage):
+                    local = jax.tree.map(
+                        lambda w: w[0], p["stages"][j], is_leaf=_is_tensor
+                    )
+                    h = model.blocks[j].apply(local, h)
+                if t >= pp - 1:
+                    i = t - (pp - 1)
+                    z = model.ln_f.apply(p["shared"]["ln_f"], h)
+                    logits = model.head.apply(p["shared"]["head"], z)
+                    l = loss_fn(logits, y[i * mb:(i + 1) * mb])
+                    l = l * is_last_f.astype(l.dtype)
+                    loss_total = l if loss_total is None else loss_total + l
+                if pp > 1:
+                    carry = md.ppermute(h, axis_name="pp", perm=send_next)
+            return md.psum(loss_total / n_micro, axis_name="pp")
+
+        loss, grads = md.value_and_grad(objective)(params)
+        with md.no_grad():
+            grads = {
+                "stages": grads["stages"],
+                # replicated params: total gradient = sum of stage-local parts
+                "shared": jax.tree.map(
+                    lambda g: md.psum(g, axis_name="pp"),
+                    grads["shared"],
+                    is_leaf=_is_tensor,
+                ),
+            }
+        new_params, new_state = optimizer.update(params, grads, state)
+        new_raw_s = _unwrap(new_state) if new_state is not None else None
+        return _unwrap(new_params), new_raw_s, loss._data
+
+    jitted = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(param_specs, state_specs, P(), P()),
+            out_specs=(param_specs, state_specs, P()),
+            check_vma=False,
+        )
+    )
+
+    def step(params, state, x, y):
+        raw_p, new_raw_s, raw_loss = jitted(
+            _unwrap(params),
+            _unwrap(state) if state is not None else None,
+            x._data,
+            y._data,
+        )
+        new_params = {
+            "stages": _wrap(raw_p["stages"], allow_grad=True),
+            "shared": _wrap(raw_p["shared"], allow_grad=True),
+        }
+        new_state = _wrap(new_raw_s) if new_raw_s is not None else None
+        return new_params, new_state, md.Tensor(raw_loss)
+
+    return step, stacked, opt_state
