@@ -46,6 +46,7 @@ from minidiff_tpu.backend import (  # noqa: F401
     set_backend,
     use_backend,
 )
+from minidiff_tpu.dataloader import DataLoader, save_dataset  # noqa: F401
 
 __version__ = "0.1.0"
 
