@@ -399,8 +399,26 @@ def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
     a = jnp.asarray(rng.standard_normal(xs), dtype=xdt)
     b = jnp.asarray(rng.standard_normal(ys), dtype=ydt)
 
+    # Composition-aware racing: in real programs a matmul sits next to
+    # elementwise work (activation forward, activation-grad producer in the
+    # backward).  XLA fuses that into the dot's epilogue for free, while an
+    # opaque pallas_call forces the elementwise pass through HBM again —
+    # ~2 extra full-array passes that an isolated race never prices in
+    # (measured: Pallas "wins" 4096^2 bf16 NN by 17% bare but loses the
+    # fwd+bwd chain).  Timing every candidate under a cheap affine epilogue
+    # (VPU multiply-add, bandwidth-bound, fusable) makes the dispatch
+    # decision reflect in-context cost.
+    def _with_epilogue(fn):
+        def wrapped(x, y):
+            out = fn(x, y)
+            return out * jnp.asarray(1.0009765625, out.dtype) + jnp.asarray(
+                0.5, out.dtype
+            )
+
+        return wrapped
+
     candidates: "list[tuple[tuple | None, Any]]" = [
-        (None, jax.jit(_XLA_FNS[variant]))
+        (None, jax.jit(_with_epilogue(_XLA_FNS[variant])))
     ]
     for tiles in _TILE_CANDIDATES[variant]:
         if _tiles_fit(variant, tiles, m, n, k):
@@ -409,7 +427,11 @@ def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
                 (
                     tiles,
                     jax.jit(
-                        functools.partial(_PALLAS_FNS[variant], bm=bm, bn=bn, bk=bk)
+                        _with_epilogue(
+                            functools.partial(
+                                _PALLAS_FNS[variant], bm=bm, bn=bn, bk=bk
+                            )
+                        )
                     ),
                 )
             )
