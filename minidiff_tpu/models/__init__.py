@@ -33,6 +33,7 @@ from minidiff_tpu.models.transformer import (  # noqa: F401
     generate_cached,
     init_kv_cache,
 )
+from minidiff_tpu.models.decode import generate_compiled  # noqa: F401
 from minidiff_tpu.models.cnn import CNN, Conv2d  # noqa: F401
 from minidiff_tpu.models.moe import (  # noqa: F401
     MoEFeedForward,

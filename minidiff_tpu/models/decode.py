@@ -1,0 +1,147 @@
+"""Compiled autoregressive decoding: the serving path as ONE XLA program.
+
+``transformer.generate`` re-runs a full forward per token (O(S^2) each) and
+``generate_cached`` is O(S) per token but dispatches every op eagerly from
+Python — hundreds of device round-trips per generated token.  This module is
+the TPU-native serving path: the whole decode loop lowers into a single
+``lax.scan`` program, so generating N tokens is ONE device dispatch.
+
+TPU-idiomatic choices:
+* fixed-size KV cache (max_seq_len) updated in place per step via
+  ``Tensor.__setitem__`` with a *traced* position — lowering to
+  dynamic-update-slice, no reallocating concat;
+* attention reads the full cache each step under a ``position <= pos`` mask
+  (static shapes; the masked tail is dead lanes, not dynamic slicing);
+* prefill and decode share one scan: for the first ``s0`` steps the input
+  token comes from the prompt, afterwards from the previous argmax
+  (``lax.select`` on the step index — no Python branching in the trace).
+
+Everything inside the scan body is framework ops under ``md.no_grad()`` —
+the same `md.*` calls as the eager path, traced once.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+
+import minidiff_tpu as md
+from minidiff_tpu.models import functional as F
+
+if TYPE_CHECKING:
+    from typing import Any, Tuple
+
+    from minidiff_tpu.models.transformer import TransformerLM
+
+
+def _is_tensor(x):
+    return isinstance(x, md.Tensor)
+
+
+def _block_decode_step(blk, params, x, cache, pos_t, mask):
+    """One-token pre-LN block step against the fixed-size cache.
+
+    x (b, 1, d); cache {"k","v"} (b, h, L, hd); pos_t scalar Tensor; mask
+    (L,) bool Tensor of positions <= pos.  Mirrors transformer._block_step
+    but with traced positions and masked full-cache attention.
+    """
+    attn = blk.attn
+    b, _, d = x.shape
+    h, hd = attn.num_heads, attn.head_dim
+
+    xa = blk.ln1.apply(params["ln1"], x)
+    qkv = attn.qkv.apply(params["attn"]["qkv"], xa)  # (b, 1, 3d)
+    qkv = qkv.reshape((b, 1, h, 3, hd))  # head-major, matching apply()
+    qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, 1, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    cache["k"][:, :, pos_t, :] = md.squeeze(k, axis=2).astype(cache["k"].dtype)
+    cache["v"][:, :, pos_t, :] = md.squeeze(v, axis=2).astype(cache["v"].dtype)
+
+    keys = cache["k"].astype(q.dtype)  # (b, h, L, hd)
+    vals = cache["v"].astype(q.dtype)
+    scores = md.matmul_nt(q, keys) * (1.0 / math.sqrt(hd))  # (b, h, 1, L)
+    scores = md.where(mask, scores, md.full_like(scores, -1e30))
+    attn_w = F.softmax(scores, axis=-1)
+    o = md.matmul(attn_w, vals)  # (b, h, 1, hd)
+    o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, 1, d))
+    x = x + attn.out.apply(params["attn"]["out"], o)
+
+    hdn = F.gelu(blk.fc1.apply(params["fc1"], blk.ln2.apply(params["ln2"], x)))
+    return x + blk.fc2.apply(params["fc2"], hdn)
+
+
+def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
+                      max_new_tokens: int) -> "md.Tensor":
+    """Greedy KV-cached decoding, the whole loop as one lax.scan program.
+
+    Token-for-token identical to ``transformer.generate(greedy=True)`` /
+    ``generate_cached``; prompt (B, S0) int -> (B, S0 + max_new_tokens).
+    """
+    b, s0 = prompt.shape
+    assert s0 >= 1, "generate_compiled needs a non-empty prompt to prefill"
+    total = s0 + max_new_tokens - 1
+    assert total <= model.max_seq_len, "prompt + new tokens exceed max_seq_len"
+    L = model.max_seq_len
+
+    raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
+    p_dtype = raw_params["tok_emb"].dtype
+    prompt_raw = prompt._data
+
+    def step(raw_p, caches_raw, tok_raw, i):
+        """One decode position: token (B,) at position i -> next (B,)."""
+        with md.no_grad():
+            p = jax.tree.map(md.Tensor, raw_p)
+            caches = jax.tree.map(md.Tensor, caches_raw)
+            tok = md.Tensor(tok_raw).reshape((b, 1))
+            pos_t = md.Tensor(i)
+            mask = md.Tensor(jnp.arange(L)) <= pos_t  # (L,) bool
+
+            x = p["tok_emb"][tok] + p["pos_emb"][pos_t]
+            for blk, bp, cache in zip(model.blocks, p["blocks"], caches):
+                x = _block_decode_step(blk, bp, x, cache, pos_t, mask)
+            x = model.ln_f.apply(p["ln_f"], x)
+            logits = model.head.apply(p["head"], x)[:, 0, :]  # (B, V)
+            nxt = md.argmax(logits, axis=-1)  # (B,)
+            return (
+                jax.tree.map(lambda t: t._data, caches, is_leaf=_is_tensor),
+                nxt._data.astype(prompt_raw.dtype),
+            )
+
+    @jax.jit
+    def decode(raw_p, prompt_raw):
+        # cache init INSIDE the program: a closed-over device array would be
+        # lowered as an MLIR constant, which fetches its value to host —
+        # pathologically slow (or stalled) through an async device tunnel
+        caches0 = [
+            {
+                "k": jnp.zeros(
+                    (b, blk.attn.num_heads, L, blk.attn.head_dim), p_dtype
+                ),
+                "v": jnp.zeros(
+                    (b, blk.attn.num_heads, L, blk.attn.head_dim), p_dtype
+                ),
+            }
+            for blk in model.blocks
+        ]
+
+        def body(carry, i):
+            caches_raw, prev = carry
+            # prompt token while prefilling, else the previous argmax
+            tok = jnp.where(i < s0, prompt_raw[:, jnp.minimum(i, s0 - 1)], prev)
+            caches_raw, nxt = step(raw_p, caches_raw, tok, i)
+            return (caches_raw, nxt), nxt
+
+        init = (caches0, prompt_raw[:, 0])
+        _, nexts = jax.lax.scan(body, init, jnp.arange(total))
+        # nexts (total, B): the argmax after feeding position i; generated
+        # tokens are those produced at positions s0-1 .. total-1
+        return jnp.swapaxes(nexts[s0 - 1:], 0, 1)
+
+    generated = decode(raw_params, prompt_raw)
+    return md.concatenate(
+        [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
+    )
