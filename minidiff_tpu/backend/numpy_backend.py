@@ -85,6 +85,8 @@ class NumpyBackend:
 
     # ---- binary ----
     add = staticmethod(np.add)
+    maximum = staticmethod(np.maximum)
+    minimum = staticmethod(np.minimum)
 
     @staticmethod
     def astype(a: np.ndarray, dtype: Any, **kwargs: Any) -> np.ndarray:

@@ -128,6 +128,8 @@ class XlaBackend:
 
     # ---- binary ----
     add = staticmethod(jnp.add)
+    maximum = staticmethod(jnp.maximum)
+    minimum = staticmethod(jnp.minimum)
 
     @staticmethod
     def astype(a: jax.Array, dtype: Any, **kwargs: Any) -> jax.Array:

@@ -450,6 +450,30 @@ cumsum = wrapping.create_unary_op_func(
 )
 
 
+def _extremum_pick_grad(pick_x: bool):
+    """maximum/minimum VJP: route the cotangent to the winning operand;
+    exact ties split it evenly (matching the max/min reduction convention)."""
+
+    def grad_fn(x, y, grad):
+        win = (x > y) if pick_x else (x < y)
+        tie = x == y
+        return grad * (win.astype(grad.dtype) + 0.5 * tie.astype(grad.dtype))
+
+    return grad_fn
+
+
+maximum = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("maximum")),
+    grad_x=_extremum_pick_grad(True),
+    grad_y=_extremum_pick_grad(False),
+)
+minimum = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("minimum")),
+    grad_x=_extremum_pick_grad(False),
+    grad_y=_extremum_pick_grad(True),
+)
+
+
 # ---------------------------------------------------------------------------
 # SPMD collectives (extension ops; the reference is single-device, SURVEY §2.2)
 #
@@ -891,6 +915,8 @@ __all__ = [
     "matmul",
     "matmul_nt",
     "matmul_tn",
+    "maximum",
+    "minimum",
     "mod",
     "multiply",
     "not_equal",

@@ -13,3 +13,7 @@ from minidiff_tpu.parallel.pipeline import (  # noqa: F401
     stack_stage_params,
     unstack_stage_params,
 )
+from minidiff_tpu.parallel.ring import (  # noqa: F401
+    make_ring_train_step,
+    ring_attention,
+)

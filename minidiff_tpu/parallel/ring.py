@@ -1,0 +1,229 @@
+"""Ring attention: sequence-parallel attention over the ``sp`` mesh axis.
+
+The reference has no attention at all, let alone long-context scaling
+(SURVEY.md §5.7); this is the TPU-native long-context layer.  Each device
+holds a contiguous sequence chunk of Q/K/V; K/V blocks rotate around the
+ring of devices via the differentiable ``md.ppermute`` while each device
+accumulates its queries' attention with the **online softmax** (the flash
+recurrence: running max m, denominator l, numerator o).  After sp steps
+every query has seen every key, but no device ever materializes more than
+one (s_local x s_local) score block — attention memory stays O(S^2/sp^2)
+per device, which is what unlocks sequence lengths a single chip cannot
+hold.
+
+Everything is framework ops, so the tape backward differentiates the ring
+automatically: cotangents retrace the rotation through ppermute's
+inverse-permutation VJP.  No custom backward, no jax.grad — and the
+gradcheck/parity tests hold to f64 tolerances.
+
+Causality across chunks is data-dependent (devices differ), so it is
+handled with masks, not control flow: a K/V block strictly in the future is
+fully suppressed, the diagonal block gets the intra-chunk triangular mask,
+past blocks attend fully.  The fully-masked steps still run (SPMD programs
+cannot skip per-device) — the classic ring-attention load imbalance, ~2x
+FLOPs vs optimal for causal; acceptable until a zig-zag chunk layout is
+added.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+
+import minidiff_tpu as md
+
+if TYPE_CHECKING:
+    from typing import Optional
+
+_NEG = -1e30
+
+
+def ring_attention(
+    q: "md.Tensor",
+    k: "md.Tensor",
+    v: "md.Tensor",
+    sp: int,
+    axis_name: str = "sp",
+    causal: bool = True,
+    scale: "Optional[float]" = None,
+) -> "md.Tensor":
+    """Attention over ring-rotated K/V chunks; call inside shard_map.
+
+    q/k/v are the LOCAL chunks (b, h, s_local, hd) of a sequence sharded
+    over ``axis_name`` (chunk c holds global positions [c*s_local,
+    (c+1)*s_local)).  Returns the local output chunk.  Matches
+    ``md.sdpa(q_full, k_full, v_full, causal=causal)`` restricted to the
+    local rows.
+    """
+    b, h, s, hd = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+
+    my = jax.lax.axis_index(axis_name)  # this device's chunk index (traced)
+    rows = jnp.arange(s)[:, None]  # intra-chunk positions
+    cols = jnp.arange(s)[None, :]
+    tri = md.Tensor(rows >= cols)  # (s, s) lower-triangular allow-mask
+
+    m = md.full((b, h, s, 1), _NEG).astype(q.dtype)
+    l = md.zeros((b, h, s, 1)).astype(q.dtype)
+    o = md.zeros((b, h, s, hd)).astype(q.dtype)
+
+    shift = [(i, (i + 1) % sp) for i in range(sp)]
+    kk, vv = k, v
+    for r in range(sp):
+        # kk/vv currently hold chunk (my - r) mod sp
+        src = jnp.mod(my - r + sp, sp)
+        scores = md.matmul_nt(q, kk) * scale  # (b, h, s, s)
+        if causal:
+            past = md.Tensor(my > src)  # whole block in the past: allow all
+            diag = md.Tensor(my == src)  # same chunk: intra-chunk triangle
+            allowed = md.logical_or(past, md.logical_and(diag, tri))
+            scores = md.where(allowed, scores, md.full_like(scores, _NEG))
+            gate = allowed.astype(q.dtype)
+        else:
+            gate = None
+
+        blockmax = md.max(scores, axis=-1, keepdims=True)
+        m_new = md.maximum(m, blockmax)
+        p = md.exp(scores - m_new)
+        if gate is not None:
+            # masked lanes: exp(NEG - m_new) can be exp(0)=1 while everything
+            # is still masked (m_new == NEG) — the explicit gate zeroes them
+            p = p * gate
+        alpha = md.exp(m - m_new)
+        l = l * alpha + md.sum(p, axis=-1, keepdims=True)
+        o = o * alpha + md.matmul(p, vv)
+        m = m_new
+        if r < sp - 1:
+            kk = md.ppermute(kk, axis_name=axis_name, perm=shift)
+            vv = md.ppermute(vv, axis_name=axis_name, perm=shift)
+
+    return o / l
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel transformer training: tokens sharded on sp, attention via
+# the ring, everything inside one shard_map (the pipeline.py pattern).
+# ---------------------------------------------------------------------------
+
+
+def _is_tensor(x):
+    return isinstance(x, md.Tensor)
+
+
+def _unwrap(tree):
+    return jax.tree.map(lambda t: t._data, tree, is_leaf=_is_tensor)
+
+
+def _wrap(tree, allow_grad=False):
+    return jax.tree.map(lambda a: md.Tensor(a, allow_grad=allow_grad), tree)
+
+
+def _ring_block(blk, params, x, sp: int, axis_name: str):
+    """TransformerBlock.apply with the attention core swapped for the ring."""
+    from minidiff_tpu.models import functional as F
+
+    b, s, d = x.shape
+    attn = blk.attn
+    h, hd = attn.num_heads, attn.head_dim
+
+    xa = blk.ln1.apply(params["ln1"], x)
+    qkv = attn.qkv.apply(params["attn"]["qkv"], xa)  # (b, s, 3d)
+    qkv = qkv.reshape((b, s, h, 3, hd))  # head-major, matching apply()
+    qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, s, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    o = ring_attention(q, k, v, sp, axis_name=axis_name, causal=attn.causal)
+    o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
+    x = x + attn.out.apply(params["attn"]["out"], o)
+
+    hdn = F.gelu(blk.fc1.apply(params["fc1"], blk.ln2.apply(params["ln2"], x)))
+    return x + blk.fc2.apply(params["fc2"], hdn)
+
+
+def make_ring_train_step(model, mesh, optimizer=None, init_params=None,
+                         axis_name: str = "sp"):
+    """Sequence-parallel TransformerLM training over ``mesh``'s sp axis.
+
+    Returns (step, params, opt_state); ``step(params, opt_state, x, y)``
+    takes FULL-batch (B, S) token Tensors (sequence split across devices
+    inside), returns the same replicated params tree.  Parity: identical to
+    the single-device make_train_step(model, loss_fn=lm_loss) step.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from minidiff_tpu.models import functional as F
+    from minidiff_tpu.models.optim import SGD
+    from minidiff_tpu.parallel.pipeline import _state_specs
+
+    sp = mesh.shape[axis_name]
+    optimizer = optimizer or SGD(0.1)
+    params0 = init_params or model.init()
+    opt_state = optimizer.init(params0)
+
+    raw_params = _unwrap(params0)
+    param_specs = jax.tree.map(lambda _: P(), raw_params)
+    raw_state = _unwrap(opt_state) if opt_state is not None else None
+    state_specs = _state_specs(raw_state, raw_params, param_specs)
+
+    def body(raw_p, raw_s, raw_x, raw_y):
+        params = _wrap(raw_p, allow_grad=True)
+        state = _wrap(raw_s) if raw_s is not None else None
+        my = jax.lax.axis_index(axis_name)
+        b, s_loc = raw_x.shape
+
+        def objective(p):
+            x = md.Tensor(raw_x)
+            y = md.Tensor(raw_y)
+            offs = my * s_loc + jnp.arange(s_loc)  # global positions
+            hh = p["tok_emb"][x] + p["pos_emb"][md.Tensor(offs)]
+            for blk, bp in zip(model.blocks, p["blocks"]):
+                hh = _ring_block(blk, bp, hh, sp, axis_name)
+            hh = model.ln_f.apply(p["ln_f"], hh)
+            logits = model.head.apply(p["head"], hh)  # (b, s_loc, V)
+            vdim = logits.shape[-1]
+            local = F.cross_entropy(
+                logits.reshape((b * s_loc, vdim)), y.reshape((b * s_loc,))
+            )
+            # chunks are equal-sized, so the global token mean is the mean
+            # of the per-device means
+            return md.psum(local, axis_name=axis_name) / sp
+
+        loss, grads = md.value_and_grad(objective)(params)
+        with md.no_grad():
+            # every parameter is replicated; sum the per-chunk contributions
+            grads = jax.tree.map(
+                lambda g: md.psum(g, axis_name=axis_name), grads,
+                is_leaf=_is_tensor,
+            )
+        new_params, new_state = optimizer.update(params, grads, state)
+        new_raw_s = _unwrap(new_state) if new_state is not None else None
+        return _unwrap(new_params), new_raw_s, loss._data
+
+    jitted = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(param_specs, state_specs, P(None, axis_name),
+                      P(None, axis_name)),
+            out_specs=(param_specs, state_specs, P()),
+            check_vma=False,
+        )
+    )
+
+    def step(params, state, x, y):
+        raw_p, new_raw_s, raw_loss = jitted(
+            _unwrap(params),
+            _unwrap(state) if state is not None else None,
+            x._data,
+            y._data,
+        )
+        return (
+            _wrap(raw_p, allow_grad=True),
+            _wrap(new_raw_s) if new_raw_s is not None else None,
+            md.Tensor(raw_loss),
+        )
+
+    return step, params0, opt_state

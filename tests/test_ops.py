@@ -238,6 +238,14 @@ def test_cumsum(backend):
     check_op(md.cumsum, "cumsum", [rnd(3, 4)])  # axis=None scans the flat array
 
 
+@pytest.mark.parametrize("name", ["maximum", "minimum"])
+def test_elementwise_extrema(backend, name):
+    for _ in range(TRIALS):
+        check_op(getattr(md, name), name, [rnd(2, 3, 4), rnd(2, 3, 4)])
+    # broadcasting
+    check_op(getattr(md, name), name, [rnd(2, 3, 4), rnd(4)])
+
+
 # ---------------------------------------------------------------------------
 # binary arithmetic
 # ---------------------------------------------------------------------------
