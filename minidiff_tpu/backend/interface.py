@@ -25,6 +25,7 @@ Shape unary:        atleast_1d, atleast_2d, atleast_3d, flatten, flip, ravel,
     squeeze, transpose
 Reductions:         all, any, argmax, argmin, max, mean, min, prod, std, sum
 Scans:              cumsum
+Ordering:           sort, argsort, top_k_indices (k largest on the last axis)
 Search:             argwhere
 Binary:             add, astype, broadcast_to, dot, equal, expand_dims,
     floor_divide, getitem, greater, greater_equal, less, less_equal,
@@ -60,9 +61,9 @@ REQUIRED_ATTRS = [
     # shape unary
     "atleast_1d", "atleast_2d", "atleast_3d", "flatten", "flip", "ravel",
     "squeeze", "transpose",
-    # reductions / search / scans
+    # reductions / search / scans / ordering
     "all", "any", "argmax", "argmin", "max", "mean", "min", "prod", "std",
-    "sum", "cumsum", "argwhere",
+    "sum", "cumsum", "argwhere", "sort", "argsort", "top_k_indices",
     # binary
     "add", "astype", "broadcast_to", "dot", "equal", "expand_dims",
     "floor_divide", "getitem", "greater", "greater_equal", "less",

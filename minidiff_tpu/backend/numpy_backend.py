@@ -82,6 +82,16 @@ class NumpyBackend:
     std = staticmethod(np.std)
     sum = staticmethod(np.sum)
     cumsum = staticmethod(np.cumsum)
+    sort = staticmethod(np.sort)
+    argsort = staticmethod(np.argsort)
+
+    @staticmethod
+    def top_k_indices(a: np.ndarray, k: int) -> np.ndarray:
+        # indices of the k largest along the LAST axis, descending value
+        part = np.argpartition(-a, k - 1, axis=-1)[..., :k]
+        vals = np.take_along_axis(a, part, axis=-1)
+        order = np.argsort(-vals, axis=-1, kind="stable")
+        return np.take_along_axis(part, order, axis=-1)
 
     # ---- binary ----
     add = staticmethod(np.add)

@@ -125,6 +125,13 @@ class XlaBackend:
     std = staticmethod(jnp.std)
     sum = staticmethod(jnp.sum)
     cumsum = staticmethod(jnp.cumsum)
+    sort = staticmethod(jnp.sort)
+    argsort = staticmethod(jnp.argsort)
+
+    @staticmethod
+    def top_k_indices(a: jax.Array, k: int) -> jax.Array:
+        # O(n log k) on device; last axis, descending value
+        return jax.lax.top_k(a, k)[1]
 
     # ---- binary ----
     add = staticmethod(jnp.add)

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+import jax
+
 import minidiff_tpu as md
 from minidiff_tpu.models import functional as F
 from minidiff_tpu.models.layers import Activation, Linear, Module, Sequential
@@ -49,6 +51,7 @@ def make_train_step(
     loss_fn: "Callable" = F.cross_entropy,
     jit: bool = True,
     apply_fn: "Optional[Callable]" = None,
+    grad_accum: int = 1,
 ):
     """Build ``step(params, opt_state, x, y) -> (params, opt_state, loss)``.
 
@@ -56,16 +59,49 @@ def make_train_step(
     pure function; with jit=True it compiles into a single XLA executable.
     ``apply_fn`` overrides ``model.apply`` for models whose training forward
     returns extra outputs (e.g. MoE's ``apply_with_aux``); ``loss_fn`` then
-    receives whatever it returns.
+    receives whatever it returns.  ``grad_accum > 1`` splits the batch into
+    that many microbatches, runs fwd+bwd per microbatch, and applies ONE
+    update with the averaged gradients — activation memory scales with the
+    microbatch, so batch sizes that do not fit in HBM still train (the
+    statically-unrolled microbatch loop compiles into the same executable).
     """
     optimizer = optimizer or SGD(0.1)
     apply = apply_fn or model.apply
 
     def step(params, opt_state, x, y):
-        def objective(p):
-            return loss_fn(apply(p, x), y)
+        if grad_accum == 1:
+            def objective(p):
+                return loss_fn(apply(p, x), y)
 
-        loss, grads = md.value_and_grad(objective)(params)
+            loss, grads = md.value_and_grad(objective)(params)
+        else:
+            assert x.shape[0] % grad_accum == 0, (x.shape[0], grad_accum)
+            n = x.shape[0] // grad_accum
+            loss = None
+            grads = None
+            for i in range(grad_accum):
+                xi = x[i * n:(i + 1) * n]
+                yi = y[i * n:(i + 1) * n]
+
+                def objective(p, xi=xi, yi=yi):
+                    return loss_fn(apply(p, xi), yi)
+
+                li, gi = md.value_and_grad(objective)(params)
+                loss = li if loss is None else loss + li
+                if grads is None:
+                    grads = gi
+                else:
+                    grads = jax.tree.map(
+                        lambda a, b: a + b, grads, gi,
+                        is_leaf=lambda t: isinstance(t, md.Tensor),
+                    )
+            scale = 1.0 / grad_accum
+            with md.no_grad():
+                loss = loss * scale
+                grads = jax.tree.map(
+                    lambda g: g * scale, grads,
+                    is_leaf=lambda t: isinstance(t, md.Tensor),
+                )
         params, opt_state = optimizer.update(params, grads, opt_state)
         return params, opt_state, loss
 

@@ -190,12 +190,12 @@ def _sample_next(last: "md.Tensor", greedy: bool, temperature: float,
         return md.argmax(last, axis=-1)
     logits = last / py_max(float(temperature), 1e-6)
     if top_k is not None and top_k < logits.shape[-1]:
-        import numpy as _np
-
-        arr = _np.asarray(md.try_unwrap(logits))
-        kth = _np.sort(arr, axis=-1)[:, -top_k][:, None]
-        logits = md.where(logits >= md.Tensor(kth).astype(logits.dtype),
-                          logits, -1e30)
+        # k-th largest per row via device top-k — no host round-trip, so
+        # the sampling step stays traceable
+        vals, _ = md.topk(logits, top_k, axis=-1)
+        kth = vals[:, -1:]
+        logits = md.where(logits >= kth, logits,
+                          md.full_like(logits, -1e30))
     noise = -md.log(-md.log(md.rand(*logits.shape) + 1e-9) + 1e-9)
     return md.argmax(logits + noise.astype(logits.dtype), axis=-1)
 

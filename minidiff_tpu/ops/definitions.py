@@ -450,6 +450,78 @@ cumsum = wrapping.create_unary_op_func(
 )
 
 
+# ---------------------------------------------------------------------------
+# ordering ops (extension beyond the reference surface)
+# ---------------------------------------------------------------------------
+
+argsort = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("argsort")),
+    is_differentiable=False,
+    propagate_kwargs=True,
+)
+
+
+def gather(x: "md.Tensor", indices: "md.Tensor", axis: int = -1) -> "md.Tensor":
+    """Differentiable take-along-axis: out[..., i, ...] = x[..., idx[..., i,
+    ...], ...].  ``indices`` has x's ndim with any size on ``axis``.  Built
+    on the differentiable getitem (VJP = scatter_add), unlike the
+    reference-parity ``take_along_axis`` factory which is graph-free.
+    """
+    nd = x.ndim
+    ax = axis % nd
+    key = []
+    for d in range(nd):
+        if d == ax:
+            key.append(indices)
+        else:
+            view = (1,) * d + (x.shape[d],) + (1,) * (nd - d - 1)
+            key.append(md.arange(x.shape[d]).reshape(view))
+    return getitem(x, tuple(key))
+
+
+def sort_grad(x, grad, axis=-1, **kwargs):
+    """Route each sorted slot's cotangent back to its source position.
+
+    sort(x) = gather(x, argsort(x)); a permutation's scatter transpose is a
+    gather by the inverse permutation, and argsort(argsort(x)) IS that
+    inverse — so the VJP stays gather-only (differentiable, no scatter).
+    """
+    if axis is None:  # numpy sorts the flattened array
+        flat = x.reshape((x.size,))
+        perm = argsort(flat)
+        return gather(grad, argsort(perm)).reshape(x.shape)
+    perm = argsort(x, axis=axis)
+    return gather(grad, argsort(perm, axis=axis), axis=axis)
+
+
+sort = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("sort")),
+    grad=sort_grad,
+    propagate_kwargs=True,
+)
+
+
+_top_k_indices = as_tensor_func(backend_fn("top_k_indices"))
+
+
+def topk(x: "md.Tensor", k: int, axis: int = -1):
+    """(values, indices) of the k largest along ``axis``, descending.
+
+    ``values`` is differentiable (gather routes the cotangent to the picked
+    positions); ``indices`` is integer/non-diff.  Ties follow the backend's
+    top-k order.  Uses O(n log k) device top-k on the last axis.
+    """
+    nd = x.ndim
+    ax = axis % nd
+    moved = swapaxes(x, ax, nd - 1) if ax != nd - 1 else x
+    idx = _top_k_indices(moved, k)
+    vals = gather(moved, idx, axis=-1)
+    if ax != nd - 1:
+        vals = swapaxes(vals, ax, nd - 1)
+        idx = swapaxes(idx, ax, nd - 1)
+    return vals, idx
+
+
 def _extremum_pick_grad(pick_x: bool):
     """maximum/minimum VJP: route the cotangent to the winning operand;
     exact ties split it evenly (matching the max/min reduction convention)."""
@@ -892,6 +964,10 @@ __all__ = [
     "std",
     "sum",
     "cumsum",
+    "sort",
+    "argsort",
+    "gather",
+    "topk",
     "psum",
     "ppermute",
     "tan",

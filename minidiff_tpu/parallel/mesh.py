@@ -113,6 +113,37 @@ def transformer_sharding_rules(params: "Any") -> "Any":
     }
 
 
+def fsdp_sharding_rules(params: "Any", mesh: Mesh, axis: str = "dp",
+                        min_size: int = 2 ** 14) -> "Any":
+    """ZeRO-3/FSDP-style placement: every large parameter fully sharded.
+
+    Each Tensor leaf with >= ``min_size`` elements shards its largest
+    ``mesh.shape[axis]``-divisible dimension over ``axis``; small or
+    indivisible leaves stay replicated.  Because optimizer states mirror
+    the parameter tree, the sharded train step's state inherits the same
+    layout — parameters, gradients, and optimizer moments all live sharded,
+    and XLA SPMD derives the ZeRO communication schedule (all-gather at use
+    sites, reduce-scatter on grads) from the shardings alone.
+
+    Works for any model's pytree; combine with ``batch_spec=P(axis)`` in
+    make_sharded_train_step so the same mesh axis carries data parallelism.
+    """
+    n = mesh.shape[axis]
+
+    def rule(leaf):
+        if not isinstance(leaf, md.Tensor) or leaf.size < min_size:
+            return PartitionSpec()
+        divisible = [d for d in range(leaf.ndim) if leaf.shape[d] % n == 0]
+        if not divisible:
+            return PartitionSpec()
+        best = max(divisible, key=lambda d: leaf.shape[d])
+        spec = [None] * leaf.ndim
+        spec[best] = axis
+        return PartitionSpec(*spec)
+
+    return jax.tree.map(rule, params, is_leaf=lambda x: isinstance(x, md.Tensor))
+
+
 def moe_sharding_rules(params: "Any") -> "Any":
     """Expert-parallel placement for models.MoETransformerLM parameter trees.
 

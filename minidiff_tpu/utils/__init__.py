@@ -4,3 +4,9 @@ from minidiff_tpu.utils.gradcheck import (  # noqa: F401
 )
 from minidiff_tpu.utils.visualize import draw_tensor_op_graph, to_dot  # noqa: F401
 from minidiff_tpu.utils.checkpoint import load_pytree, save_pytree  # noqa: F401
+from minidiff_tpu.utils.profile import (  # noqa: F401
+    StepTimer,
+    annotate,
+    profile_fn,
+    trace,
+)

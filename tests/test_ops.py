@@ -238,6 +238,60 @@ def test_cumsum(backend):
     check_op(md.cumsum, "cumsum", [rnd(3, 4)])  # axis=None scans the flat array
 
 
+def test_sort(backend):
+    check_op(md.sort, "sort", [rnd(2, 3, 4)], {"axis": -1})
+    check_op(md.sort, "sort", [rnd(2, 3, 4)], {"axis": 1})
+    check_op(md.sort, "sort", [rnd(3, 4)], {"axis": None}, grad_check=False)
+    # axis=None grad: flattened-sort cotangent lands back at source positions
+    x = md.Tensor(np.random.randn(3, 4), allow_grad=True)
+    out = md.sum(md.sort(x, axis=None) * md.Tensor(np.arange(12.0)))
+    out.backward()
+    flat = np.asarray(x.detach()).ravel()
+    expect = np.empty(12)
+    expect[np.argsort(flat)] = np.arange(12.0)
+    np.testing.assert_allclose(np.asarray(x.grad).ravel(), expect, rtol=1e-10)
+
+
+def test_argsort_forward(backend):
+    check_op(md.argsort, "argsort", [rnd(2, 3, 4)], {"axis": -1},
+             grad_check=False)
+
+
+def test_gather_grad(backend):
+    x = md.Tensor(np.random.randn(3, 5), allow_grad=True)
+    idx = md.Tensor(np.array([[4, 0], [1, 1], [2, 3]]))
+    out = md.gather(x, idx, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(out.detach()),
+        np.take_along_axis(np.asarray(x.detach()), np.asarray(idx.detach()), -1),
+    )
+    md.sum(out).backward()
+    g = np.asarray(x.grad)
+    # row 1 picked index 1 twice -> grad 2 there; unpicked positions 0
+    assert g[1, 1] == 2 and g[0, 4] == 1 and g[0, 1] == 0
+
+
+def test_topk_values_and_grads(backend):
+    np.random.seed(0)
+    x = md.Tensor(np.random.randn(4, 9), allow_grad=True)
+    vals, idx = md.topk(x, 3, axis=-1)
+    xn = np.asarray(x.detach())
+    expect = -np.sort(-xn, axis=-1)[:, :3]
+    np.testing.assert_allclose(np.asarray(vals.detach()), expect, rtol=1e-12)
+    np.testing.assert_array_equal(
+        np.take_along_axis(xn, np.asarray(idx.detach()).astype(int), -1),
+        np.asarray(vals.detach()),
+    )
+    md.sum(vals).backward()
+    g = np.asarray(x.grad)
+    assert g.sum() == 12  # 4 rows x 3 picks
+    assert ((g == 0) | (g == 1)).all()
+    # axis=0 variant
+    vals0, _ = md.topk(x.detach(allow_grad=True), 2, axis=0)
+    np.testing.assert_allclose(np.asarray(vals0.detach()),
+                               -np.sort(-xn, axis=0)[:2], rtol=1e-12)
+
+
 @pytest.mark.parametrize("name", ["maximum", "minimum"])
 def test_elementwise_extrema(backend, name):
     for _ in range(TRIALS):

@@ -1,0 +1,164 @@
+"""FSDP sharding rules, gradient accumulation, and profiling utilities."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec
+
+import minidiff_tpu as md
+from minidiff_tpu import parallel
+from minidiff_tpu.models import MLP, SGD, Adam, make_train_step
+from minidiff_tpu.models.data import synthetic_classification
+from minidiff_tpu.utils import StepTimer, annotate, profile_fn, trace
+
+
+def setup_function(_):
+    md.set_backend("xla")
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+# ---------------------------------------------------------------------------
+# gradient accumulation
+# ---------------------------------------------------------------------------
+
+
+def test_grad_accum_matches_full_batch():
+    """K microbatches with averaged grads == one full-batch step (mean loss
+    decomposes over equal chunks)."""
+    np.random.seed(0)
+    model = MLP(16, (8,), 4)
+    init = model.init()
+    xs, ys = synthetic_classification(32, 16, 4)
+    x, y = md.Tensor(xs), md.Tensor(ys)
+
+    p1, _, loss1 = make_train_step(model, SGD(0.1))(init, None, x, y)
+    p4, _, loss4 = make_train_step(model, SGD(0.1), grad_accum=4)(
+        init, None, x, y
+    )
+    np.testing.assert_allclose(float(loss4.item()), float(loss1.item()),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p4[0]["w"]), np.asarray(p1[0]["w"]),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_grad_accum_trains_with_adam():
+    np.random.seed(1)
+    model = MLP(16, (16,), 4)
+    opt = Adam(1e-2)
+    params = model.init()
+    state = opt.init(params)
+    step = make_train_step(model, opt, grad_accum=2)
+    xs, ys = synthetic_classification(64, 16, 4)
+    x, y = md.Tensor(xs), md.Tensor(ys)
+    losses = []
+    for _ in range(10):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    model = MLP(4, (4,), 2)
+    step = make_train_step(model, SGD(0.1), grad_accum=3, jit=False)
+    xs, ys = synthetic_classification(8, 4, 2)
+    with pytest.raises(AssertionError):
+        step(model.init(), None, md.Tensor(xs), md.Tensor(ys))
+
+
+# ---------------------------------------------------------------------------
+# FSDP / ZeRO-3 sharding rules
+# ---------------------------------------------------------------------------
+
+
+@needs_8
+def test_fsdp_rules_shard_large_params_only():
+    mesh = parallel.make_mesh({"dp": 8})
+    model = MLP(256, (128,), 64)
+    init = model.init()
+    rules = parallel.fsdp_sharding_rules(init, mesh, min_size=2**12)
+    # w0 (256,128)=32768 elems -> sharded on its largest axis (256)
+    assert rules[0]["w"] == PartitionSpec("dp", None)
+    # biases are small -> replicated
+    assert rules[0]["b"] == PartitionSpec()
+
+
+@needs_8
+def test_fsdp_training_matches_single_device():
+    np.random.seed(2)
+    mesh = parallel.make_mesh({"dp": 8})
+    model = MLP(64, (64,), 8)
+    init = model.init()
+    xs, ys = synthetic_classification(64, 64, 8)
+    x, y = md.Tensor(xs), md.Tensor(ys)
+
+    p1, _, loss1 = make_train_step(model, SGD(0.1))(init, None, x, y)
+
+    rules = parallel.fsdp_sharding_rules(init, mesh, min_size=2**10)
+    assert rules[0]["w"] == PartitionSpec("dp", None)  # really sharded
+    step8, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.1), param_specs=rules
+    )
+    p8 = place_params(init)
+    xb, yb = place_batch(x, y)
+    p8, _, loss8 = step8(p8, None, xb, yb)
+
+    np.testing.assert_allclose(float(loss8.item()), float(loss1.item()),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p8[0]["w"]), np.asarray(p1[0]["w"]),
+                               rtol=1e-9, atol=1e-12)
+    # parameters stay sharded after the update (ZeRO state layout persists)
+    spec = p8[0]["w"]._data.sharding.spec
+    assert tuple(spec)[:1] == ("dp",), spec
+
+
+# ---------------------------------------------------------------------------
+# profiling utilities
+# ---------------------------------------------------------------------------
+
+
+def test_step_timer_and_profile_fn():
+    x = md.Tensor(np.random.randn(64, 64))
+
+    def step(x):
+        return md.sum(md.tanh(x @ x))
+
+    stats = profile_fn(step, x, iters=5, warmup=1)
+    assert stats["steps"] == 5
+    assert stats["median_ms"] >= 0
+    assert stats["total_s"] >= 0
+
+    timer = StepTimer()
+    with timer:
+        out = step(x)
+    timer.sync(out)
+    assert timer.summary()["steps"] == 1
+
+
+def test_trace_and_annotate_write_a_profile():
+    x = md.Tensor(np.random.randn(32, 32))
+    with tempfile.TemporaryDirectory() as d:
+        with trace(d):
+            with annotate("matmul-block"):
+                md.sum(x @ x).item()
+        # the profiler writes a plugins/profile/<run>/ directory
+        found = []
+        for root, dirs, files in os.walk(d):
+            found.extend(files)
+        assert found, "no profiler artifacts written"
+
+
+def test_profile_utils_noop_on_numpy_backend():
+    md.set_backend("numpy")
+    x = md.Tensor(np.random.randn(8, 8))
+    with tempfile.TemporaryDirectory() as d:
+        with trace(d):
+            with annotate("noop"):
+                md.sum(x @ x).item()
+    md.set_backend("xla")
