@@ -39,6 +39,7 @@ from minidiff_tpu.func import (  # noqa: F401
     lower,
     remat,
     value_and_grad,
+    vjp,
 )
 from minidiff_tpu.backend import (  # noqa: F401
     available_backends,

@@ -70,7 +70,7 @@ REQUIRED_ATTRS = [
     "less_equal", "logical_and", "logical_or", "logical_xor", "matmul",
     "matmul_nt", "matmul_tn", "sdpa",
     "conv2d", "conv2d_input_grad", "conv2d_kernel_grad",
-    "maximum", "minimum",
+    "einsum", "maximum", "minimum",
     "mod", "multiply", "not_equal", "power", "reshape", "subtract",
     "tensordot", "true_divide",
     # ternary

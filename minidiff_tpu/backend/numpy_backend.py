@@ -95,6 +95,7 @@ class NumpyBackend:
 
     # ---- binary ----
     add = staticmethod(np.add)
+    einsum = staticmethod(np.einsum)
     maximum = staticmethod(np.maximum)
     minimum = staticmethod(np.minimum)
 

@@ -135,6 +135,7 @@ class XlaBackend:
 
     # ---- binary ----
     add = staticmethod(jnp.add)
+    einsum = staticmethod(jnp.einsum)
     maximum = staticmethod(jnp.maximum)
     minimum = staticmethod(jnp.minimum)
 

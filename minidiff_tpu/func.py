@@ -73,6 +73,31 @@ def value_and_grad(
     return wrapper
 
 
+def vjp(fn: "Callable[..., md.Tensor]", *primals: "Any"):
+    """jax.vjp-style: returns (out, vjp_fn) with vjp_fn(cotangent) -> grads.
+
+    The tape is built once; each ``vjp_fn`` call replays the reverse sweep
+    (cleanup_mode="keep") seeded with the given cotangent, so multiple
+    cotangents against one forward are cheap.  Grads mirror the primal
+    pytrees; ``None`` where a leaf was unreachable from the output.
+    """
+    copies = tuple(_tree_detach(p, allow_grad=True) for p in primals)
+    with md.enable_grad(True):
+        out = fn(*copies)
+
+    def vjp_fn(cotangent: "Any"):
+        ct = cotangent if isinstance(cotangent, md.Tensor) else md.Tensor(cotangent)
+        if out.op_node is not None:
+            out.op_node.backward(
+                ct.astype(out.dtype), cleanup_mode="keep", reset_grads=True,
+                root_output=out,
+            )
+        grads = tuple(_tree_grads(c) for c in copies)
+        return grads[0] if len(copies) == 1 else grads
+
+    return out.detach(), vjp_fn
+
+
 def grad(fn: "Callable[..., md.Tensor]", argnums: "Union[int, Sequence[int]]" = 0):
     vag = value_and_grad(fn, argnums)
 

@@ -13,6 +13,7 @@ from minidiff_tpu.models.optim import (  # noqa: F401
     SGD,
     Adam,
     AdamW,
+    MixedPrecision,
     Optimizer,
     clip_by_global_norm,
     cosine_schedule,

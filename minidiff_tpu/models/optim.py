@@ -117,6 +117,65 @@ class AdamW(Adam):
         return new_params, new_state
 
 
+class MixedPrecision(Optimizer):
+    """Mixed-precision training: f32 master weights, low-precision compute.
+
+    Wraps any optimizer.  The model holds and computes with low-precision
+    (bf16) parameters; this wrapper keeps a float32 master copy in its
+    state, applies the inner update there (grads are upcast, optionally
+    unscaled by ``loss_scale``), and hands back the re-cast low-precision
+    params.  The standard production recipe on TPU: bf16 matmuls on the
+    MXU, f32 accumulation of the optimizer state so tiny updates don't
+    round to zero.
+
+    ``loss_scale`` matches a loss multiplied by the same factor at the call
+    site (usually unnecessary for bf16 — its exponent range equals f32's —
+    but required for f16).
+    """
+
+    def __init__(self, inner: "Optimizer", compute_dtype: "Any" = None,
+                 loss_scale: float = 1.0):
+        self.inner = inner
+        self.compute_dtype = compute_dtype
+        self.loss_scale = loss_scale
+
+    def _f32(self):
+        import minidiff_tpu.backend as backend
+
+        return backend.get_backend().float32
+
+    def init(self, params: "Any") -> "Any":
+        with md.no_grad():
+            master = _tree_map(
+                lambda p: p.astype(self._f32()).detach(allow_grad=True), params
+            )
+        return {"master": master, "inner": self.inner.init(master)}
+
+    def update(self, params, grads, state):
+        import minidiff_tpu.backend as backend
+
+        compute_dtype = self.compute_dtype
+        if compute_dtype is None:
+            compute_dtype = backend.get_backend().bfloat16
+        with md.no_grad():
+            f32 = self._f32()
+            gscale = 1.0 / self.loss_scale
+            grads32 = _tree_map(
+                lambda g: g.astype(f32) * gscale if self.loss_scale != 1.0
+                else g.astype(f32),
+                grads,
+            )
+        master, inner_state = self.inner.update(
+            state["master"], grads32, state["inner"]
+        )
+        with md.no_grad():
+            new_params = _tree_map(
+                lambda p: p.astype(compute_dtype).detach(allow_grad=True),
+                master,
+            )
+        return new_params, {"master": master, "inner": inner_state}
+
+
 def clip_by_global_norm(grads: "Any", max_norm: float) -> "Any":
     """Scale the whole gradient tree so its global L2 norm is <= max_norm."""
     with md.no_grad():

@@ -451,6 +451,112 @@ cumsum = wrapping.create_unary_op_func(
 
 
 # ---------------------------------------------------------------------------
+# einsum (extension op) — 1- and 2-operand, differentiable, higher-order
+# capable (the VJPs are themselves einsums over framework ops).
+# ---------------------------------------------------------------------------
+
+
+def _einsum_parse(subscripts: str, n_ops: int):
+    spec = subscripts.replace(" ", "")
+    if "." in spec:
+        raise NotImplementedError("einsum: ellipsis is not supported")
+    lhs, arrow, rhs = spec.partition("->")
+    ins = lhs.split(",")
+    if len(ins) != n_ops:
+        raise ValueError(f"einsum spec {subscripts!r} expects {len(ins)} "
+                         f"operands, got {n_ops}")
+    for term in ins:
+        if len(set(term)) != len(term):
+            raise NotImplementedError(
+                "einsum: repeated indices within one operand (diagonals) "
+                "are not supported")
+    if not arrow:  # numpy implicit mode: once-seen indices, alphabetical
+        from collections import Counter
+
+        counts = Counter("".join(ins))
+        rhs = "".join(sorted(c for c, n in counts.items() if n == 1))
+    return ins, rhs
+
+
+def _einsum_operand_grad(term: str, other_terms: "list", out: str, grad,
+                         others: "list", x):
+    """d(einsum)/d(operand with index-string ``term``).
+
+    Standard rule: contract the cotangent (indexed by ``out``) with every
+    other operand back to ``term``'s indices.  Indices of ``term`` absent
+    from (out + others) were summed inside the forward — the cotangent
+    broadcasts back over them.
+    """
+    avail = set(out)
+    for t in other_terms:
+        avail |= set(t)
+    reachable = "".join(c for c in term if c in avail)
+    in_specs = ",".join([out, *other_terms])
+    sub = einsum(f"{in_specs}->{reachable}", grad, *others)
+    if reachable == term:
+        return sub
+    # re-insert the summed-away axes (size from x) and broadcast
+    for pos, c in enumerate(term):
+        if c not in reachable:
+            sub = expand_dims(sub, pos)
+            reachable = reachable[:pos] + c + reachable[pos:]
+    return broadcast_to(sub, x.shape)
+
+
+def _einsum1_grad(x, grad, subscripts=""):
+    (a,), out = _einsum_parse(subscripts, 1)
+    return _einsum_operand_grad(a, [], out, grad, [], x)
+
+
+def _einsum2_grad_x(x, y, grad, subscripts=""):
+    (a, b), out = _einsum_parse(subscripts, 2)
+    return _einsum_operand_grad(a, [b], out, grad, [y], x)
+
+
+def _einsum2_grad_y(x, y, grad, subscripts=""):
+    (a, b), out = _einsum_parse(subscripts, 2)
+    return _einsum_operand_grad(b, [a], out, grad, [x], y)
+
+
+def _einsum_forward_raw(*operands, subscripts=""):
+    import minidiff_tpu.backend as _backend
+
+    return _backend.get_backend().einsum(subscripts, *operands)
+
+
+_einsum1 = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(_einsum_forward_raw),
+    grad=_einsum1_grad,
+    propagate_kwargs=True,
+    op_name="einsum",
+)
+_einsum2 = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(_einsum_forward_raw),
+    grad_x=_einsum2_grad_x,
+    grad_y=_einsum2_grad_y,
+    propagate_kwargs=True,
+    op_name="einsum",
+    tensor_only=True,
+)
+
+
+def einsum(subscripts: str, *operands: "md.Tensor") -> "md.Tensor":
+    """Differentiable Einstein summation (1 or 2 operands).
+
+    Supports explicit (``"ij,jk->ik"``) and numpy-implicit specs; no
+    ellipsis or per-operand repeated indices.  VJPs are reverse einsums in
+    framework ops, so higher-order gradients re-tape as usual.
+    """
+    ins, out = _einsum_parse(subscripts, len(operands))  # validate eagerly
+    canonical = f"{','.join(ins)}->{out}"
+    if len(operands) == 1:
+        return _einsum1(operands[0], subscripts=canonical)
+    if len(operands) == 2:
+        return _einsum2(*operands, subscripts=canonical)
+    raise NotImplementedError("einsum: more than 2 operands not supported")
+
+
+# ---------------------------------------------------------------------------
 # ordering ops (extension beyond the reference surface)
 # ---------------------------------------------------------------------------
 
@@ -964,6 +1070,7 @@ __all__ = [
     "std",
     "sum",
     "cumsum",
+    "einsum",
     "sort",
     "argsort",
     "gather",

@@ -266,3 +266,46 @@ def test_lower_accepts_static_strings():
 
     text = md.lower(fn, md.Tensor(np.ones((3, 3))), "sum").as_text()
     assert "reduce" in text
+
+
+# ---------------------------------------------------------------------------
+# md.vjp
+# ---------------------------------------------------------------------------
+
+
+def test_vjp_matches_value_and_grad(backend):
+    np.random.seed(0)
+    x = md.Tensor(np.random.randn(3, 4))
+
+    def f(t):
+        return md.sum(md.sin(t) * t, axis=0)  # non-scalar output (4,)
+
+    out, vjp_fn = md.vjp(f, x)
+    assert out.shape == (4,)
+    ct = np.random.randn(4)
+    g = vjp_fn(md.Tensor(ct))
+
+    def scalarized(t):
+        return md.sum(f(t) * md.Tensor(ct))
+
+    _, ref = md.value_and_grad(scalarized)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_vjp_multiple_cotangents_reuse_tape(backend):
+    x = md.Tensor(np.arange(3.0))
+    out, vjp_fn = md.vjp(lambda t: t * t, x)
+    g1 = vjp_fn(md.Tensor(np.array([1.0, 0.0, 0.0])))
+    g2 = vjp_fn(md.Tensor(np.array([0.0, 0.0, 1.0])))
+    np.testing.assert_allclose(np.asarray(g1), [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(g2), [0.0, 0.0, 4.0])
+
+
+def test_vjp_multiple_primals(backend):
+    a = md.Tensor(np.array([2.0, 3.0]))
+    b = md.Tensor(np.array([5.0, 7.0]))
+    out, vjp_fn = md.vjp(lambda x, y: x * y, a, b)
+    ga, gb = vjp_fn(md.Tensor(np.ones(2)))
+    np.testing.assert_allclose(np.asarray(ga), [5.0, 7.0])
+    np.testing.assert_allclose(np.asarray(gb), [2.0, 3.0])

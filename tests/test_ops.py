@@ -611,3 +611,58 @@ def test_vmap_extra_args_pass_through_unmapped(backend):
     np.testing.assert_allclose(
         np.asarray(backend_mod.as_numpy(out._data)),
         np.full((3, 2), 1.0) + np.array([10.0, 20.0]))
+
+
+# ---------------------------------------------------------------------------
+# einsum
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("spec,shapes", [
+    ("ij,jk->ik", [(3, 4), (4, 5)]),
+    ("bij,bjk->bik", [(2, 3, 4), (2, 4, 5)]),
+    ("ij,ij->", [(3, 4), (3, 4)]),
+    ("ij->ji", [(3, 4)]),
+    ("ij->", [(3, 4)]),
+    ("i,j->ij", [(3,), (4,)]),
+    ("ij,j->i", [(3, 4), (4,)]),
+    ("ij,jk", [(3, 4), (4, 5)]),  # implicit output
+    ("bhqd,bhkd->bhqk", [(2, 2, 3, 4), (2, 2, 5, 4)]),
+])
+def test_einsum(backend, spec, shapes):
+    ts = [md.Tensor(np.random.randn(*s), allow_grad=True) for s in shapes]
+    out = md.einsum(spec, *ts)
+    ref = np.einsum(spec, *[np.asarray(backend_mod.as_numpy(t._data)) for t in ts])
+    got = np.asarray(backend_mod.as_numpy(out._data))
+    assert np.allclose(got, ref, rtol=1e-6), spec
+
+    def f(*args, spec=spec):
+        o = md.einsum(spec, *args)
+        return md.sum(o * o)
+
+    manual, auto = compute_grads(*ts, func=f, h=1e-4)
+    for i, (m, a) in enumerate(zip(manual, auto)):
+        assert np.allclose(np.asarray(m), np.asarray(a), rtol=1e-3,
+                           atol=1e-5), (spec, i)
+
+
+def test_einsum_rejects_unsupported(backend):
+    x = md.Tensor(np.random.randn(3, 3))
+    with pytest.raises(NotImplementedError):
+        md.einsum("ii->i", x)  # diagonal
+    with pytest.raises(NotImplementedError):
+        md.einsum("...i->...", x)  # ellipsis
+    with pytest.raises(ValueError):
+        md.einsum("ij,jk->ik", x)  # operand count mismatch
+
+
+def test_einsum_higher_order(backend):
+    x = md.Tensor(np.random.randn(3), allow_grad=True)
+    a = md.Tensor(np.random.randn(3, 3))
+    loss = md.sum(md.einsum("i,ij->j", x, a) ** 2)
+    loss.backward(allow_higher_order=True)
+    g = x.grad
+    md.sum(g).backward()
+    an = np.asarray(backend_mod.as_numpy(a._data))
+    h_row_sums = (2 * an @ an.T).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(x.grad), h_row_sums, rtol=1e-8)

@@ -162,3 +162,50 @@ def test_profile_utils_noop_on_numpy_backend():
             with annotate("noop"):
                 md.sum(x @ x).item()
     md.set_backend("xla")
+
+
+# ---------------------------------------------------------------------------
+# mixed precision (f32 master weights)
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_precision_trains_bf16_with_f32_master():
+    from minidiff_tpu.models import MixedPrecision
+
+    np.random.seed(4)
+    model = MLP(16, (32,), 4, dtype=md.bfloat16)
+    opt = MixedPrecision(Adam(1e-2))
+    params = model.init()
+    state = opt.init(params)
+    # master copy is f32, live params stay bf16
+    assert str(state["master"][0]["w"].dtype) == "float32"
+    step = make_train_step(model, opt)
+    xs, ys = synthetic_classification(128, 16, 4)
+    x, y = md.Tensor(xs).astype(md.bfloat16), md.Tensor(ys)
+    losses = []
+    for _ in range(20):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(loss.item()))
+    assert str(params[0]["w"].dtype) == "bfloat16"
+    assert str(state["master"][0]["w"].dtype) == "float32"
+    assert losses[-1] < losses[0] * 0.6, (losses[0], losses[-1])
+
+
+def test_mixed_precision_small_updates_survive():
+    """A tiny update that rounds to zero in bf16 must accumulate in the f32
+    master copy: that is the point of master weights."""
+    from minidiff_tpu.models import MixedPrecision
+    from minidiff_tpu.models.optim import SGD as _SGD
+
+    w0 = np.ones((4, 4), dtype=np.float32)
+    params = {"w": md.Tensor(w0, dtype=md.bfloat16, allow_grad=True)}
+    opt = MixedPrecision(_SGD(1.0))
+    state = opt.init(params)
+    tiny = {"w": md.Tensor(np.full((4, 4), 1e-4, dtype=np.float32))}
+    p = params
+    for _ in range(50):
+        p, state = opt.update(p, tiny, state)
+    # 50 * 1e-4 = 5e-3: invisible per-step in bf16 (eps(1) ~ 7.8e-3) but
+    # accumulated in the master copy
+    master = np.asarray(state["master"]["w"].detach())
+    np.testing.assert_allclose(master, 1.0 - 5e-3, rtol=1e-4)
