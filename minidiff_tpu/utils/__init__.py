@@ -3,7 +3,12 @@ from minidiff_tpu.utils.gradcheck import (  # noqa: F401
     compute_grads,
 )
 from minidiff_tpu.utils.visualize import draw_tensor_op_graph, to_dot  # noqa: F401
-from minidiff_tpu.utils.checkpoint import load_pytree, save_pytree  # noqa: F401
+from minidiff_tpu.utils.checkpoint import (  # noqa: F401
+    load_pytree,
+    load_train_state,
+    save_pytree,
+    save_train_state,
+)
 from minidiff_tpu.utils.profile import (  # noqa: F401
     StepTimer,
     annotate,

@@ -113,3 +113,59 @@ def load_pytree(file: "Any", like: "Optional[Any]" = None) -> "Any":
         return {k: _listify(v) for k, v in node.items()}
 
     return _listify(root)
+
+
+# ---------------------------------------------------------------------------
+# training-state checkpoints: params + optimizer state + counters in one file,
+# so interrupted runs resume exactly (the reference has no notion of resume —
+# SURVEY.md §5.4)
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(file: "Any", params: "Any", opt_state: "Any" = None,
+                     step: int = 0, extra: "Optional[dict]" = None) -> None:
+    """One-file checkpoint of everything a training loop needs to resume.
+
+    ``extra`` may carry small JSON-able metadata (epoch, rng seed, lr-
+    schedule position …).
+    """
+    import json
+
+    tree = {"params": params}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    meta = {"step": int(step), "extra": extra or {}}
+    tree["_meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    ).copy()
+    save_pytree(file, tree)
+
+
+def load_train_state(file: "Any", like_params: "Any",
+                     like_opt_state: "Any" = None):
+    """Restore (params, opt_state, step, extra) from save_train_state.
+
+    ``like_*`` trees provide structure and allow_grad flags, exactly as in
+    load_pytree(like=...).
+    """
+    import json
+
+    like = {"params": like_params}
+    if like_opt_state is not None:
+        like["opt_state"] = like_opt_state
+    like["_meta_json"] = np.zeros(0, dtype=np.uint8)
+
+    with np.load(file) as data:
+        arrays = {k: data[k] for k in data.files}
+    meta = json.loads(bytes(arrays["_meta_json"]).decode())
+
+    # reuse load_pytree's structured restore for the params/opt subtrees
+    import io
+
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **{k: v for k, v in arrays.items()})
+    buf.seek(0)
+    tree = load_pytree(buf, like=like)
+    params = tree["params"]
+    opt_state = tree.get("opt_state") if like_opt_state is not None else None
+    return params, opt_state, meta["step"], meta["extra"]

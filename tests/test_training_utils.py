@@ -209,3 +209,54 @@ def test_mixed_precision_small_updates_survive():
     # accumulated in the master copy
     master = np.asarray(state["master"]["w"].detach())
     np.testing.assert_allclose(master, 1.0 - 5e-3, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# training-state checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def test_train_state_checkpoint_resume_exact():
+    """Interrupt-and-resume == uninterrupted: identical losses and params."""
+    import io
+
+    from minidiff_tpu.utils import load_train_state, save_train_state
+
+    np.random.seed(5)
+    model = MLP(16, (16,), 4)
+    opt = Adam(1e-2)
+    xs, ys = synthetic_classification(64, 16, 4)
+    x, y = md.Tensor(xs), md.Tensor(ys)
+    step = make_train_step(model, opt)
+
+    # uninterrupted: 6 steps
+    p_ref = model.init()
+    s_ref = opt.init(p_ref)
+    import copy as _copy
+    init_snapshot = jax.tree.map(
+        lambda t: md.Tensor(np.asarray(t.detach()), allow_grad=t.allow_grad),
+        p_ref, is_leaf=lambda t: isinstance(t, md.Tensor))
+    ref_losses = []
+    for _ in range(6):
+        p_ref, s_ref, loss = step(p_ref, s_ref, x, y)
+        ref_losses.append(float(loss.item()))
+
+    # interrupted at 3, checkpointed, resumed
+    p = init_snapshot
+    s = opt.init(p)
+    losses = []
+    for _ in range(3):
+        p, s, loss = step(p, s, x, y)
+        losses.append(float(loss.item()))
+    buf = io.BytesIO()
+    save_train_state(buf, p, s, step=3, extra={"epoch": 1})
+    buf.seek(0)
+    p2, s2, at_step, extra = load_train_state(buf, p, s)
+    assert at_step == 3 and extra == {"epoch": 1}
+    for _ in range(3):
+        p2, s2, loss = step(p2, s2, x, y)
+        losses.append(float(loss.item()))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p2[0]["w"]), np.asarray(p_ref[0]["w"]),
+                               rtol=1e-12)
