@@ -160,6 +160,33 @@ def _matmul_parity() -> dict:
     }
 
 
+def _decode_throughput() -> dict:
+    """Serving path: generate_compiled tokens/sec (whole loop = one scan)."""
+    import time
+
+    import minidiff_tpu as md
+    from minidiff_tpu.models import TransformerLM, generate_compiled
+
+    model = TransformerLM(vocab_size=VOCAB, dim=DIM, num_heads=HEADS,
+                          num_layers=LAYERS, max_seq_len=512,
+                          dtype=md.bfloat16)
+    np.random.seed(2)
+    params = model.init()
+    prompt = md.Tensor(np.random.RandomState(3).randint(
+        1, VOCAB, size=(8, 16)))
+    new = 128
+    out = generate_compiled(model, params, prompt, new)  # compile
+    np.asarray(out.detach())
+    t0 = time.perf_counter()
+    out = generate_compiled(model, params, prompt, new)
+    np.asarray(out.detach())
+    dt = time.perf_counter() - t0
+    return {
+        "decode_tok_per_s": round(8 * new / dt, 1),
+        "decode_ms_per_token": round(dt / new * 1e3, 3),
+    }
+
+
 def main() -> None:
     import minidiff_tpu as md
     from minidiff_tpu.models import SGD, TransformerLM, lm_loss, make_train_step
@@ -208,6 +235,7 @@ def main() -> None:
     t_jax = _time_param_chain(jax_step, raw0, probe)
 
     mm = _matmul_parity()
+    decode = _decode_throughput()
     n_params = sum(int(np.prod(t.shape)) for t in jax.tree.leaves(raw0))
     # 6*P*T covers fwd (2PT) + bwd (4PT) for the matmul params; attention
     # adds 4*b*h*s^2*hd fwd (x3.5 with bwd, /2 causal)
@@ -231,6 +259,7 @@ def main() -> None:
             "initial_loss_framework": round(l1, 4),
             "initial_loss_jax": round(l2, 4),
             **mm,
+            **decode,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -334,6 +334,49 @@ class XlaBackend:
 
     @staticmethod
     def setitem(a: jax.Array, key: Any, value: Any) -> jax.Array:
+        # Basic-index keys (full slices + int/0-d-int positions, possibly
+        # TRACED) lower to dynamic_update_slice instead of .at[].set — with
+        # a traced index .at emits a SCATTER, which copies the whole buffer
+        # and cannot be updated in place inside lax.scan (measured 40x+ on
+        # the compiled-decode KV cache).
+        idx = key if isinstance(key, tuple) else (key,)
+
+        def _scalar_int(i):
+            if isinstance(i, bool):
+                return False
+            if isinstance(i, int):
+                return True
+            return (
+                hasattr(i, "dtype")
+                and getattr(i, "ndim", None) == 0
+                and jnp.issubdtype(i.dtype, jnp.integer)
+            )
+
+        if len(idx) <= a.ndim and all(
+            (isinstance(i, slice) and i == slice(None)) or _scalar_int(i)
+            for i in idx
+        ):
+            starts: list = []
+            vshape: list = []
+            for d in range(a.ndim):
+                i = idx[d] if d < len(idx) else slice(None)
+                if isinstance(i, slice):
+                    starts.append(0)
+                    vshape.append(a.shape[d])
+                elif isinstance(i, int):
+                    starts.append(i + a.shape[d] if i < 0 else i)
+                    vshape.append(1)
+                else:  # traced 0-d integer: wrap negatives like numpy
+                    starts.append(jnp.where(i < 0, i + a.shape[d], i))
+                    vshape.append(1)
+            vals = jnp.asarray(value, a.dtype)
+            # int-indexed dims were dropped from value; reinsert them so the
+            # broadcast aligns positionally
+            for pos in range(len(idx)):
+                if not isinstance(idx[pos], slice):
+                    vals = jnp.expand_dims(vals, pos)
+            vals = jnp.broadcast_to(vals, tuple(vshape))
+            return jax.lax.dynamic_update_slice(a, vals, tuple(starts))
         return a.at[key].set(value)
 
     @staticmethod

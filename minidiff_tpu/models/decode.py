@@ -41,6 +41,10 @@ def _is_tensor(x):
     return isinstance(x, md.Tensor)
 
 
+# (model id, batch, prompt len, new tokens, dtypes) -> jitted decode program
+_decode_cache: dict = {}
+
+
 def _block_decode_step(blk, params, x, cache, pos_t, mask):
     """One-token pre-LN block step against the fixed-size cache.
 
@@ -90,6 +94,18 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
     p_dtype = raw_params["tok_emb"].dtype
     prompt_raw = prompt._data
+
+    # One compiled program per (model, shapes): rebuilding the jitted
+    # closure on every call would recompile every call — ~1.6 s fixed cost
+    # that dwarfs the 128-token decode itself.
+    key = (id(model), b, s0, max_new_tokens, str(p_dtype),
+           str(prompt_raw.dtype))
+    cached = _decode_cache.get(key)
+    if cached is not None:
+        generated = cached(raw_params, prompt_raw)
+        return md.concatenate(
+            [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
+        )
 
     def step(raw_p, caches_raw, tok_raw, i):
         """One decode position: token (B,) at position i -> next (B,)."""
@@ -141,6 +157,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
         # tokens are those produced at positions s0-1 .. total-1
         return jnp.swapaxes(nexts[s0 - 1:], 0, 1)
 
+    _decode_cache[key] = decode
     generated = decode(raw_params, prompt_raw)
     return md.concatenate(
         [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
