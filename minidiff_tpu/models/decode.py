@@ -79,11 +79,18 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
 
 
 def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
-                      max_new_tokens: int) -> "md.Tensor":
-    """Greedy KV-cached decoding, the whole loop as one lax.scan program.
+                      max_new_tokens: int, greedy: bool = True,
+                      temperature: float = 1.0, top_k: "Any" = None,
+                      seed: int = 0) -> "md.Tensor":
+    """KV-cached decoding, the whole loop as one lax.scan program.
 
-    Token-for-token identical to ``transformer.generate(greedy=True)`` /
-    ``generate_cached``; prompt (B, S0) int -> (B, S0 + max_new_tokens).
+    Greedy mode is token-for-token identical to
+    ``transformer.generate(greedy=True)`` / ``generate_cached``.  With
+    ``greedy=False``, each step draws a Gumbel-max sample at ``temperature``
+    (optionally truncated to the ``top_k`` highest logits via ``md.topk``)
+    from a per-step key folded out of ``seed`` — deterministic per seed,
+    still ONE compiled program.  prompt (B, S0) int ->
+    (B, S0 + max_new_tokens).
     """
     b, s0 = prompt.shape
     assert s0 >= 1, "generate_compiled needs a non-empty prompt to prefill"
@@ -99,7 +106,8 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     # closure on every call would recompile every call — ~1.6 s fixed cost
     # that dwarfs the 128-token decode itself.
     key = (id(model), b, s0, max_new_tokens, str(p_dtype),
-           str(prompt_raw.dtype))
+           str(prompt_raw.dtype), greedy, float(temperature),
+           top_k, int(seed))
     cached = _decode_cache.get(key)
     if cached is not None:
         generated = cached(raw_params, prompt_raw)
@@ -121,7 +129,22 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
                 x = _block_decode_step(blk, bp, x, cache, pos_t, mask)
             x = model.ln_f.apply(p["ln_f"], x)
             logits = model.head.apply(p["head"], x)[:, 0, :]  # (B, V)
-            nxt = md.argmax(logits, axis=-1)  # (B,)
+            if greedy:
+                nxt = md.argmax(logits, axis=-1)  # (B,)
+            else:
+                scaled = logits / max(float(temperature), 1e-6)
+                if top_k is not None and top_k < logits.shape[-1]:
+                    vals, _ = md.topk(scaled, top_k, axis=-1)
+                    scaled = md.where(scaled >= vals[:, -1:], scaled,
+                                      md.full_like(scaled, -1e30))
+                # Gumbel-max draw from a per-position key: deterministic in
+                # (seed, i), independent across steps
+                step_key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+                u = jax.random.uniform(
+                    step_key, logits.shape, jnp.float32, 1e-9, 1.0
+                )
+                gumbel = md.Tensor(-jnp.log(-jnp.log(u))).astype(scaled.dtype)
+                nxt = md.argmax(scaled + gumbel, axis=-1)
             return (
                 jax.tree.map(lambda t: t._data, caches, is_leaf=_is_tensor),
                 nxt._data.astype(prompt_raw.dtype),

@@ -71,3 +71,47 @@ def test_compiled_bf16_runs():
     arr = np.asarray(out.detach())
     assert arr.shape == (2, 12)
     assert ((arr >= 0) & (arr < 17)).all()
+
+
+def test_compiled_sampling_deterministic_per_seed():
+    np.random.seed(4)
+    m = TransformerLM(vocab_size=23, dim=16, num_heads=2, num_layers=1,
+                      max_seq_len=24)
+    p = m.init()
+    prompt = md.Tensor(np.random.randint(1, 23, size=(2, 4)))
+    a = generate_compiled(m, p, prompt, 8, greedy=False, temperature=1.0,
+                          seed=7)
+    b = generate_compiled(m, p, prompt, 8, greedy=False, temperature=1.0,
+                          seed=7)
+    c = generate_compiled(m, p, prompt, 8, greedy=False, temperature=1.0,
+                          seed=8)
+    np.testing.assert_array_equal(np.asarray(a.detach()), np.asarray(b.detach()))
+    assert not np.array_equal(np.asarray(a.detach()), np.asarray(c.detach()))
+    arr = np.asarray(a.detach())
+    assert ((arr >= 0) & (arr < 23)).all()
+
+
+def test_compiled_sampling_zero_temperature_is_greedy():
+    np.random.seed(5)
+    m = TransformerLM(vocab_size=19, dim=16, num_heads=2, num_layers=1,
+                      max_seq_len=24)
+    p = m.init()
+    prompt = md.Tensor(np.random.randint(1, 19, size=(2, 4)))
+    cold = generate_compiled(m, p, prompt, 8, greedy=False,
+                             temperature=1e-6, seed=3)
+    ref = generate_compiled(m, p, prompt, 8, greedy=True)
+    np.testing.assert_array_equal(np.asarray(cold.detach()),
+                                  np.asarray(ref.detach()))
+
+
+def test_compiled_sampling_top_k_runs():
+    np.random.seed(6)
+    m = TransformerLM(vocab_size=29, dim=16, num_heads=2, num_layers=1,
+                      max_seq_len=24)
+    p = m.init()
+    prompt = md.Tensor(np.random.randint(1, 29, size=(2, 4)))
+    out = generate_compiled(m, p, prompt, 8, greedy=False, temperature=0.9,
+                            top_k=4, seed=1)
+    arr = np.asarray(out.detach())
+    assert arr.shape == (2, 12)
+    assert ((arr >= 0) & (arr < 29)).all()
