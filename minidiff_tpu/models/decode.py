@@ -68,8 +68,11 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
     keys = cache["k"].astype(q.dtype)  # (b, h, L, hd)
     vals = cache["v"].astype(q.dtype)
     scores = md.matmul_nt(q, keys) * (1.0 / math.sqrt(hd))  # (b, h, 1, L)
+    # scores/softmax in f32 regardless of model dtype (matching md.sdpa's
+    # internal precision, so bf16 decode agrees with the eager paths)
+    scores = scores.astype(md.float32)
     scores = md.where(mask, scores, md.full_like(scores, -1e30))
-    attn_w = F.softmax(scores, axis=-1)
+    attn_w = F.softmax(scores, axis=-1).astype(q.dtype)
     o = md.matmul(attn_w, vals)  # (b, h, 1, hd)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, 1, d))
     x = x + attn.out.apply(params["attn"]["out"], o)
