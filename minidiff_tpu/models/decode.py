@@ -54,19 +54,21 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
     """
     attn = blk.attn
     b, _, d = x.shape
-    h, hd = attn.num_heads, attn.head_dim
+    hd = attn.head_dim
 
     xa = blk.ln1.apply(params["ln1"], x)
-    qkv = attn.qkv.apply(params["attn"]["qkv"], xa)  # (b, 1, 3d)
-    qkv = qkv.reshape((b, 1, h, 3, hd))  # head-major, matching apply()
-    qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, 1, hd)
-    q, k, v = qkv[0], qkv[1], qkv[2]
+    q, k, v = attn.project_qkv(params["attn"], xa)  # (b,h,1,hd)/(b,kv,1,hd)
+    if attn.rope:
+        from minidiff_tpu.models import functional as _F
+
+        q = _F.apply_rope(q, pos_t, attn.rope_base)
+        k = _F.apply_rope(k, pos_t, attn.rope_base)
 
     cache["k"][:, :, pos_t, :] = md.squeeze(k, axis=2).astype(cache["k"].dtype)
     cache["v"][:, :, pos_t, :] = md.squeeze(v, axis=2).astype(cache["v"].dtype)
 
-    keys = cache["k"].astype(q.dtype)  # (b, h, L, hd)
-    vals = cache["v"].astype(q.dtype)
+    keys = attn.expand_kv(cache["k"].astype(q.dtype))  # (b, h, L, hd)
+    vals = attn.expand_kv(cache["v"].astype(q.dtype))
     scores = md.matmul_nt(q, keys) * (1.0 / math.sqrt(hd))  # (b, h, 1, L)
     # scores/softmax in f32 regardless of model dtype (matching md.sdpa's
     # internal precision, so bf16 decode agrees with the eager paths)
@@ -127,7 +129,9 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
             pos_t = md.Tensor(i)
             mask = md.Tensor(jnp.arange(L)) <= pos_t  # (L,) bool
 
-            x = p["tok_emb"][tok] + p["pos_emb"][pos_t]
+            x = p["tok_emb"][tok]
+            if not model.rope:
+                x = x + p["pos_emb"][pos_t]
             for blk, bp, cache in zip(model.blocks, p["blocks"], caches):
                 x = _block_decode_step(blk, bp, x, cache, pos_t, mask)
             x = model.ln_f.apply(p["ln_f"], x)
@@ -161,10 +165,10 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
         caches0 = [
             {
                 "k": jnp.zeros(
-                    (b, blk.attn.num_heads, L, blk.attn.head_dim), p_dtype
+                    (b, blk.attn.num_kv_heads, L, blk.attn.head_dim), p_dtype
                 ),
                 "v": jnp.zeros(
-                    (b, blk.attn.num_heads, L, blk.attn.head_dim), p_dtype
+                    (b, blk.attn.num_kv_heads, L, blk.attn.head_dim), p_dtype
                 ),
             }
             for blk in model.blocks

@@ -71,6 +71,38 @@ def cross_entropy(logits: "md.Tensor", labels: "md.Tensor") -> "md.Tensor":
     return -md.mean(picked)
 
 
+def apply_rope(x: "md.Tensor", positions: "md.Tensor",
+               base: float = 10000.0) -> "md.Tensor":
+    """Rotary position embedding over the last axis of x (b, h, s, hd).
+
+    ``positions`` is an int Tensor of shape (s,) (or a scalar for one-token
+    decode steps) giving each slot's GLOBAL position — which is what makes
+    RoPE work unchanged for KV-cached decode and ring/sequence-parallel
+    chunks.  Pairs (x[2i], x[2i+1]) rotate by positions * base^(-2i/hd);
+    built from differentiable framework ops, so it backprops through the
+    tape like everything else.
+    """
+    b, h, s, hd = x.shape
+    assert hd % 2 == 0, "RoPE needs an even head dim"
+    half = hd // 2
+    # inv_freq: (half,); angles: (s, half) (scalar positions broadcast)
+    inv_freq = md.power(float(base), md.arange(half).astype(x.dtype)
+                        * (-2.0 / hd))
+    pos = positions.astype(x.dtype)
+    if pos.ndim == 0:
+        pos = pos.reshape((1,))
+    angles = md.expand_dims(pos, -1) * inv_freq  # (s, half)
+    cos = md.cos(angles).reshape((1, 1, s, half))
+    sin = md.sin(angles).reshape((1, 1, s, half))
+    xr = x.reshape((b, h, s, half, 2))
+    x1 = xr[..., 0]
+    x2 = xr[..., 1]
+    o1 = x1 * cos - x2 * sin
+    o2 = x1 * sin + x2 * cos
+    out = md.concat([md.expand_dims(o1, -1), md.expand_dims(o2, -1)], axis=-1)
+    return out.reshape((b, h, s, hd))
+
+
 def mse(pred: "md.Tensor", target: "md.Tensor") -> "md.Tensor":
     return md.mean((pred - target) ** 2)
 

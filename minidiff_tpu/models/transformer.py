@@ -47,34 +47,85 @@ class LayerNorm(Module):
 
 
 class MultiHeadAttention(Module):
-    """Self-attention: fused QKV projection, md.sdpa core, output projection."""
+    """Self-attention: fused QKV projection, md.sdpa core, output projection.
+
+    Extensions over the baseline (both off by default, so the fused head-
+    major TP layout and existing checkpoints are untouched):
+
+    * ``num_kv_heads < num_heads`` — grouped-query attention: K/V use fewer
+      heads (separate wq/wkv projections) and broadcast across each query
+      group; shrinks the KV cache by heads/kv_heads for serving.
+    * ``rope=True`` — rotary position embeddings applied to q/k with GLOBAL
+      positions (so cached decode and sequence-parallel chunks are exact).
+    """
 
     def __init__(self, dim: int, num_heads: int, causal: bool = True,
-                 dtype: "Optional[Any]" = None):
+                 dtype: "Optional[Any]" = None,
+                 num_kv_heads: "Optional[int]" = None,
+                 rope: bool = False, rope_base: float = 10000.0):
         assert dim % num_heads == 0, (dim, num_heads)
         self.dim = dim
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
         self.causal = causal
-        self.qkv = Linear(dim, 3 * dim, bias=False, dtype=dtype)
+        self.num_kv_heads = num_kv_heads or num_heads
+        assert num_heads % self.num_kv_heads == 0, (num_heads, num_kv_heads)
+        self.rope = rope
+        self.rope_base = rope_base
+        if self.num_kv_heads == num_heads:
+            self.qkv = Linear(dim, 3 * dim, bias=False, dtype=dtype)
+        else:
+            self.wq = Linear(dim, dim, bias=False, dtype=dtype)
+            self.wkv = Linear(dim, 2 * self.num_kv_heads * self.head_dim,
+                              bias=False, dtype=dtype)
         self.out = Linear(dim, dim, bias=False, dtype=dtype)
 
     def init(self):
-        return {"qkv": self.qkv.init(), "out": self.out.init()}
+        if self.num_kv_heads == self.num_heads:
+            return {"qkv": self.qkv.init(), "out": self.out.init()}
+        return {"wq": self.wq.init(), "wkv": self.wkv.init(),
+                "out": self.out.init()}
 
-    def apply(self, params, x):
+    def project_qkv(self, params, x):
+        """x (b, s, d) -> q (b, h, s, hd), k/v (b, kv, s, hd)."""
         b, s, d = x.shape
-        h, hd = self.num_heads, self.head_dim
-        qkv = self.qkv.apply(params["qkv"], x)  # (b, s, 3d)
-        # HEAD-major column layout (h, 3, hd): a tp shard of the fused weight
-        # then holds whole heads, so XLA SPMD propagates the sharding through
-        # this reshape instead of all-gathering the qkv activation (qkv-major
-        # would split across the q/k/v boundary: tp never divides the leading
-        # factor 3)
-        qkv = qkv.reshape((b, s, h, 3, hd))
-        qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, s, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        o = md.sdpa(q, k, v, causal=self.causal)  # (b, h, s, hd)
+        h, hd, kv = self.num_heads, self.head_dim, self.num_kv_heads
+        if kv == h:
+            qkv = self.qkv.apply(params["qkv"], x)  # (b, s, 3d)
+            # HEAD-major column layout (h, 3, hd): a tp shard of the fused
+            # weight then holds whole heads, so XLA SPMD propagates the
+            # sharding through this reshape instead of all-gathering the qkv
+            # activation (qkv-major would split across the q/k/v boundary:
+            # tp never divides the leading factor 3)
+            qkv = qkv.reshape((b, s, h, 3, hd))
+            qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, s, hd)
+            return qkv[0], qkv[1], qkv[2]
+        q = self.wq.apply(params["wq"], x).reshape((b, s, h, hd))
+        q = md.transpose(q, axes=(0, 2, 1, 3))  # (b, h, s, hd)
+        kvp = self.wkv.apply(params["wkv"], x).reshape((b, s, kv, 2, hd))
+        kvp = md.transpose(kvp, axes=(3, 0, 2, 1, 4))  # (2, b, kv, s, hd)
+        return q, kvp[0], kvp[1]
+
+    def expand_kv(self, t):
+        """(b, kv, s, hd) -> (b, h, s, hd): broadcast each KV head over its
+        query group (free under XLA — a broadcast + reshape, no copy)."""
+        if self.num_kv_heads == self.num_heads:
+            return t
+        b, kv, s, hd = t.shape
+        g = self.num_heads // kv
+        t = md.expand_dims(t, 2)  # (b, kv, 1, s, hd)
+        t = md.broadcast_to(t, (b, kv, g, s, hd))
+        return t.reshape((b, self.num_heads, s, hd))
+
+    def apply(self, params, x, positions: "Optional[md.Tensor]" = None):
+        b, s, d = x.shape
+        q, k, v = self.project_qkv(params, x)
+        if self.rope:
+            pos = positions if positions is not None else md.arange(s)
+            q = F.apply_rope(q, pos, self.rope_base)
+            k = F.apply_rope(k, pos, self.rope_base)
+        o = md.sdpa(q, self.expand_kv(k), self.expand_kv(v),
+                    causal=self.causal)  # (b, h, s, hd)
         o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
         return self.out.apply(params["out"], o)
 
@@ -83,9 +134,12 @@ class TransformerBlock(Module):
     """Pre-LN block: x + MHA(LN(x)); x + MLP(LN(x)) with GELU."""
 
     def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4,
-                 causal: bool = True, dtype: "Optional[Any]" = None):
+                 causal: bool = True, dtype: "Optional[Any]" = None,
+                 num_kv_heads: "Optional[int]" = None, rope: bool = False):
         self.ln1 = LayerNorm(dim, dtype=dtype)
-        self.attn = MultiHeadAttention(dim, num_heads, causal=causal, dtype=dtype)
+        self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
+                                       dtype=dtype, num_kv_heads=num_kv_heads,
+                                       rope=rope)
         self.ln2 = LayerNorm(dim, dtype=dtype)
         self.fc1 = Linear(dim, mlp_ratio * dim, dtype=dtype)
         self.fc2 = Linear(mlp_ratio * dim, dim, dtype=dtype)
@@ -111,15 +165,20 @@ class TransformerLM(Module):
 
     def __init__(self, vocab_size: int = 256, dim: int = 128, num_heads: int = 4,
                  num_layers: int = 2, max_seq_len: int = 256, mlp_ratio: int = 4,
-                 dtype: "Optional[Any]" = None, remat_blocks: bool = False):
+                 dtype: "Optional[Any]" = None, remat_blocks: bool = False,
+                 num_kv_heads: "Optional[int]" = None, rope: bool = False):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
         # md.remat per block: block activations are recomputed in the VJP
         # instead of stored (gradient checkpointing at block granularity)
         self.remat_blocks = remat_blocks
+        # rope=True replaces the learned absolute pos_emb with rotary
+        # embeddings inside attention (no pos_emb parameter at all)
+        self.rope = rope
         self.blocks = [
-            TransformerBlock(dim, num_heads, mlp_ratio, causal=True, dtype=dtype)
+            TransformerBlock(dim, num_heads, mlp_ratio, causal=True,
+                             dtype=dtype, num_kv_heads=num_kv_heads, rope=rope)
             for _ in range(num_layers)
         ]
         self.ln_f = LayerNorm(dim, dtype=dtype)
@@ -129,20 +188,25 @@ class TransformerLM(Module):
     def init(self):
         scale = 1.0 / math.sqrt(self.dim)
         tok = np.random.normal(0.0, scale, (self.vocab_size, self.dim))
-        pos = np.random.normal(0.0, scale, (self.max_seq_len, self.dim))
-        return {
+        params = {
             "tok_emb": md.Tensor(tok, allow_grad=True, dtype=self.dtype),
-            "pos_emb": md.Tensor(pos, allow_grad=True, dtype=self.dtype),
             "blocks": [blk.init() for blk in self.blocks],
             "ln_f": self.ln_f.init(),
             "head": self.head.init(),
         }
+        if not self.rope:
+            pos = np.random.normal(0.0, scale, (self.max_seq_len, self.dim))
+            params["pos_emb"] = md.Tensor(pos, allow_grad=True,
+                                          dtype=self.dtype)
+        return params
 
     def apply(self, params, tokens):
         """tokens (B, S) int -> logits (B, S, V)."""
         b, s = tokens.shape
         # embedding lookups are differentiable getitem (VJP = scatter_add)
-        x = params["tok_emb"][tokens] + params["pos_emb"][:s]
+        x = params["tok_emb"][tokens]
+        if not self.rope:
+            x = x + params["pos_emb"][:s]
         for blk, p in zip(self.blocks, params["blocks"]):
             if self.remat_blocks:
                 import jax as _jax
@@ -235,12 +299,13 @@ def generate(model: "TransformerLM", params, prompt: "md.Tensor",
 
 def init_kv_cache(model: "TransformerLM", batch: int,
                   max_len: "Optional[int]" = None, dtype=None):
-    """Per-block {"k","v"} buffers of shape (B, H, max_len, head_dim)."""
+    """Per-block {"k","v"} buffers of shape (B, KV_HEADS, max_len, head_dim)
+    (GQA caches only the kv heads — the whole point of grouped queries)."""
     max_len = max_len or model.max_seq_len
     caches = []
     for blk in model.blocks:
-        h, hd = blk.attn.num_heads, blk.attn.head_dim
-        zeros = md.zeros((batch, h, max_len, hd))
+        kv, hd = blk.attn.num_kv_heads, blk.attn.head_dim
+        zeros = md.zeros((batch, kv, max_len, hd))
         if dtype is not None:
             zeros = zeros.astype(dtype)
         caches.append({"k": zeros, "v": zeros.copy()})
@@ -250,18 +315,18 @@ def init_kv_cache(model: "TransformerLM", batch: int,
 def _mha_step(attn: "MultiHeadAttention", params, x, cache, pos: int):
     """One-token attention: append k/v at ``pos``, attend over cache[:pos+1]."""
     b, one, d = x.shape
-    h, hd = attn.num_heads, attn.head_dim
-    qkv = attn.qkv.apply(params["qkv"], x)  # (b, 1, 3d)
-    qkv = qkv.reshape((b, 1, h, 3, hd))  # head-major, matching apply()
-    qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, 1, hd)
-    q, k, v = qkv[0], qkv[1], qkv[2]
+    q, k, v = attn.project_qkv(params, x)  # q (b,h,1,hd); k/v (b,kv,1,hd)
+    if attn.rope:
+        pos_t = md.Tensor(np.asarray(pos))
+        q = F.apply_rope(q, pos_t, attn.rope_base)
+        k = F.apply_rope(k, pos_t, attn.rope_base)
     cache["k"][:, :, pos:pos + 1, :] = k.astype(cache["k"].dtype)
     cache["v"][:, :, pos:pos + 1, :] = v.astype(cache["v"].dtype)
-    keys = cache["k"][:, :, : pos + 1, :]
-    vals = cache["v"][:, :, : pos + 1, :]
+    keys = attn.expand_kv(cache["k"][:, :, : pos + 1, :].astype(q.dtype))
+    vals = attn.expand_kv(cache["v"][:, :, : pos + 1, :].astype(q.dtype))
     # q attends over all cached positions <= pos: plain softmax attention
     # (q-length 1 — the flash kernel has nothing to tile here)
-    o = md.sdpa(q, keys.astype(q.dtype), vals.astype(q.dtype), causal=False)
+    o = md.sdpa(q, keys, vals, causal=False)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, 1, d))
     return attn.out.apply(params["out"], o)
 
@@ -277,7 +342,9 @@ def apply_step(model: "TransformerLM", params, token: "md.Tensor",
                caches, pos: int) -> "md.Tensor":
     """One decode step: token (B, 1) int at position ``pos`` -> logits (B, V)."""
     assert pos < model.max_seq_len, (pos, model.max_seq_len)
-    x = params["tok_emb"][token] + params["pos_emb"][pos:pos + 1]
+    x = params["tok_emb"][token]
+    if not model.rope:
+        x = x + params["pos_emb"][pos:pos + 1]
     for blk, p, cache in zip(model.blocks, params["blocks"], caches):
         x = _block_step(blk, p, x, cache, pos)
     x = model.ln_f.apply(params["ln_f"], x)

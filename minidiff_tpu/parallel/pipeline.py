@@ -176,13 +176,18 @@ def make_pipeline_train_step(
         ticks = n_micro + pp - 1
 
         def objective(p):
-            tok, pos = p["shared"]["tok_emb"], p["shared"]["pos_emb"]
+            tok = p["shared"]["tok_emb"]
+            # RoPE models carry no pos_emb (rotation happens inside each
+            # block's attention, with the full local sequence's positions)
+            pos = p["shared"].get("pos_emb")
             carry = md.zeros((mb, s_len, model.dim)).astype(tok.dtype)
             loss_total = None
             for t in range(ticks):
                 if t < n_micro:
                     xt = x[t * mb:(t + 1) * mb]
-                    inp0 = tok[xt] + pos[:s_len]
+                    inp0 = tok[xt]
+                    if pos is not None:
+                        inp0 = inp0 + pos[:s_len]
                 else:
                     inp0 = md.zeros_like(carry)
                 h = md.where(is_first, inp0, carry)

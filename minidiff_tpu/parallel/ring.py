@@ -122,19 +122,26 @@ def _wrap(tree, allow_grad=False):
     return jax.tree.map(lambda a: md.Tensor(a, allow_grad=allow_grad), tree)
 
 
-def _ring_block(blk, params, x, sp: int, axis_name: str):
-    """TransformerBlock.apply with the attention core swapped for the ring."""
+def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None):
+    """TransformerBlock.apply with the attention core swapped for the ring.
+
+    ``positions`` (local GLOBAL positions, for RoPE models) rotates q/k
+    before the ring — rotation commutes with the K/V rotation because RoPE
+    only depends on each key's own global position.
+    """
     from minidiff_tpu.models import functional as F
 
     b, s, d = x.shape
     attn = blk.attn
-    h, hd = attn.num_heads, attn.head_dim
 
     xa = blk.ln1.apply(params["ln1"], x)
-    qkv = attn.qkv.apply(params["attn"]["qkv"], xa)  # (b, s, 3d)
-    qkv = qkv.reshape((b, s, h, 3, hd))  # head-major, matching apply()
-    qkv = md.transpose(qkv, axes=(3, 0, 2, 1, 4))  # (3, b, h, s, hd)
-    q, k, v = qkv[0], qkv[1], qkv[2]
+    q, k, v = attn.project_qkv(params["attn"], xa)
+    if attn.rope:
+        assert positions is not None
+        q = F.apply_rope(q, positions, attn.rope_base)
+        k = F.apply_rope(k, positions, attn.rope_base)
+    k = attn.expand_kv(k)
+    v = attn.expand_kv(v)
     o = ring_attention(q, k, v, sp, axis_name=axis_name, causal=attn.causal)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
     x = x + attn.out.apply(params["attn"]["out"], o)
@@ -178,9 +185,13 @@ def make_ring_train_step(model, mesh, optimizer=None, init_params=None,
             x = md.Tensor(raw_x)
             y = md.Tensor(raw_y)
             offs = my * s_loc + jnp.arange(s_loc)  # global positions
-            hh = p["tok_emb"][x] + p["pos_emb"][md.Tensor(offs)]
+            pos_local = md.Tensor(offs)
+            hh = p["tok_emb"][x]
+            if not getattr(model, "rope", False):
+                hh = hh + p["pos_emb"][pos_local]
             for blk, bp in zip(model.blocks, p["blocks"]):
-                hh = _ring_block(blk, bp, hh, sp, axis_name)
+                hh = _ring_block(blk, bp, hh, sp, axis_name,
+                                 positions=pos_local)
             hh = model.ln_f.apply(p["ln_f"], hh)
             logits = model.head.apply(p["head"], hh)  # (b, s_loc, V)
             vdim = logits.shape[-1]
