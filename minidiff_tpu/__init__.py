@@ -48,6 +48,7 @@ from minidiff_tpu.backend import (  # noqa: F401
     use_backend,
 )
 from minidiff_tpu.dataloader import DataLoader, save_dataset  # noqa: F401
+from minidiff_tpu.tokenizer import BPETokenizer  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -27,7 +27,7 @@ if TYPE_CHECKING:
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
-_SOURCES = ["loader.cpp"]
+_SOURCES = ["loader.cpp", "tokenizer.cpp"]
 
 _lock = threading.Lock()
 _lib: "Optional[ctypes.CDLL]" = None
@@ -85,6 +85,33 @@ def load_library() -> "Optional[ctypes.CDLL]":
         lib.ld_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.ld_close.restype = None
         lib.ld_close.argtypes = [ctypes.c_void_p]
+
+        lib.tok_train.restype = ctypes.c_void_p
+        lib.tok_train.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
+        ]
+        lib.tok_from_merges.restype = ctypes.c_void_p
+        lib.tok_from_merges.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+        ]
+        lib.tok_num_merges.restype = ctypes.c_uint32
+        lib.tok_num_merges.argtypes = [ctypes.c_void_p]
+        lib.tok_get_merges.restype = None
+        lib.tok_get_merges.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.tok_encode.restype = ctypes.c_uint64
+        lib.tok_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.tok_decode.restype = ctypes.c_uint64
+        lib.tok_decode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_uint64, ctypes.c_char_p,
+        ]
+        lib.tok_free.restype = None
+        lib.tok_free.argtypes = [ctypes.c_void_p]
 
         _lib = lib
         return _lib
