@@ -11,8 +11,10 @@ from minidiff_tpu.models.layers import Linear, Module, Sequential  # noqa: F401
 from minidiff_tpu.models.mlp import MLP, make_train_step  # noqa: F401
 from minidiff_tpu.models.optim import (  # noqa: F401
     SGD,
+    Adafactor,
     Adam,
     AdamW,
+    Lion,
     MixedPrecision,
     Optimizer,
     clip_by_global_norm,
@@ -26,6 +28,7 @@ from minidiff_tpu.models.transformer import (  # noqa: F401
     TransformerBlock,
     TransformerLM,
     lm_loss,
+    perplexity,
     synthetic_lm_batches,
 )
 from minidiff_tpu.models.transformer import (  # noqa: F401

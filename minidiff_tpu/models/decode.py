@@ -135,7 +135,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
             for blk, bp, cache in zip(model.blocks, p["blocks"], caches):
                 x = _block_decode_step(blk, bp, x, cache, pos_t, mask)
             x = model.ln_f.apply(p["ln_f"], x)
-            logits = model.head.apply(p["head"], x)[:, 0, :]  # (B, V)
+            logits = model.lm_head(p, x)[:, 0, :]  # (B, V)
             if greedy:
                 nxt = md.argmax(logits, axis=-1)  # (B,)
             else:

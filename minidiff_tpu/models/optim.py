@@ -117,6 +117,101 @@ class AdamW(Adam):
         return new_params, new_state
 
 
+class Lion(Optimizer):
+    """Lion (EvoLved sign momentum): update = sign(b1*m + (1-b1)*g).
+
+    One momentum buffer (half Adam's state memory) and sign-magnitude
+    updates; decoupled weight decay like AdamW.
+    """
+
+    def __init__(self, lr: float = 1e-4, b1: float = 0.9, b2: float = 0.99,
+                 weight_decay: float = 0.0):
+        self.lr = lr
+        self.b1 = b1
+        self.b2 = b2
+        self.weight_decay = weight_decay
+
+    def init(self, params: "Any") -> "Any":
+        return _tree_map(lambda p: md.zeros_like(p), params)
+
+    def update(self, params, grads, state):
+        with md.no_grad():
+            new_params = _tree_map(
+                lambda p, m, g: (
+                    p * (1.0 - self.lr * self.weight_decay)
+                    - self.lr * md.sign(self.b1 * m + (1 - self.b1) * g)
+                ).detach(allow_grad=True),
+                params, state, grads,
+            )
+            new_state = _tree_map(
+                lambda m, g: self.b2 * m + (1 - self.b2) * g, state, grads
+            )
+            return new_params, new_state
+
+
+class Adafactor(Optimizer):
+    """Adafactor: factored second moments — O(rows+cols) optimizer memory.
+
+    For >=2-D params the v statistic is stored as a row vector + column
+    vector (outer-product reconstruction) instead of a full matrix; 1-D
+    params keep an unfactored v.  This simplified variant uses a fixed
+    learning rate with update clipping (d=1.0) and no first moment —
+    the memory-lean recipe that made large TPU models trainable.
+    """
+
+    def __init__(self, lr: float = 1e-2, decay: float = 0.999,
+                 eps: float = 1e-30, clip_threshold: float = 1.0):
+        self.lr = lr
+        self.decay = decay
+        self.eps = eps
+        self.clip = clip_threshold
+
+    def init(self, params: "Any") -> "Any":
+        def factored(p):
+            if p.ndim >= 2:
+                return {
+                    "r": md.zeros(p.shape[:-1]),          # row stats
+                    "c": md.zeros(p.shape[:-2] + p.shape[-1:]),  # col stats
+                }
+            return {"v": md.zeros_like(p)}
+
+        return _tree_map(factored, params)
+
+    def update(self, params, grads, state):
+        with md.no_grad():
+            def upd(p, g, s):
+                g2 = g * g + self.eps
+                if p.ndim >= 2:
+                    r = self.decay * s["r"] + (1 - self.decay) * md.mean(
+                        g2, axis=-1)
+                    c = self.decay * s["c"] + (1 - self.decay) * md.mean(
+                        g2, axis=-2)
+                    # v_hat = outer(r, c) / mean(r): rank-1 reconstruction
+                    denom = md.mean(r, axis=-1, keepdims=True)
+                    v = md.expand_dims(r, -1) * md.expand_dims(c, -2) / (
+                        md.expand_dims(denom, -1) + self.eps)
+                    new_s = {"r": r, "c": c}
+                else:
+                    v = self.decay * s["v"] + (1 - self.decay) * g2
+                    new_s = {"v": v}
+                u = g / md.sqrt(v + self.eps)
+                # update clipping: rms(u) <= clip_threshold
+                rms = md.sqrt(md.mean(u * u) + self.eps)
+                u = u / md.clip(rms / self.clip, 1.0, None)
+                return (p - self.lr * u).detach(allow_grad=True), new_s
+
+            # state nests one dict level below each param leaf, so align by
+            # flatten order instead of a joint tree_map
+            p_leaves, treedef = jax.tree.flatten(params, is_leaf=_is_tensor)
+            g_leaves = treedef.flatten_up_to(grads)
+            s_leaves = treedef.flatten_up_to(state)
+            outs = [upd(p, g, s)
+                    for p, g, s in zip(p_leaves, g_leaves, s_leaves)]
+            new_params = jax.tree.unflatten(treedef, [o[0] for o in outs])
+            new_state = jax.tree.unflatten(treedef, [o[1] for o in outs])
+            return new_params, new_state
+
+
 class MixedPrecision(Optimizer):
     """Mixed-precision training: f32 master weights, low-precision compute.
 

@@ -166,7 +166,8 @@ class TransformerLM(Module):
     def __init__(self, vocab_size: int = 256, dim: int = 128, num_heads: int = 4,
                  num_layers: int = 2, max_seq_len: int = 256, mlp_ratio: int = 4,
                  dtype: "Optional[Any]" = None, remat_blocks: bool = False,
-                 num_kv_heads: "Optional[int]" = None, rope: bool = False):
+                 num_kv_heads: "Optional[int]" = None, rope: bool = False,
+                 tie_embeddings: bool = False):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
@@ -182,8 +183,18 @@ class TransformerLM(Module):
             for _ in range(num_layers)
         ]
         self.ln_f = LayerNorm(dim, dtype=dtype)
-        self.head = Linear(dim, vocab_size, bias=False, dtype=dtype)
+        # tie_embeddings: logits = x @ tok_emb^T — no separate head weight;
+        # the embedding gets gradient from both its uses through the tape
+        self.tie_embeddings = tie_embeddings
+        if not tie_embeddings:
+            self.head = Linear(dim, vocab_size, bias=False, dtype=dtype)
         self.dtype = dtype
+
+    def lm_head(self, params, x):
+        """Hidden states (..., d) -> vocab logits (..., V)."""
+        if self.tie_embeddings:
+            return md.matmul_nt(x, params["tok_emb"])
+        return self.head.apply(params["head"], x)
 
     def init(self):
         scale = 1.0 / math.sqrt(self.dim)
@@ -192,8 +203,9 @@ class TransformerLM(Module):
             "tok_emb": md.Tensor(tok, allow_grad=True, dtype=self.dtype),
             "blocks": [blk.init() for blk in self.blocks],
             "ln_f": self.ln_f.init(),
-            "head": self.head.init(),
         }
+        if not self.tie_embeddings:
+            params["head"] = self.head.init()
         if not self.rope:
             pos = np.random.normal(0.0, scale, (self.max_seq_len, self.dim))
             params["pos_emb"] = md.Tensor(pos, allow_grad=True,
@@ -221,7 +233,7 @@ class TransformerLM(Module):
             else:
                 x = blk.apply(p, x)
         x = self.ln_f.apply(params["ln_f"], x)
-        return self.head.apply(params["head"], x)
+        return self.lm_head(params, x)
 
 
 def lm_loss(logits: "md.Tensor", targets: "md.Tensor") -> "md.Tensor":
@@ -233,6 +245,26 @@ def lm_loss(logits: "md.Tensor", targets: "md.Tensor") -> "md.Tensor":
     """
     b, s, v = logits.shape
     return F.cross_entropy(logits.reshape((b * s, v)), targets.reshape((b * s,)))
+
+
+def perplexity(model: "TransformerLM", params, tokens: "md.Tensor",
+               batch_size: int = 16) -> float:
+    """exp(mean next-token NLL) of (N, S) token sequences under the model.
+
+    Evaluates ``logits[:, :-1]`` against ``tokens[:, 1:]`` in no-grad
+    minibatches; the standard held-out LM metric.
+    """
+    n = tokens.shape[0]
+    total, count = 0.0, 0
+    with md.no_grad():
+        for start in range(0, n, batch_size):
+            chunk = tokens[start:start + batch_size]
+            logits = model.apply(params, chunk)
+            nll = lm_loss(logits[:, :-1], chunk[:, 1:])
+            m = chunk.shape[0]
+            total += float(nll.item()) * m
+            count += m
+    return float(np.exp(total / py_max(count, 1)))
 
 
 def synthetic_lm_batches(batch: int, seq_len: int, vocab: int, steps: int,
@@ -348,7 +380,7 @@ def apply_step(model: "TransformerLM", params, token: "md.Tensor",
     for blk, p, cache in zip(model.blocks, params["blocks"], caches):
         x = _block_step(blk, p, x, cache, pos)
     x = model.ln_f.apply(params["ln_f"], x)
-    return model.head.apply(params["head"], x)[:, 0, :]
+    return model.lm_head(params, x)[:, 0, :]
 
 
 def generate_cached(model: "TransformerLM", params, prompt: "md.Tensor",

@@ -199,7 +199,7 @@ def make_pipeline_train_step(
                 if t >= pp - 1:
                     i = t - (pp - 1)
                     z = model.ln_f.apply(p["shared"]["ln_f"], h)
-                    logits = model.head.apply(p["shared"]["head"], z)
+                    logits = model.lm_head(p["shared"], z)
                     l = loss_fn(logits, y[i * mb:(i + 1) * mb])
                     l = l * is_last_f.astype(l.dtype)
                     loss_total = l if loss_total is None else loss_total + l

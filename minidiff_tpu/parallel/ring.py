@@ -193,7 +193,7 @@ def make_ring_train_step(model, mesh, optimizer=None, init_params=None,
                 hh = _ring_block(blk, bp, hh, sp, axis_name,
                                  positions=pos_local)
             hh = model.ln_f.apply(p["ln_f"], hh)
-            logits = model.head.apply(p["head"], hh)  # (b, s_loc, V)
+            logits = model.lm_head(p, hh)  # (b, s_loc, V)
             vdim = logits.shape[-1]
             local = F.cross_entropy(
                 logits.reshape((b * s_loc, vdim)), y.reshape((b * s_loc,))
