@@ -38,6 +38,7 @@ from minidiff_tpu.func import (  # noqa: F401
     jvp,
     lower,
     remat,
+    scan,
     value_and_grad,
     vjp,
 )

@@ -365,6 +365,102 @@ def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
     return wrapper
 
 
+_scan_counter = __import__("itertools").count()
+
+
+def scan(step: "Callable"):
+    """Differentiable sequential loop that compiles to ONE ``lax.scan``.
+
+    ``step(carry, x, *params) -> (carry, y)`` written in framework ops (all
+    single Tensors).  ``scan(step)(init, xs, *params)`` returns
+    ``(final_carry, ys)`` where xs/ys carry a leading time axis.
+
+    This is the TPU-first answer to Python-loop recurrences: a T-step loop
+    unrolled through the tape produces a T-times-larger program (compile
+    time and code size grow with T), while md.scan lowers to a single
+    rolled ``lax.scan`` whose compile time is independent of T.  The VJP is
+    jax's reverse-scan transpose, staged into the same program under
+    ``md.jit``; first-order only through the loop (like the flash kernels).
+    Outputs are exposed as two tape ops sharing one forward expression —
+    XLA CSEs the twin scans under jit; grads from both accumulate.
+
+    On the numpy backend the loop runs eagerly op-by-op instead (full tape,
+    higher-order capable) with identical semantics.
+    """
+    scan_id = next(_scan_counter)
+
+    def scanned(init: "md.Tensor", xs: "md.Tensor", *params: "md.Tensor"):
+        if backend.backend_name() != "xla":
+            carry = init
+            ys = []
+            for t in range(xs.shape[0]):
+                carry, y = step(carry, xs[t], *params)
+                ys.append(md.expand_dims(y, 0))
+            return carry, md.concat(ys, axis=0)
+
+        import jax
+        import jax.numpy as jnp
+
+        from minidiff_tpu.ops import wrapping
+
+        def raw_fn(init_r, xs_r, *param_r):
+            def body(c, x):
+                with md.no_grad():
+                    c2, y = step(
+                        md.Tensor(c), md.Tensor(x),
+                        *[md.Tensor(p) for p in param_r]
+                    )
+                return c2._data, y._data
+
+            return jax.lax.scan(body, init_r, xs_r)
+
+        n_inputs = 2 + len(params)
+        memo: dict = {}
+
+        def make_forward(which: int):
+            def forward(*inputs: "Any") -> "md.Tensor":
+                c, ys_out = raw_fn(*(t._data for t in inputs))
+                return md.Tensor(c if which == 0 else ys_out)
+
+            forward._structural_id = ("scan", scan_id, which)
+            forward.__name__ = "scan_carry" if which == 0 else "scan_ys"
+            return forward
+
+        def make_grad(which: int, i: int):
+            def grad_fn(*args_and_grad: "Any") -> "md.Tensor":
+                *inputs, grad = args_and_grad
+                key = which
+                if key not in memo or memo[key][0] is not grad:
+                    outs, vjp_fn = jax.vjp(
+                        raw_fn, *(t._data for t in inputs)
+                    )
+                    c_out, ys_out = outs
+                    if which == 0:
+                        ct = (grad._data.astype(c_out.dtype),
+                              jnp.zeros_like(ys_out))
+                    else:
+                        ct = (jnp.zeros_like(c_out),
+                              grad._data.astype(ys_out.dtype))
+                    memo[key] = (grad, vjp_fn(ct))
+                return md.Tensor(memo[key][1][i])
+
+            return grad_fn
+
+        op_c = wrapping.create_op_func(
+            make_forward(0),
+            [make_grad(0, i) for i in range(n_inputs)],
+            tensor_only=True, op_name="scan_carry",
+        )
+        op_y = wrapping.create_op_func(
+            make_forward(1),
+            [make_grad(1, i) for i in range(n_inputs)],
+            tensor_only=True, op_name="scan_ys",
+        )
+        return op_c(init, xs, *params), op_y(init, xs, *params)
+
+    return scanned
+
+
 def lower(fn: "Callable[..., Any]", *args: "Any", **kwargs: "Any"):
     """Trace a Tensor program and return jax's Lowered object for it.
 

@@ -56,29 +56,49 @@ class GRUCell(Module):
         cand = md.tanh(x @ params["wxh"] + (r * h) @ params["whh"] + params["bh"])
         return (1.0 - z) * h + z * cand
 
-    def apply(self, params, x):
-        """x (B, S, D) -> final hidden state (B, H)."""
+    _PARAM_ORDER = ("wxz", "whz", "bz", "wxr", "whr", "br", "wxh", "whh", "bh")
+
+    def apply(self, params, x, use_scan: bool = False):
+        """x (B, S, D) -> final hidden state (B, H).
+
+        ``use_scan=True`` rolls the recurrence into ONE ``lax.scan`` via
+        ``md.scan`` — program size and compile time become independent of S
+        (the unrolled tape grows linearly); gradients flow through jax's
+        reverse-scan transpose.  Identical numerics either way.
+        """
         b, s, _ = x.shape
         h = md.zeros((b, self.hidden))
         h = h.astype(self.dtype if self.dtype is not None else x.dtype)
-        for t in range(s):
-            h = self.step(params, x[:, t, :], h)
-        return h
+        if not use_scan:
+            for t in range(s):
+                h = self.step(params, x[:, t, :], h)
+            return h
+        flat = [params[k] for k in self._PARAM_ORDER]
+
+        def scan_step(carry, xt, *flat_params):
+            p = dict(zip(self._PARAM_ORDER, flat_params))
+            h2 = self.step(p, xt, carry)
+            return h2, h2  # ys = all hidden states (BPTT residuals anyway)
+
+        xs_t = md.transpose(x, axes=(1, 0, 2))  # (S, B, D)
+        h_final, _ = md.scan(scan_step)(h, xs_t, *flat)
+        return h_final
 
 
 class GRUClassifier(Module):
     """GRU encoder + linear head over the final hidden state."""
 
     def __init__(self, in_features: int, hidden: int, num_classes: int,
-                 dtype: "Optional[Any]" = None):
+                 dtype: "Optional[Any]" = None, use_scan: bool = False):
         self.cell = GRUCell(in_features, hidden, dtype=dtype)
         self.head = Linear(hidden, num_classes, dtype=dtype)
+        self.use_scan = use_scan
 
     def init(self):
         return {"cell": self.cell.init(), "head": self.head.init()}
 
     def apply(self, params, x):
-        h = self.cell.apply(params["cell"], x)
+        h = self.cell.apply(params["cell"], x, use_scan=self.use_scan)
         return self.head.apply(params["head"], h)
 
 
