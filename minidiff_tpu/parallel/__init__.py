@@ -17,4 +17,6 @@ from minidiff_tpu.parallel.pipeline import (  # noqa: F401
 from minidiff_tpu.parallel.ring import (  # noqa: F401
     make_ring_train_step,
     ring_attention,
+    ring_attention_zigzag,
+    zigzag_order,
 )

@@ -105,6 +105,128 @@ def ring_attention(
 
 
 # ---------------------------------------------------------------------------
+# Zig-zag ring attention: the balanced causal layout.
+#
+# Contiguous chunks make causal rings lopsided: device 0's queries attend
+# almost nothing while device sp-1 attends everything, and since SPMD
+# programs cannot skip per-device, EVERY device pays the worst case — the
+# plain ring above computes all sp (s x s) score blocks and masks half of
+# them away (~2x wasted FLOPs).
+#
+# The zig-zag layout gives device d the two half-chunks (d, 2sp-1-d) of the
+# 2sp-way-split sequence.  Then the liveness pattern is uniform in a way a
+# static program CAN exploit:
+#   * r = 0 (local): q0 x k0 triangular, q1 x k0 full, q1 x k1 triangular
+#   * r > 0: exactly TWO of the four half-pairs are live, and both are
+#     FULLY unmasked: (q1 x k0) always, plus (q0 x k0) when d >= r else
+#     (q1 x k1).  The data-dependent half is a scalar where-select of
+#     operands — same ops on every device, half the score FLOPs.
+# Total: 3 + 2(sp-1) half-blocks vs the plain ring's 4sp — ~2x fewer.
+# ---------------------------------------------------------------------------
+
+
+def zigzag_order(seq_len: int, sp: int):
+    """Permutation putting the sequence into zig-zag shard layout.
+
+    Split positions into 2*sp chunks; device d's contiguous shard of the
+    PERMUTED sequence holds chunks (d, 2sp-1-d).  Apply to tokens before a
+    P(None, 'sp') shard_map split; ``argsort`` of it restores order.
+    """
+    import numpy as np
+
+    assert seq_len % (2 * sp) == 0, (seq_len, sp)
+    s2 = seq_len // (2 * sp)
+    order = []
+    for d in range(sp):
+        order.extend(range(d * s2, (d + 1) * s2))
+        g = 2 * sp - 1 - d
+        order.extend(range(g * s2, (g + 1) * s2))
+    return np.asarray(order)
+
+
+def ring_attention_zigzag(
+    q: "md.Tensor",
+    k: "md.Tensor",
+    v: "md.Tensor",
+    sp: int,
+    axis_name: str = "sp",
+    scale: "Optional[float]" = None,
+) -> "md.Tensor":
+    """Causal ring attention over zig-zag-sharded chunks (see module notes).
+
+    q/k/v locals are (b, h, s, hd) where rows [0, s/2) are global chunk
+    ``d`` and rows [s/2, s) are chunk ``2sp-1-d``.  Output rows match q's
+    layout.  Equals the plain ring / md.sdpa after un-permuting.
+    """
+    b, h, s, hd = q.shape
+    assert s % 2 == 0
+    s2 = s // 2
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+
+    my = jax.lax.axis_index(axis_name)
+    rows = jnp.arange(s2)[:, None]
+    cols = jnp.arange(s2)[None, :]
+    tri = md.Tensor(rows >= cols)  # (s2, s2)
+
+    q0, q1 = q[:, :, :s2], q[:, :, s2:]
+
+    def fresh_state():
+        return (
+            md.full((b, h, s2, 1), _NEG).astype(q.dtype),
+            md.zeros((b, h, s2, 1)).astype(q.dtype),
+            md.zeros((b, h, s2, hd)).astype(q.dtype),
+        )
+
+    st0, st1 = fresh_state(), fresh_state()
+
+    def merge(state, scores, vals, gate=None):
+        m, l, o = state
+        if gate is not None:
+            scores = md.where(gate, scores, md.full_like(scores, _NEG))
+        bm = md.max(scores, axis=-1, keepdims=True)
+        m_new = md.maximum(m, bm)
+        p = md.exp(scores - m_new)
+        if gate is not None:
+            p = p * gate.astype(q.dtype)
+        alpha = md.exp(m - m_new)
+        return (m_new, l * alpha + md.sum(p, axis=-1, keepdims=True),
+                o * alpha + md.matmul(p, vals))
+
+    shift = [(i, (i + 1) % sp) for i in range(sp)]
+    kk, vv = k, v
+    for r in range(sp):
+        k0, k1 = kk[:, :, :s2], kk[:, :, s2:]
+        v0, v1 = vv[:, :, :s2], vv[:, :, s2:]
+        if r == 0:
+            st0 = merge(st0, md.matmul_nt(q0, k0) * scale, v0, gate=tri)
+            st1 = merge(st1, md.matmul_nt(q1, k0) * scale, v0)
+            st1 = merge(st1, md.matmul_nt(q1, k1) * scale, v1, gate=tri)
+        else:
+            # always-live, fully unmasked: q1 x k0 (chunk 2sp-1-d > any src)
+            st1 = merge(st1, md.matmul_nt(q1, k0) * scale, v0)
+            # the select pair: (q0 x k0) -> state0 when d >= r, else
+            # (q1 x k1) -> state1; both fully unmasked
+            cond = md.Tensor(my >= r)
+            qB = md.where(cond, q0, q1)
+            kB = md.where(cond, k0, k1)
+            vB = md.where(cond, v0, v1)
+            mT = (md.where(cond, st0[0], st1[0]),
+                  md.where(cond, st0[1], st1[1]),
+                  md.where(cond, st0[2], st1[2]))
+            mTn = merge(mT, md.matmul_nt(qB, kB) * scale, vB)
+            st0 = tuple(md.where(cond, n, o_) for n, o_ in zip(mTn, st0))
+            st1 = tuple(md.where(cond, o_, n) for n, o_ in zip(mTn, st1))
+        if r < sp - 1:
+            kk = md.ppermute(kk, axis_name=axis_name, perm=shift)
+            vv = md.ppermute(vv, axis_name=axis_name, perm=shift)
+
+    out0 = st0[2] / st0[1]
+    out1 = st1[2] / st1[1]
+    return md.concat([out0, out1], axis=2)
+
+
+# ---------------------------------------------------------------------------
 # Sequence-parallel transformer training: tokens sharded on sp, attention via
 # the ring, everything inside one shard_map (the pipeline.py pattern).
 # ---------------------------------------------------------------------------
@@ -122,7 +244,8 @@ def _wrap(tree, allow_grad=False):
     return jax.tree.map(lambda a: md.Tensor(a, allow_grad=allow_grad), tree)
 
 
-def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None):
+def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None,
+                zigzag: bool = False):
     """TransformerBlock.apply with the attention core swapped for the ring.
 
     ``positions`` (local GLOBAL positions, for RoPE models) rotates q/k
@@ -142,7 +265,12 @@ def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None):
         k = F.apply_rope(k, positions, attn.rope_base)
     k = attn.expand_kv(k)
     v = attn.expand_kv(v)
-    o = ring_attention(q, k, v, sp, axis_name=axis_name, causal=attn.causal)
+    if zigzag:
+        assert attn.causal, "zig-zag layout only helps causal attention"
+        o = ring_attention_zigzag(q, k, v, sp, axis_name=axis_name)
+    else:
+        o = ring_attention(q, k, v, sp, axis_name=axis_name,
+                           causal=attn.causal)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
     x = x + attn.out.apply(params["attn"]["out"], o)
 
@@ -151,13 +279,15 @@ def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None):
 
 
 def make_ring_train_step(model, mesh, optimizer=None, init_params=None,
-                         axis_name: str = "sp"):
+                         axis_name: str = "sp", zigzag: bool = False):
     """Sequence-parallel TransformerLM training over ``mesh``'s sp axis.
 
     Returns (step, params, opt_state); ``step(params, opt_state, x, y)``
     takes FULL-batch (B, S) token Tensors (sequence split across devices
     inside), returns the same replicated params tree.  Parity: identical to
     the single-device make_train_step(model, loss_fn=lm_loss) step.
+    ``zigzag=True`` uses the balanced causal layout (~2x fewer attention
+    FLOPs; tokens are permuted/unpermuted transparently inside the step).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -184,14 +314,20 @@ def make_ring_train_step(model, mesh, optimizer=None, init_params=None,
         def objective(p):
             x = md.Tensor(raw_x)
             y = md.Tensor(raw_y)
-            offs = my * s_loc + jnp.arange(s_loc)  # global positions
+            if zigzag:
+                # local rows are the device's zig-zag chunks of the (host-
+                # permuted) sequence; global positions come from the order
+                order_c = jnp.asarray(zigzag_order(sp * s_loc, sp))
+                offs = order_c[my * s_loc + jnp.arange(s_loc)]
+            else:
+                offs = my * s_loc + jnp.arange(s_loc)  # global positions
             pos_local = md.Tensor(offs)
             hh = p["tok_emb"][x]
             if not getattr(model, "rope", False):
                 hh = hh + p["pos_emb"][pos_local]
             for blk, bp in zip(model.blocks, p["blocks"]):
                 hh = _ring_block(blk, bp, hh, sp, axis_name,
-                                 positions=pos_local)
+                                 positions=pos_local, zigzag=zigzag)
             hh = model.ln_f.apply(p["ln_f"], hh)
             logits = model.lm_head(p, hh)  # (b, s_loc, V)
             vdim = logits.shape[-1]
@@ -225,11 +361,16 @@ def make_ring_train_step(model, mesh, optimizer=None, init_params=None,
     )
 
     def step(params, state, x, y):
+        raw_x, raw_y = x._data, y._data
+        if zigzag:
+            order = zigzag_order(int(raw_x.shape[1]), sp)
+            raw_x = raw_x[:, order]
+            raw_y = raw_y[:, order]
         raw_p, new_raw_s, raw_loss = jitted(
             _unwrap(params),
             _unwrap(state) if state is not None else None,
-            x._data,
-            y._data,
+            raw_x,
+            raw_y,
         )
         return (
             _wrap(raw_p, allow_grad=True),

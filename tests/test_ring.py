@@ -148,3 +148,88 @@ def test_ring_train_loss_decreases_with_adam():
         params, state, loss = step(params, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0], losses
+
+
+# ---------------------------------------------------------------------------
+# zig-zag layout (balanced causal ring, ~2x fewer score FLOPs)
+# ---------------------------------------------------------------------------
+
+
+@needs_8
+@pytest.mark.parametrize("sp", [2, 4, 8])
+def test_zigzag_matches_sdpa(sp):
+    np.random.seed(5)
+    b, h, S, hd = 2, 2, 32, 8
+    q, k, v = (np.random.randn(b, h, S, hd) for _ in range(3))
+    order = parallel.zigzag_order(S, sp)
+    inv = np.argsort(order)
+    mesh = parallel.make_mesh({"sp": sp})
+
+    def body(ql, kl, vl):
+        return parallel.ring_attention_zigzag(
+            md.Tensor(ql), md.Tensor(kl), md.Tensor(vl), sp
+        )._data
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(None, None, "sp"),) * 3,
+        out_specs=P(None, None, "sp"), check_vma=False,
+    ))
+    got = np.asarray(f(jnp.asarray(q[:, :, order]), jnp.asarray(k[:, :, order]),
+                       jnp.asarray(v[:, :, order])))[:, :, inv]
+    ref = np.asarray(
+        md.sdpa(md.Tensor(q), md.Tensor(k), md.Tensor(v), causal=True).detach()
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_zigzag_train_step_matches_single_device():
+    np.random.seed(6)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=16)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(4, 16, 16, 1))
+
+    step1 = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, _, loss1 = step1(init, None, x, y)
+
+    mesh = parallel.make_mesh({"sp": 2})
+    step, params, state = parallel.make_ring_train_step(
+        model, mesh, SGD(0.1), init_params=init, zigzag=True
+    )
+    params, state, loss = step(params, state, x, y)
+    np.testing.assert_allclose(float(loss.item()), float(loss1.item()),
+                               rtol=1e-10)
+    for path in [
+        lambda p: p["blocks"][0]["attn"]["qkv"]["w"],
+        lambda p: p["tok_emb"],
+        lambda p: p["pos_emb"],
+        lambda p: p["head"]["w"],
+    ]:
+        np.testing.assert_allclose(np.asarray(path(params)),
+                                   np.asarray(path(p1)),
+                                   rtol=1e-11, atol=1e-13)
+
+
+@needs_8
+def test_zigzag_rope_train_step_matches_single_device():
+    """RoPE + zig-zag: positions follow the permuted layout exactly."""
+    np.random.seed(7)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=16, rope=True)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(2, 16, 16, 1))
+    step1 = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, _, loss1 = step1(init, None, x, y)
+
+    mesh = parallel.make_mesh({"sp": 4})
+    step, params, state = parallel.make_ring_train_step(
+        model, mesh, SGD(0.1), init_params=init, zigzag=True
+    )
+    params, state, loss = step(params, state, x, y)
+    np.testing.assert_allclose(float(loss.item()), float(loss1.item()),
+                               rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"][0]["attn"]["qkv"]["w"]),
+        np.asarray(p1["blocks"][0]["attn"]["qkv"]["w"]),
+        rtol=1e-11, atol=1e-13)
