@@ -38,6 +38,7 @@ from minidiff_tpu.models.transformer import (  # noqa: F401
     init_kv_cache,
 )
 from minidiff_tpu.models.decode import generate_compiled  # noqa: F401
+from minidiff_tpu.models.beam import beam_search  # noqa: F401
 from minidiff_tpu.models.cnn import CNN, Conv2d  # noqa: F401
 from minidiff_tpu.models.moe import (  # noqa: F401
     MoEFeedForward,
