@@ -63,7 +63,7 @@ REQUIRED_ATTRS = [
     "squeeze", "transpose",
     # reductions / search / scans / ordering
     "all", "any", "argmax", "argmin", "max", "mean", "min", "prod", "std",
-    "sum", "cumsum", "argwhere", "sort", "argsort", "top_k_indices",
+    "sum", "var", "cumsum", "argwhere", "sort", "argsort", "top_k_indices",
     # binary
     "add", "astype", "broadcast_to", "dot", "equal", "expand_dims",
     "floor_divide", "getitem", "greater", "greater_equal", "less",

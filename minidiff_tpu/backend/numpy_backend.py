@@ -80,6 +80,7 @@ class NumpyBackend:
     min = staticmethod(np.min)
     prod = staticmethod(np.prod)
     std = staticmethod(np.std)
+    var = staticmethod(np.var)
     sum = staticmethod(np.sum)
     cumsum = staticmethod(np.cumsum)
     sort = staticmethod(np.sort)

@@ -123,6 +123,7 @@ class XlaBackend:
     min = staticmethod(jnp.min)
     prod = staticmethod(jnp.prod)
     std = staticmethod(jnp.std)
+    var = staticmethod(jnp.var)
     sum = staticmethod(jnp.sum)
     cumsum = staticmethod(jnp.cumsum)
     sort = staticmethod(jnp.sort)

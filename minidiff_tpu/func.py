@@ -49,13 +49,16 @@ def _tree_grads(tree: "Any") -> "Any":
 
 
 def value_and_grad(
-    fn: "Callable[..., md.Tensor]", argnums: "Union[int, Sequence[int]]" = 0
+    fn: "Callable[..., md.Tensor]", argnums: "Union[int, Sequence[int]]" = 0,
+    has_aux: bool = False,
 ):
     """Engine-driven value_and_grad: fresh leaves, tape build, backward sweep.
 
     ``argnums`` entries may be Tensors or pytrees of Tensors; returned grads
     mirror their structure.  Non-selected args pass through untouched (their
     allow_grad flags decide whether they also accumulate grads).
+    ``has_aux=True``: ``fn`` returns (loss, aux); the wrapper returns
+    ``((loss, aux), grads)`` with gradients of the loss only.
     """
     single = isinstance(argnums, int)
     nums = (argnums,) if single else tuple(argnums)
@@ -66,9 +69,13 @@ def value_and_grad(
             copies[i] = _tree_detach(args[i], allow_grad=True)
         with md.enable_grad(True):
             out = fn(*copies, **kwargs)
+            aux = None
+            if has_aux:
+                out, aux = out
             out.backward()
         grads = tuple(_tree_grads(copies[i]) for i in nums)
-        return out, (grads[0] if single else grads)
+        value = (out, aux) if has_aux else out
+        return value, (grads[0] if single else grads)
 
     return wrapper
 
@@ -98,11 +105,13 @@ def vjp(fn: "Callable[..., md.Tensor]", *primals: "Any"):
     return out.detach(), vjp_fn
 
 
-def grad(fn: "Callable[..., md.Tensor]", argnums: "Union[int, Sequence[int]]" = 0):
-    vag = value_and_grad(fn, argnums)
+def grad(fn: "Callable[..., md.Tensor]", argnums: "Union[int, Sequence[int]]" = 0,
+         has_aux: bool = False):
+    vag = value_and_grad(fn, argnums, has_aux=has_aux)
 
     def wrapper(*args: "Any", **kwargs: "Any"):
-        return vag(*args, **kwargs)[1]
+        value, grads = vag(*args, **kwargs)
+        return (grads, value[1]) if has_aux else grads
 
     return wrapper
 

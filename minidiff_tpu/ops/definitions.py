@@ -135,6 +135,17 @@ def std_grad(x, grad, axis=None, **kwargs):
     return _grad_as_keepdims(x, grad, axes) * (x - mu) / (sigma * n)
 
 
+def var_grad(x, grad, axis=None, **kwargs):
+    """d(var)/dx_i = 2 (x_i - mu) / N, broadcast over reduced axes."""
+    axes = _normalize_axes(axis, x.ndim)
+    if axes == ():
+        return md.zeros_like(x)
+    kd = _keepdims_shape(x.shape, axes)
+    n = x.size // py_prod(kd) if x.size else 1
+    mu = mean(x, axis=axes, keepdims=True)
+    return _grad_as_keepdims(x, grad, axes) * (x - mu) * (2.0 / n)
+
+
 def squeeze_grad(a, grad, axis=None, **kwargs):
     if axis is None:
         axis = tuple(i for i, dim in enumerate(a.shape) if dim == 1)
@@ -423,6 +434,11 @@ squeeze = wrapping.create_unary_op_func(
 std = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("std")),
     grad=std_grad,
+    propagate_kwargs=True,
+)
+var = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("var")),
+    grad=var_grad,
     propagate_kwargs=True,
 )
 sum = wrapping.create_unary_op_func(
@@ -1068,6 +1084,7 @@ __all__ = [
     "square",
     "squeeze",
     "std",
+    "var",
     "sum",
     "cumsum",
     "einsum",

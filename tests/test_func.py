@@ -309,3 +309,19 @@ def test_vjp_multiple_primals(backend):
     ga, gb = vjp_fn(md.Tensor(np.ones(2)))
     np.testing.assert_allclose(np.asarray(ga), [5.0, 7.0])
     np.testing.assert_allclose(np.asarray(gb), [2.0, 3.0])
+
+
+def test_value_and_grad_has_aux(backend):
+    x = md.Tensor(np.arange(3.0), allow_grad=True)
+
+    def f(t):
+        return md.sum(t * t), {"mean": md.mean(t)}
+
+    (loss, aux), g = md.value_and_grad(f, has_aux=True)(x)
+    np.testing.assert_allclose(float(loss.item()), 5.0)
+    np.testing.assert_allclose(float(aux["mean"].item()), 1.0)
+    np.testing.assert_allclose(np.asarray(g), [0.0, 2.0, 4.0])
+
+    g2, aux2 = md.grad(f, has_aux=True)(x)
+    np.testing.assert_allclose(np.asarray(g2), [0.0, 2.0, 4.0])
+    np.testing.assert_allclose(float(aux2["mean"].item()), 1.0)

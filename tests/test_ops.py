@@ -666,3 +666,9 @@ def test_einsum_higher_order(backend):
     an = np.asarray(backend_mod.as_numpy(a._data))
     h_row_sums = (2 * an @ an.T).sum(axis=1)
     np.testing.assert_allclose(np.asarray(x.grad), h_row_sums, rtol=1e-8)
+
+
+def test_var(backend):
+    check_op(md.var, "var", [rnd(2, 3, 4)], {"axis": -1})
+    check_op(md.var, "var", [rnd(2, 3, 4)], {"axis": (0, 2), "keepdims": True})
+    check_op(md.var, "var", [rnd(2, 3, 4)], {"axis": None})
