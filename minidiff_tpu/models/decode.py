@@ -120,6 +120,42 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
             [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
         )
 
+    def prefill(p, x_tok):
+        """Whole-prompt forward in ONE pass: fills caches[:, :, :s0) and
+        returns the last position's logits.  This is where long prompts win:
+        s0 sequential scan steps collapse into one parallel (flash-eligible)
+        attention forward."""
+        bb, ss = x_tok.shape
+        pos = md.arange(ss)
+        xh = p["tok_emb"][x_tok]
+        if not model.rope:
+            xh = xh + p["pos_emb"][:ss]
+        caches = []
+        for blk, bp in zip(model.blocks, p["blocks"]):
+            attn = blk.attn
+            xa = blk.ln1.apply(bp["ln1"], xh)
+            qq, kk, vv = attn.project_qkv(bp["attn"], xa)
+            if attn.rope:
+                qq = F.apply_rope(qq, pos, attn.rope_base)
+                kk = F.apply_rope(kk, pos, attn.rope_base)
+            ck = md.zeros((bb, attn.num_kv_heads, L, attn.head_dim)).astype(
+                p_dtype)
+            cv = md.zeros((bb, attn.num_kv_heads, L, attn.head_dim)).astype(
+                p_dtype)
+            ck[:, :, :ss, :] = kk.astype(p_dtype)
+            cv[:, :, :ss, :] = vv.astype(p_dtype)
+            caches.append({"k": ck, "v": cv})
+            o = md.sdpa(qq, attn.expand_kv(kk), attn.expand_kv(vv),
+                        causal=True)
+            o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((bb, ss, -1))
+            xh = xh + attn.out.apply(bp["attn"]["out"], o)
+            hdn = F.gelu(blk.fc1.apply(bp["fc1"],
+                                       blk.ln2.apply(bp["ln2"], xh)))
+            xh = xh + blk.fc2.apply(bp["fc2"], hdn)
+        xh = model.ln_f.apply(p["ln_f"], xh)
+        logits = model.lm_head(p, xh[:, -1:, :])[:, 0, :]  # (B, V)
+        return caches, logits
+
     def step(raw_p, caches_raw, tok_raw, i):
         """One decode position: token (B,) at position i -> next (B,)."""
         with md.no_grad():
@@ -136,8 +172,16 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
                 x = _block_decode_step(blk, bp, x, cache, pos_t, mask)
             x = model.ln_f.apply(p["ln_f"], x)
             logits = model.lm_head(p, x)[:, 0, :]  # (B, V)
+            return (
+                jax.tree.map(lambda t: t._data, caches, is_leaf=_is_tensor),
+                logits,
+            )
+
+    def select(logits, i):
+        """Next token from (B, V) logits at scan position i (md ops)."""
+        with md.no_grad():
             if greedy:
-                nxt = md.argmax(logits, axis=-1)  # (B,)
+                nxt = md.argmax(logits, axis=-1)
             else:
                 scaled = logits / max(float(temperature), 1e-6)
                 if top_k is not None and top_k < logits.shape[-1]:
@@ -148,44 +192,39 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
                 # (seed, i), independent across steps
                 step_key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
                 u = jax.random.uniform(
-                    step_key, logits.shape, jnp.float32, 1e-9, 1.0
+                    step_key, scaled.shape, jnp.float32, 1e-9, 1.0
                 )
                 gumbel = md.Tensor(-jnp.log(-jnp.log(u))).astype(scaled.dtype)
                 nxt = md.argmax(scaled + gumbel, axis=-1)
-            return (
-                jax.tree.map(lambda t: t._data, caches, is_leaf=_is_tensor),
-                nxt._data.astype(prompt_raw.dtype),
-            )
+            return nxt._data.astype(prompt_raw.dtype)
 
     @jax.jit
     def decode(raw_p, prompt_raw):
-        # cache init INSIDE the program: a closed-over device array would be
-        # lowered as an MLIR constant, which fetches its value to host —
-        # pathologically slow (or stalled) through an async device tunnel
-        caches0 = [
-            {
-                "k": jnp.zeros(
-                    (b, blk.attn.num_kv_heads, L, blk.attn.head_dim), p_dtype
-                ),
-                "v": jnp.zeros(
-                    (b, blk.attn.num_kv_heads, L, blk.attn.head_dim), p_dtype
-                ),
-            }
-            for blk in model.blocks
-        ]
+        # one-shot prefill: the whole prompt in a single parallel forward
+        # (flash-eligible attention) instead of s0 sequential scan steps
+        with md.no_grad():
+            p = jax.tree.map(md.Tensor, raw_p)
+            caches_t, logits0 = prefill(p, md.Tensor(prompt_raw))
+            caches0 = jax.tree.map(
+                lambda t: t._data, caches_t, is_leaf=_is_tensor
+            )
+            nxt0 = select(logits0, s0 - 1)
 
-        def body(carry, i):
+        def body(carry, j):
             caches_raw, prev = carry
-            # prompt token while prefilling, else the previous argmax
-            tok = jnp.where(i < s0, prompt_raw[:, jnp.minimum(i, s0 - 1)], prev)
-            caches_raw, nxt = step(raw_p, caches_raw, tok, i)
+            i = s0 + j  # position being fed
+            caches_raw, logits = step(raw_p, caches_raw, prev, i)
+            nxt = select(logits, i)
             return (caches_raw, nxt), nxt
 
-        init = (caches0, prompt_raw[:, 0])
-        _, nexts = jax.lax.scan(body, init, jnp.arange(total))
-        # nexts (total, B): the argmax after feeding position i; generated
-        # tokens are those produced at positions s0-1 .. total-1
-        return jnp.swapaxes(nexts[s0 - 1:], 0, 1)
+        if max_new_tokens > 1:
+            _, nexts = jax.lax.scan(
+                body, (caches0, nxt0), jnp.arange(max_new_tokens - 1)
+            )
+            gen = jnp.concatenate([nxt0[None], nexts], axis=0)
+        else:
+            gen = nxt0[None]
+        return jnp.swapaxes(gen, 0, 1)  # (B, max_new)
 
     _decode_cache[key] = decode
     generated = decode(raw_params, prompt_raw)
