@@ -52,6 +52,7 @@ def make_train_step(
     jit: bool = True,
     apply_fn: "Optional[Callable]" = None,
     grad_accum: int = 1,
+    donate: bool = False,
 ):
     """Build ``step(params, opt_state, x, y) -> (params, opt_state, loss)``.
 
@@ -59,7 +60,12 @@ def make_train_step(
     pure function; with jit=True it compiles into a single XLA executable.
     ``apply_fn`` overrides ``model.apply`` for models whose training forward
     returns extra outputs (e.g. MoE's ``apply_with_aux``); ``loss_fn`` then
-    receives whatever it returns.  ``grad_accum > 1`` splits the batch into
+    receives whatever it returns.  ``donate=True`` donates the input buffers
+    to XLA so old params/opt-state are updated in place instead of
+    double-buffered — halves parameter+state HBM for big models; the caller
+    must not touch pre-step params afterwards (the training-loop pattern
+    ``params, state, loss = step(params, state, x, y)`` is safe).
+    ``grad_accum > 1`` splits the batch into
     that many microbatches, runs fwd+bwd per microbatch, and applies ONE
     update with the averaged gradients — activation memory scales with the
     microbatch, so batch sizes that do not fit in HBM still train (the
@@ -106,7 +112,7 @@ def make_train_step(
         return params, opt_state, loss
 
     if jit and md.backend_name() == "xla":
-        return md.jit(step)
+        return md.jit(step, donate=donate)
     return step
 
 

@@ -260,3 +260,35 @@ def test_train_state_checkpoint_resume_exact():
     np.testing.assert_allclose(losses, ref_losses, rtol=1e-10)
     np.testing.assert_allclose(np.asarray(p2[0]["w"]), np.asarray(p_ref[0]["w"]),
                                rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# buffer donation
+# ---------------------------------------------------------------------------
+
+
+def test_donated_train_step_loops_and_matches():
+    """donate=True trains identically; old param buffers are consumed."""
+    np.random.seed(6)
+    model = MLP(16, (16,), 4)
+    init = model.init()
+    xs, ys = synthetic_classification(64, 16, 4)
+    x, y = md.Tensor(xs), md.Tensor(ys)
+
+    p_ref, _, l_ref = make_train_step(model, SGD(0.1))(init, None, x, y)
+
+    init2 = jax.tree.map(
+        lambda t: md.Tensor(np.asarray(t.detach()), allow_grad=t.allow_grad),
+        init, is_leaf=lambda t: isinstance(t, md.Tensor))
+    step = make_train_step(model, SGD(0.1), donate=True)
+    p_don, state, l_don = step(init2, None, x, y)
+    np.testing.assert_allclose(float(l_don.item()), float(l_ref.item()),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(p_don[0]["w"]),
+                               np.asarray(p_ref[0]["w"]), rtol=1e-12)
+    # the loop pattern keeps working across steps (fresh buffers each time)
+    losses = [float(l_don.item())]
+    for _ in range(5):
+        p_don, state, loss = step(p_don, state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0], losses
