@@ -203,6 +203,7 @@ def jit(
     in_shardings: "Any" = None,
     out_shardings: "Any" = None,
     donate: bool = False,
+    donate_argnums: "Optional[Sequence[int]]" = None,
 ):
     """Compile a Tensor program into a single XLA executable.
 
@@ -219,6 +220,10 @@ def jit(
     * ``in_shardings`` / ``out_shardings`` (pytrees of jax shardings aligned
       with the flattened tensor leaves / outputs) ride through to jax.jit —
       this is how minidiff_tpu.parallel expresses dp/tp over a Mesh.
+    * ``donate=True`` donates EVERY input buffer; ``donate_argnums``
+      restricts donation to the listed positional args (e.g. params and
+      optimizer state but not the batch) — the right tool for train steps,
+      where donating batch tensors risks deleting buffers the caller reuses.
     """
     import jax
 
@@ -226,24 +231,34 @@ def jit(
         raise RuntimeError("md.jit requires the xla backend")
 
     cache: dict = {}
+    donate_set = frozenset(donate_argnums or ())
 
     def wrapper(*args: "Any", **kwargs: "Any"):
         # no is_leaf: Tensor is not a registered pytree node, so it is a
         # natural leaf and the flatten stays on jax's C fast path (a Python
         # is_leaf callback costs ~2x the whole dispatch for small trees)
         leaves, treedef = jax.tree.flatten((args, kwargs))
+        if donate_set:
+            # which top-level positional arg owns each leaf, in flatten order
+            # (kwargs leaves come after all args and are never donated)
+            arg_of_leaf = []
+            for pos, a in enumerate(args):
+                arg_of_leaf += [pos] * jax.tree.structure(a).num_leaves
+            arg_of_leaf += [-1] * (len(leaves) - len(arg_of_leaf))
         meta = []
         dynamic = []
-        for leaf in leaves:
+        donated = []
+        for j, leaf in enumerate(leaves):
+            to_donate = donate_set and arg_of_leaf[j] in donate_set
             if _is_tensor(leaf):
-                meta.append(("tensor", leaf.allow_grad))
-                dynamic.append(leaf._data)
+                meta.append(("tensor", leaf.allow_grad, bool(to_donate)))
+                (donated if to_donate else dynamic).append(leaf._data)
             elif _is_dynamic_leaf(leaf):
-                meta.append(("array", None))
-                dynamic.append(leaf)
+                meta.append(("array", None, bool(to_donate)))
+                (donated if to_donate else dynamic).append(leaf)
             else:
                 # hashable non-array (str, dtype, shape tuple, ...) → static
-                meta.append(("static", leaf))
+                meta.append(("static", leaf, False))
         meta = tuple(meta)
         key = (treedef, meta)
 
@@ -256,15 +271,17 @@ def jit(
             ) from None
         if not hit:
 
-            def pure(dyn: "list") -> "Any":
+            def pure(don: "list", dyn: "list") -> "Any":
                 it = iter(dyn)
+                it_don = iter(don)
                 rebuilt = []
                 for m in meta:
-                    kind, info = m
+                    kind, info, is_don = m
+                    src = it_don if is_don else it
                     if kind == "tensor":
-                        rebuilt.append(md.Tensor(next(it), allow_grad=info))
+                        rebuilt.append(md.Tensor(next(src), allow_grad=info))
                     elif kind == "array":
-                        rebuilt.append(next(it))
+                        rebuilt.append(next(src))
                     else:
                         rebuilt.append(info)
                 a, k = jax.tree.unflatten(treedef, rebuilt)
@@ -275,14 +292,16 @@ def jit(
 
             jit_kwargs: dict = {}
             if in_shardings is not None:
-                jit_kwargs["in_shardings"] = (in_shardings,)
+                # shardings apply to the non-donated leaf list (donation and
+                # explicit input shardings are not combined)
+                jit_kwargs["in_shardings"] = (None, in_shardings)
             if out_shardings is not None:
                 jit_kwargs["out_shardings"] = out_shardings
-            if donate:
-                jit_kwargs["donate_argnums"] = (0,)
+            if donate or donate_set:
+                jit_kwargs["donate_argnums"] = (0, 1) if donate else (0,)
             cache[key] = jax.jit(pure, **jit_kwargs)
 
-        out_raw = cache[key](dynamic)
+        out_raw = cache[key](donated, dynamic)
         return jax.tree.map(
             lambda r: md.Tensor(r) if isinstance(r, jax.Array) else r, out_raw
         )

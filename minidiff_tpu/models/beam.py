@@ -70,6 +70,9 @@ def beam_search(
         scores[:, 0] = 0.0
         seqs = expanded  # (B*W, S0)
         finished = np.zeros((b, w), dtype=bool)
+        # per-beam generated length (counting up to and including EOS) — the
+        # quantity the GNMT length penalty normalizes by
+        lengths = np.zeros((b, w), dtype=np.int64)
 
         for step in range(max_new_tokens):
             v = logp.shape[-1]
@@ -98,11 +101,15 @@ def beam_search(
             for cache in caches:
                 cache["k"] = cache["k"][sel_t]
                 cache["v"] = cache["v"][sel_t]
+            lengths = np.take_along_axis(lengths, parent, axis=-1)
             if eos_id is not None:
                 finished = np.take_along_axis(finished, parent, axis=-1)
+                lengths += ~finished  # frozen beams stop growing
                 finished |= token == eos_id
                 if finished.all():
                     break
+            else:
+                lengths += 1
             if step == max_new_tokens - 1:
                 break
             logits = apply_step(
@@ -112,9 +119,10 @@ def beam_search(
                 np.asarray(logits.detach(), dtype=np.float64)
             )
 
-    gen_len = seqs.shape[1] - s0
     if length_penalty:
-        norm = scores / (gen_len ** length_penalty)
+        # per-beam lengths: with EOS, finished beams keep their own (shorter)
+        # length, so the penalty genuinely reranks hypotheses
+        norm = scores / np.maximum(lengths, 1) ** length_penalty
     else:
         norm = scores
     best = norm.argmax(axis=-1)  # (B,)

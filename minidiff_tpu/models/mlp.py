@@ -112,7 +112,10 @@ def make_train_step(
         return params, opt_state, loss
 
     if jit and md.backend_name() == "xla":
-        return md.jit(step, donate=donate)
+        # donate only params (arg 0) and optimizer state (arg 1): donating
+        # the batch tensors would delete buffers callers legitimately reuse
+        # across steps (and x/y can alias params when shapes/dtypes match)
+        return md.jit(step, donate_argnums=(0, 1) if donate else None)
     return step
 
 

@@ -33,15 +33,15 @@ struct Tokenizer {
     for (uint32_t i = 0; i < merges.size(); ++i) rank[merges[i]] = i;
   }
 
-  // expand one token id to raw bytes
-  void expand(uint32_t id, std::string* out) const {
+  // expand one token id to raw bytes; false if id is out of vocabulary
+  bool expand(uint32_t id, std::string* out) const {
     if (id < 256) {
       out->push_back(static_cast<char>(id));
-      return;
+      return true;
     }
+    if (id - 256 >= merges.size()) return false;
     const auto& m = merges[id - 256];
-    expand(m.first, out);
-    expand(m.second, out);
+    return expand(m.first, out) && expand(m.second, out);
   }
 };
 
@@ -136,11 +136,14 @@ uint64_t tok_encode(void* h, const uint8_t* data, uint64_t len,
   return toks.size();
 }
 
-// Decode ids -> bytes; returns byte count.  Call with out=NULL to size.
+// Decode ids -> bytes; returns byte count, or UINT64_MAX if any id is out
+// of vocabulary.  Call with out=NULL to size.
 uint64_t tok_decode(void* h, const uint32_t* ids, uint64_t n, uint8_t* out) {
   auto* t = static_cast<Tokenizer*>(h);
   std::string buf;
-  for (uint64_t i = 0; i < n; ++i) t->expand(ids[i], &buf);
+  for (uint64_t i = 0; i < n; ++i) {
+    if (!t->expand(ids[i], &buf)) return UINT64_MAX;
+  }
   if (out != nullptr) std::memcpy(out, buf.data(), buf.size());
   return buf.size();
 }

@@ -123,27 +123,31 @@ def prod_grad(x, grad, axis=None, **kwargs):
     return md.where(x == 0, 0, grad_kd * total / x)
 
 
-def std_grad(x, grad, axis=None, **kwargs):
-    """d(std)/dx_i = (x_i - mu) / (N * sigma), broadcast over reduced axes."""
+def std_grad(x, grad, axis=None, ddof=0, **kwargs):
+    """d(std)/dx_i = (x_i - mu) / ((N - ddof) * sigma), same-ddof sigma."""
     axes = _normalize_axes(axis, x.ndim)
     if axes == ():
         return md.zeros_like(x)
     kd = _keepdims_shape(x.shape, axes)
     n = x.size // py_prod(kd) if x.size else 1
     mu = mean(x, axis=axes, keepdims=True)
-    sigma = std(x, axis=axes, keepdims=True)
-    return _grad_as_keepdims(x, grad, axes) * (x - mu) / (sigma * n)
+    sigma = std(x, axis=axes, keepdims=True, ddof=ddof)
+    return _grad_as_keepdims(x, grad, axes) * (x - mu) / (sigma * (n - ddof))
 
 
-def var_grad(x, grad, axis=None, **kwargs):
-    """d(var)/dx_i = 2 (x_i - mu) / N, broadcast over reduced axes."""
+def var_grad(x, grad, axis=None, ddof=0, **kwargs):
+    """d(var)/dx_i = 2 (x_i - mu) / (N - ddof), broadcast over reduced axes.
+
+    mu stays the plain mean regardless of ddof (only the normalizer changes
+    in numpy's variance), so the gradient divides by N - ddof.
+    """
     axes = _normalize_axes(axis, x.ndim)
     if axes == ():
         return md.zeros_like(x)
     kd = _keepdims_shape(x.shape, axes)
     n = x.size // py_prod(kd) if x.size else 1
     mu = mean(x, axis=axes, keepdims=True)
-    return _grad_as_keepdims(x, grad, axes) * (x - mu) * (2.0 / n)
+    return _grad_as_keepdims(x, grad, axes) * (x - mu) * (2.0 / (n - ddof))
 
 
 def squeeze_grad(a, grad, axis=None, **kwargs):

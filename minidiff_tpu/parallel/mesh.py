@@ -86,31 +86,43 @@ def shard_tree(tree: "Any", mesh: Mesh, specs: "Any") -> "Any":
 def transformer_sharding_rules(params: "Any") -> "Any":
     """Megatron-style TP placement for models.TransformerLM parameter trees.
 
-    Per block: the fused QKV projection is column-parallel (heads split
-    across ``tp``), the attention output projection row-parallel; the MLP's
-    fc1 is column-, fc2 row-parallel — one all-reduce per sublayer.
-    Embeddings, LayerNorms, and fc2/out biases are replicated; the vocab head
-    is column-parallel over the vocabulary.
+    Per block: the QKV projections (fused ``qkv`` or GQA's ``wq``/``wkv``)
+    are column-parallel (heads split across ``tp``), the attention output
+    projection row-parallel; the MLP's fc1 is column-, fc2 row-parallel —
+    one all-reduce per sublayer.  Embeddings, LayerNorms, and fc2/out
+    biases are replicated; the vocab head is column-parallel over the
+    vocabulary.  The spec tree mirrors whatever the params tree actually
+    contains (rope drops pos_emb, tie_embeddings drops head, GQA swaps the
+    attention keys), so every model variant composes.
     """
+    def attn_rules(attn_params):
+        rules = {"out": {"w": PartitionSpec("tp", None)}}
+        if "qkv" in attn_params:
+            rules["qkv"] = {"w": PartitionSpec(None, "tp")}
+        else:  # GQA: separate q and kv projections, both column-parallel
+            rules["wq"] = {"w": PartitionSpec(None, "tp")}
+            rules["wkv"] = {"w": PartitionSpec(None, "tp")}
+        return rules
+
     blocks = []
-    for _ in params["blocks"]:
+    for blk in params["blocks"]:
         blocks.append({
             "ln1": {"g": PartitionSpec(), "b": PartitionSpec()},
-            "attn": {
-                "qkv": {"w": PartitionSpec(None, "tp")},
-                "out": {"w": PartitionSpec("tp", None)},
-            },
+            "attn": attn_rules(blk["attn"]),
             "ln2": {"g": PartitionSpec(), "b": PartitionSpec()},
             "fc1": {"w": PartitionSpec(None, "tp"), "b": PartitionSpec("tp")},
             "fc2": {"w": PartitionSpec("tp", None), "b": PartitionSpec()},
         })
-    return {
+    rules = {
         "tok_emb": PartitionSpec(),
-        "pos_emb": PartitionSpec(),
         "blocks": blocks,
         "ln_f": {"g": PartitionSpec(), "b": PartitionSpec()},
-        "head": {"w": PartitionSpec(None, "tp")},
     }
+    if "pos_emb" in params:
+        rules["pos_emb"] = PartitionSpec()
+    if "head" in params:
+        rules["head"] = {"w": PartitionSpec(None, "tp")}
+    return rules
 
 
 def fsdp_sharding_rules(params: "Any", mesh: Mesh, axis: str = "dp",

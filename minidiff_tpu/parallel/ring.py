@@ -21,8 +21,8 @@ handled with masks, not control flow: a K/V block strictly in the future is
 fully suppressed, the diagonal block gets the intra-chunk triangular mask,
 past blocks attend fully.  The fully-masked steps still run (SPMD programs
 cannot skip per-device) — the classic ring-attention load imbalance, ~2x
-FLOPs vs optimal for causal; acceptable until a zig-zag chunk layout is
-added.
+FLOPs vs optimal for causal.  ``ring_attention_zigzag`` below removes that
+waste with the balanced zig-zag chunk layout.
 """
 
 from __future__ import annotations
@@ -49,6 +49,7 @@ def ring_attention(
     axis_name: str = "sp",
     causal: bool = True,
     scale: "Optional[float]" = None,
+    expand_kv=None,
 ) -> "md.Tensor":
     """Attention over ring-rotated K/V chunks; call inside shard_map.
 
@@ -57,7 +58,14 @@ def ring_attention(
     (c+1)*s_local)).  Returns the local output chunk.  Matches
     ``md.sdpa(q_full, k_full, v_full, causal=causal)`` restricted to the
     local rows.
+
+    ``expand_kv`` (e.g. MultiHeadAttention.expand_kv for GQA) broadcasts
+    kv-head K/V to query heads AT USE — the ring rotates the narrow
+    (b, kv, s, hd) buffers, so GQA's bandwidth/memory savings survive the
+    ppermutes.
     """
+    if expand_kv is None:
+        expand_kv = lambda t: t  # noqa: E731
     b, h, s, hd = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(hd)
@@ -76,7 +84,7 @@ def ring_attention(
     for r in range(sp):
         # kk/vv currently hold chunk (my - r) mod sp
         src = jnp.mod(my - r + sp, sp)
-        scores = md.matmul_nt(q, kk) * scale  # (b, h, s, s)
+        scores = md.matmul_nt(q, expand_kv(kk)) * scale  # (b, h, s, s)
         if causal:
             past = md.Tensor(my > src)  # whole block in the past: allow all
             diag = md.Tensor(my == src)  # same chunk: intra-chunk triangle
@@ -95,7 +103,7 @@ def ring_attention(
             p = p * gate
         alpha = md.exp(m - m_new)
         l = l * alpha + md.sum(p, axis=-1, keepdims=True)
-        o = o * alpha + md.matmul(p, vv)
+        o = o * alpha + md.matmul(p, expand_kv(vv))
         m = m_new
         if r < sp - 1:
             kk = md.ppermute(kk, axis_name=axis_name, perm=shift)
@@ -151,13 +159,17 @@ def ring_attention_zigzag(
     sp: int,
     axis_name: str = "sp",
     scale: "Optional[float]" = None,
+    expand_kv=None,
 ) -> "md.Tensor":
     """Causal ring attention over zig-zag-sharded chunks (see module notes).
 
     q/k/v locals are (b, h, s, hd) where rows [0, s/2) are global chunk
     ``d`` and rows [s/2, s) are chunk ``2sp-1-d``.  Output rows match q's
     layout.  Equals the plain ring / md.sdpa after un-permuting.
+    ``expand_kv`` broadcasts GQA kv heads at use (see ring_attention).
     """
+    if expand_kv is None:
+        expand_kv = lambda t: t  # noqa: E731
     b, h, s, hd = q.shape
     assert s % 2 == 0
     s2 = s // 2
@@ -191,7 +203,7 @@ def ring_attention_zigzag(
             p = p * gate.astype(q.dtype)
         alpha = md.exp(m - m_new)
         return (m_new, l * alpha + md.sum(p, axis=-1, keepdims=True),
-                o * alpha + md.matmul(p, vals))
+                o * alpha + md.matmul(p, expand_kv(vals)))
 
     shift = [(i, (i + 1) % sp) for i in range(sp)]
     kk, vv = k, v
@@ -199,12 +211,14 @@ def ring_attention_zigzag(
         k0, k1 = kk[:, :, :s2], kk[:, :, s2:]
         v0, v1 = vv[:, :, :s2], vv[:, :, s2:]
         if r == 0:
-            st0 = merge(st0, md.matmul_nt(q0, k0) * scale, v0, gate=tri)
-            st1 = merge(st1, md.matmul_nt(q1, k0) * scale, v0)
-            st1 = merge(st1, md.matmul_nt(q1, k1) * scale, v1, gate=tri)
+            st0 = merge(st0, md.matmul_nt(q0, expand_kv(k0)) * scale, v0,
+                        gate=tri)
+            st1 = merge(st1, md.matmul_nt(q1, expand_kv(k0)) * scale, v0)
+            st1 = merge(st1, md.matmul_nt(q1, expand_kv(k1)) * scale, v1,
+                        gate=tri)
         else:
             # always-live, fully unmasked: q1 x k0 (chunk 2sp-1-d > any src)
-            st1 = merge(st1, md.matmul_nt(q1, k0) * scale, v0)
+            st1 = merge(st1, md.matmul_nt(q1, expand_kv(k0)) * scale, v0)
             # the select pair: (q0 x k0) -> state0 when d >= r, else
             # (q1 x k1) -> state1; both fully unmasked
             cond = md.Tensor(my >= r)
@@ -214,7 +228,7 @@ def ring_attention_zigzag(
             mT = (md.where(cond, st0[0], st1[0]),
                   md.where(cond, st0[1], st1[1]),
                   md.where(cond, st0[2], st1[2]))
-            mTn = merge(mT, md.matmul_nt(qB, kB) * scale, vB)
+            mTn = merge(mT, md.matmul_nt(qB, expand_kv(kB)) * scale, vB)
             st0 = tuple(md.where(cond, n, o_) for n, o_ in zip(mTn, st0))
             st1 = tuple(md.where(cond, o_, n) for n, o_ in zip(mTn, st1))
         if r < sp - 1:
@@ -263,14 +277,15 @@ def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None,
         assert positions is not None
         q = F.apply_rope(q, positions, attn.rope_base)
         k = F.apply_rope(k, positions, attn.rope_base)
-    k = attn.expand_kv(k)
-    v = attn.expand_kv(v)
+    # K/V stay at kv-head width through the ring (GQA's bandwidth saving
+    # must survive the ppermutes); broadcast to query heads only at use
     if zigzag:
         assert attn.causal, "zig-zag layout only helps causal attention"
-        o = ring_attention_zigzag(q, k, v, sp, axis_name=axis_name)
+        o = ring_attention_zigzag(q, k, v, sp, axis_name=axis_name,
+                                  expand_kv=attn.expand_kv)
     else:
         o = ring_attention(q, k, v, sp, axis_name=axis_name,
-                           causal=attn.causal)
+                           causal=attn.causal, expand_kv=attn.expand_kv)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
     x = x + attn.out.apply(params["attn"]["out"], o)
 

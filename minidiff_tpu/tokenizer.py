@@ -86,12 +86,20 @@ class BPETokenizer:
     def decode(self, ids: "Any") -> str:
         arr = np.asarray(
             ids.detach() if hasattr(ids, "detach") else ids
-        ).ravel().astype(np.uint32)
+        ).ravel()
         if arr.size == 0:
             return ""
+        if (arr < 0).any() or (arr >= self.vocab_size).any():
+            bad = int(arr[(arr < 0) | (arr >= self.vocab_size)][0])
+            raise ValueError(
+                f"token id {bad} out of range for vocab_size {self.vocab_size}"
+            )
+        arr = arr.astype(np.uint32)
         if self._handle is not None:
             cids = (ctypes.c_uint32 * arr.size)(*arr.tolist())
             n = self._lib.tok_decode(self._handle, cids, arr.size, None)
+            if n == 2 ** 64 - 1:  # defense in depth: native OOV sentinel
+                raise ValueError("token id out of range")
             buf = ctypes.create_string_buffer(int(n))
             self._lib.tok_decode(self._handle, cids, arr.size, buf)
             return buf.raw.decode("utf-8", errors="replace")

@@ -64,6 +64,26 @@ def save_pytree(file: "Any", tree: "Any") -> None:
     np.savez_compressed(file, **arrays)
 
 
+def _restore_like(arrays: dict, like: "Any") -> "Any":
+    """Rebuild ``like``'s structure from a {keypath: array} dict."""
+    import jax
+
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(
+        like, is_leaf=_is_tensor
+    )
+    rebuilt = []
+    for path, leaf in leaves_with_paths:
+        key = _path_str(path)
+        if key not in arrays:
+            raise KeyError(f"checkpoint is missing leaf {key!r}")
+        value = arrays[key]
+        if _is_tensor(leaf):
+            rebuilt.append(md.Tensor(value, allow_grad=leaf.allow_grad))
+        else:
+            rebuilt.append(value)
+    return jax.tree_util.tree_unflatten(treedef, rebuilt)
+
+
 def load_pytree(file: "Any", like: "Optional[Any]" = None) -> "Any":
     """Restore a tree saved by save_pytree.
 
@@ -71,26 +91,11 @@ def load_pytree(file: "Any", like: "Optional[Any]" = None) -> "Any":
     carry the stored values (keeping each leaf's allow_grad flag).  Without:
     returns nested dicts/lists keyed by the stored paths.
     """
-    import jax
-
     with np.load(file) as data:
         arrays = {k: data[k] for k in data.files}
 
     if like is not None:
-        leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(
-            like, is_leaf=_is_tensor
-        )
-        rebuilt = []
-        for path, leaf in leaves_with_paths:
-            key = _path_str(path)
-            if key not in arrays:
-                raise KeyError(f"checkpoint is missing leaf {key!r}")
-            value = arrays[key]
-            if _is_tensor(leaf):
-                rebuilt.append(md.Tensor(value, allow_grad=leaf.allow_grad))
-            else:
-                rebuilt.append(value)
-        return jax.tree_util.tree_unflatten(treedef, rebuilt)
+        return _restore_like(arrays, like)
 
     if list(arrays) == ["."]:  # a single-leaf tree saved at the root path
         return md.Tensor(arrays["."])
@@ -159,13 +164,7 @@ def load_train_state(file: "Any", like_params: "Any",
         arrays = {k: data[k] for k in data.files}
     meta = json.loads(bytes(arrays["_meta_json"]).decode())
 
-    # reuse load_pytree's structured restore for the params/opt subtrees
-    import io
-
-    buf = io.BytesIO()
-    np.savez_compressed(buf, **{k: v for k, v in arrays.items()})
-    buf.seek(0)
-    tree = load_pytree(buf, like=like)
+    tree = _restore_like(arrays, like)
     params = tree["params"]
     opt_state = tree.get("opt_state") if like_opt_state is not None else None
     return params, opt_state, meta["step"], meta["extra"]

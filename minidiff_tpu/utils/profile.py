@@ -79,24 +79,32 @@ class StepTimer:
     def __init__(self) -> None:
         self.times: list = []
         self._t0: "Optional[float]" = None
+        self._pending = False
 
     def __enter__(self) -> "StepTimer":
         self._t0 = time.perf_counter()
+        self._pending = False
         return self
 
     def __exit__(self, *exc: "Any") -> None:
-        # closed by .sync() when the caller wants device-true timing; if they
-        # never sync, record dispatch wall time at exit
-        if self._t0 is not None and exc[0] is not None:
+        if exc[0] is not None:
             self._t0 = None
+            return
+        # record dispatch wall time now; a following .sync() upgrades this
+        # entry to device-true time (measured from the same start)
+        if self._t0 is not None:
+            self.times.append(time.perf_counter() - self._t0)
+            self._pending = True
 
     def sync(self, value: "Any") -> None:
-        """End the current measurement after syncing on ``value``."""
-        if self._t0 is None:
+        """Upgrade the last measurement to device-true time (blocks on
+        ``value``); without a sync the recorded time is dispatch wall time."""
+        if self._t0 is None or not self._pending:
             return
         _sync(value)
-        self.times.append(time.perf_counter() - self._t0)
+        self.times[-1] = time.perf_counter() - self._t0
         self._t0 = None
+        self._pending = False
 
     def summary(self) -> "Dict[str, float]":
         if not self.times:

@@ -76,3 +76,23 @@ def test_length_penalty_changes_selection_shape():
     s_b, sc_b = beam_search(m, p, prompt, 6, beam_width=4, length_penalty=1.0)
     # same search, different normalization: scores differ by the length factor
     np.testing.assert_allclose(sc_b * 6.0, sc_a, rtol=1e-9)
+
+
+def test_length_penalty_uses_per_beam_lengths():
+    """With EOS, finished beams keep their own length, so a positive
+    penalty can prefer a shorter-but-denser hypothesis."""
+    m, p = _model(seed=7)
+    prompt = md.Tensor(np.random.randint(1, 23, size=(1, 3)))
+    eos = 5
+    _, sc0 = beam_search(m, p, prompt, 10, beam_width=4, eos_id=eos,
+                         length_penalty=0.0)
+    seqs1, sc1 = beam_search(m, p, prompt, 10, beam_width=4, eos_id=eos,
+                             length_penalty=1.0)
+    # normalized score of the winning beam is score / its OWN length: verify
+    # by recomputing from the returned sequence
+    arr = np.asarray(seqs1.detach())[0]
+    gen = arr[3:]
+    hits = np.where(gen == eos)[0]
+    own_len = (hits[0] + 1) if hits.size else gen.shape[0]
+    raw = _seq_logprob(m, p, arr[:3 + own_len], 3)
+    np.testing.assert_allclose(sc1[0], raw / own_len, rtol=1e-5, atol=1e-6)

@@ -672,3 +672,14 @@ def test_var(backend):
     check_op(md.var, "var", [rnd(2, 3, 4)], {"axis": -1})
     check_op(md.var, "var", [rnd(2, 3, 4)], {"axis": (0, 2), "keepdims": True})
     check_op(md.var, "var", [rnd(2, 3, 4)], {"axis": None})
+
+
+def test_var_std_ddof_grads(backend):
+    """ddof must reach the VJPs: d var/dx = 2(x-mu)/(N-ddof)."""
+    check_op(md.var, "var", [rnd(3, 5)], {"axis": -1, "ddof": 1})
+    check_op(md.std, "std", [rnd(3, 5)], {"axis": -1, "ddof": 1})
+    x = md.Tensor(np.array([1.0, 2.0, 4.0]), allow_grad=True)
+    md.var(x, ddof=1).backward()
+    mu = 7.0 / 3.0
+    expect = 2 * (np.array([1.0, 2.0, 4.0]) - mu) / 2.0
+    np.testing.assert_allclose(np.asarray(x.grad), expect, rtol=1e-10)

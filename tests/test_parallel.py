@@ -178,3 +178,27 @@ def test_sequence_parallel_transformer_matches_single_device():
     # tokens really are sharded over both axes
     spec = xb._data.sharding.spec
     assert spec == PartitionSpec("dp", "sp"), spec
+
+
+@needs_8
+def test_tp_rules_cover_model_variants():
+    """transformer_sharding_rules follows the actual params tree: rope (no
+    pos_emb), GQA (wq/wkv), tied embeddings (no head) all place cleanly."""
+    from minidiff_tpu.models import TransformerLM, lm_loss, SGD
+    from minidiff_tpu.models.transformer import synthetic_lm_batches
+
+    np.random.seed(9)
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=4, num_kv_heads=4,
+                          num_layers=1, max_seq_len=8, rope=True,
+                          tie_embeddings=True)
+    init = model.init()
+    rules = parallel.transformer_sharding_rules(init)
+    placed = parallel.shard_tree(init, mesh, rules)  # must not raise
+    step, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.1), loss_fn=lm_loss, param_specs=rules
+    )
+    x, y = next(synthetic_lm_batches(4, 8, 16, 1))
+    xb, yb = place_batch(x, y)
+    p, s, loss = step(place_params(init), None, xb, yb)
+    assert np.isfinite(float(loss.item()))

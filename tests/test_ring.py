@@ -233,3 +233,29 @@ def test_zigzag_rope_train_step_matches_single_device():
         np.asarray(params["blocks"][0]["attn"]["qkv"]["w"]),
         np.asarray(p1["blocks"][0]["attn"]["qkv"]["w"]),
         rtol=1e-11, atol=1e-13)
+
+
+@needs_8
+def test_ring_gqa_kv_width_rotation_matches_single_device():
+    """GQA model through the ring: K/V rotate at kv-head width and the step
+    still bit-matches the single-device step."""
+    np.random.seed(8)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=4, num_kv_heads=2,
+                          num_layers=1, max_seq_len=16, rope=True)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(2, 16, 16, 1))
+    step1 = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, _, loss1 = step1(init, None, x, y)
+
+    mesh = parallel.make_mesh({"sp": 4})
+    for zz in (False, True):
+        step, params, state = parallel.make_ring_train_step(
+            model, mesh, SGD(0.1), init_params=init, zigzag=zz
+        )
+        params, state, loss = step(params, state, x, y)
+        np.testing.assert_allclose(float(loss.item()), float(loss1.item()),
+                                   rtol=1e-10, err_msg=f"zigzag={zz}")
+        np.testing.assert_allclose(
+            np.asarray(params["blocks"][0]["attn"]["wkv"]["w"]),
+            np.asarray(p1["blocks"][0]["attn"]["wkv"]["w"]),
+            rtol=1e-11, atol=1e-13, err_msg=f"zigzag={zz}")

@@ -101,3 +101,19 @@ def test_text_to_lm_training_end_to_end():
         params, state, loss = step(params, state, xb, yb)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_decode_rejects_out_of_vocab_ids():
+    tok = BPETokenizer.train(CORPUS, vocab_size=280)
+    import pytest as _pytest
+
+    for bad in [[tok.vocab_size], [123456789], [-1]]:
+        with _pytest.raises(ValueError):
+            tok.decode(np.asarray(bad))
+    # fallback path rejects identically
+    tok2 = BPETokenizer.__new__(BPETokenizer)
+    tok2.merges = tok.merges
+    tok2._lib = None
+    tok2._handle = None
+    with _pytest.raises(ValueError):
+        tok2.decode(np.asarray([tok.vocab_size]))
