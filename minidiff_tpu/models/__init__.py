@@ -39,6 +39,12 @@ from minidiff_tpu.models.transformer import (  # noqa: F401
 )
 from minidiff_tpu.models.decode import generate_compiled  # noqa: F401
 from minidiff_tpu.models.beam import beam_search  # noqa: F401
+from minidiff_tpu.models.seq2seq import (  # noqa: F401
+    CrossAttention,
+    Seq2SeqTransformer,
+    greedy_decode,
+    seq2seq_loss,
+)
 from minidiff_tpu.models.cnn import CNN, Conv2d  # noqa: F401
 from minidiff_tpu.models.moe import (  # noqa: F401
     MoEFeedForward,
