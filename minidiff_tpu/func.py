@@ -88,6 +88,8 @@ def vjp(fn: "Callable[..., md.Tensor]", *primals: "Any"):
     cotangents against one forward are cheap.  Grads mirror the primal
     pytrees; ``None`` where a leaf was unreachable from the output.
     """
+    import jax
+
     copies = tuple(_tree_detach(p, allow_grad=True) for p in primals)
     with md.enable_grad(True):
         out = fn(*copies)
@@ -99,7 +101,17 @@ def vjp(fn: "Callable[..., md.Tensor]", *primals: "Any"):
                 ct.astype(out.dtype), cleanup_mode="keep", reset_grads=True,
                 root_output=out,
             )
-        grads = tuple(_tree_grads(c) for c in copies)
+            grads = tuple(_tree_grads(c) for c in copies)
+        else:
+            # fn passed a primal leaf straight through (identity/selection):
+            # the cotangent flows to THAT leaf, zero-structure elsewhere
+            grads = tuple(
+                jax.tree.map(
+                    lambda leaf: ct if leaf is out else None,
+                    c, is_leaf=_is_tensor,
+                )
+                for c in copies
+            )
         return grads[0] if len(copies) == 1 else grads
 
     return out.detach(), vjp_fn
@@ -419,6 +431,13 @@ def scan(step: "Callable"):
 
     def scanned(init: "md.Tensor", xs: "md.Tensor", *params: "md.Tensor"):
         if backend.backend_name() != "xla":
+            if xs.shape[0] == 0:
+                # the ys shape is unknowable without tracing step (XLA infers
+                # it abstractly; the eager oracle cannot)
+                raise ValueError(
+                    "md.scan over empty xs is not supported on the numpy "
+                    "backend"
+                )
             carry = init
             ys = []
             for t in range(xs.shape[0]):
@@ -444,10 +463,21 @@ def scan(step: "Callable"):
 
         n_inputs = 2 + len(params)
         memo: dict = {}
+        fwd_memo: dict = {}
+
+        def _shared_forward(raws: tuple):
+            # the carry and ys ops share ONE scan execution per input set
+            # (the raw operands stay alive across both op calls, so ids are
+            # stable); without this, eager callers pay the scan twice
+            fkey = tuple(id(r) for r in raws)
+            if fwd_memo.get("key") != fkey:
+                fwd_memo["key"] = fkey
+                fwd_memo["val"] = raw_fn(*raws)
+            return fwd_memo["val"]
 
         def make_forward(which: int):
             def forward(*inputs: "Any") -> "md.Tensor":
-                c, ys_out = raw_fn(*(t._data for t in inputs))
+                c, ys_out = _shared_forward(tuple(t._data for t in inputs))
                 return md.Tensor(c if which == 0 else ys_out)
 
             forward._structural_id = ("scan", scan_id, which)

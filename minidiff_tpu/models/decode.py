@@ -99,6 +99,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     """
     b, s0 = prompt.shape
     assert s0 >= 1, "generate_compiled needs a non-empty prompt to prefill"
+    assert max_new_tokens >= 1, "max_new_tokens must be >= 1"
     total = s0 + max_new_tokens - 1
     assert total <= model.max_seq_len, "prompt + new tokens exceed max_seq_len"
     L = model.max_seq_len
@@ -110,12 +111,15 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     # One compiled program per (model, shapes): rebuilding the jitted
     # closure on every call would recompile every call — ~1.6 s fixed cost
     # that dwarfs the 128-token decode itself.
+    # seed is a RUNTIME argument (traced into the program), so a serving
+    # loop varying seeds reuses one compiled program instead of paying a
+    # fresh trace+compile per request
     key = (id(model), b, s0, max_new_tokens, str(p_dtype),
-           str(prompt_raw.dtype), greedy, float(temperature),
-           top_k, int(seed))
+           str(prompt_raw.dtype), greedy, float(temperature), top_k)
+    seed_raw = jnp.asarray(int(seed), jnp.uint32)
     cached = _decode_cache.get(key)
     if cached is not None:
-        generated = cached(raw_params, prompt_raw)
+        generated = cached(raw_params, prompt_raw, seed_raw)
         return md.concatenate(
             [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
         )
@@ -177,7 +181,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
                 logits,
             )
 
-    def select(logits, i):
+    def select(logits, i, seed_arr):
         """Next token from (B, V) logits at scan position i (md ops)."""
         with md.no_grad():
             if greedy:
@@ -190,7 +194,8 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
                                       md.full_like(scaled, -1e30))
                 # Gumbel-max draw from a per-position key: deterministic in
                 # (seed, i), independent across steps
-                step_key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+                step_key = jax.random.fold_in(
+                    jax.random.PRNGKey(seed_arr), i)
                 u = jax.random.uniform(
                     step_key, scaled.shape, jnp.float32, 1e-9, 1.0
                 )
@@ -199,7 +204,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
             return nxt._data.astype(prompt_raw.dtype)
 
     @jax.jit
-    def decode(raw_p, prompt_raw):
+    def decode(raw_p, prompt_raw, seed_arr):
         # one-shot prefill: the whole prompt in a single parallel forward
         # (flash-eligible attention) instead of s0 sequential scan steps
         with md.no_grad():
@@ -208,13 +213,13 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
             caches0 = jax.tree.map(
                 lambda t: t._data, caches_t, is_leaf=_is_tensor
             )
-            nxt0 = select(logits0, s0 - 1)
+            nxt0 = select(logits0, s0 - 1, seed_arr)
 
         def body(carry, j):
             caches_raw, prev = carry
             i = s0 + j  # position being fed
             caches_raw, logits = step(raw_p, caches_raw, prev, i)
-            nxt = select(logits, i)
+            nxt = select(logits, i, seed_arr)
             return (caches_raw, nxt), nxt
 
         if max_new_tokens > 1:
@@ -227,7 +232,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
         return jnp.swapaxes(gen, 0, 1)  # (B, max_new)
 
     _decode_cache[key] = decode
-    generated = decode(raw_params, prompt_raw)
+    generated = decode(raw_params, prompt_raw, seed_raw)
     return md.concatenate(
         [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
     )

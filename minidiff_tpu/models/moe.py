@@ -96,32 +96,39 @@ class MoEFeedForward(Module):
 
         probs = F.softmax(xt @ params["router"]["w"], axis=-1)  # (T, E)
 
+        # ALL position/queue arithmetic runs in f32 regardless of model
+        # dtype: a bf16 cumsum loses integer exactness past 256, silently
+        # colliding tokens onto the same capacity slot (two tokens summed
+        # into one expert row).  Only the gate stays in probs' dtype.
+        f32 = md.float32
         remaining = probs
-        counts = md.zeros((1, e)).astype(probs.dtype)  # tokens queued per expert
+        counts = md.zeros((1, e)).astype(f32)  # tokens queued per expert
         dispatch = None  # (T, E, C) one-hot, non-diff
         combine = None   # (T, E, C) gate-weighted, diff through probs
         first_choice = None
         for _ in range(self.k):
-            oh = F.one_hot(md.argmax(remaining, axis=-1), e)  # (T, E) non-diff
-            oh = oh.astype(probs.dtype)
+            idx = md.argmax(remaining, axis=-1)
+            oh = F.one_hot(idx, e).astype(f32)  # (T, E) non-diff
             if first_choice is None:
                 first_choice = oh
-            gate = md.sum(probs * oh, axis=-1, keepdims=True)  # (T, 1)
+            gate = md.sum(probs * oh.astype(probs.dtype), axis=-1,
+                          keepdims=True)  # (T, 1)
             # queue position of each token within its expert (prefix count of
             # earlier tokens routed to the same expert, + prior choices' load)
             pos = md.cumsum(oh, axis=0) - oh + counts  # (T, E)
             counts = counts + md.sum(oh, axis=0, keepdims=True)
             pos_tok = md.sum(pos * oh, axis=-1)  # (T,)
-            keep = md.less(pos_tok, float(c)).astype(probs.dtype)  # capacity drop
-            poh = F.one_hot(pos_tok, c).astype(probs.dtype)  # (T, C)
+            keep = md.less(pos_tok, float(c)).astype(f32)  # capacity drop
+            poh = F.one_hot(pos_tok, c).astype(f32)  # (T, C)
             disp = (md.expand_dims(oh, -1) * md.expand_dims(poh, 1)
-                    * keep.reshape((t, 1, 1)))  # (T, E, C)
+                    * keep.reshape((t, 1, 1)))  # (T, E, C) in f32
             dispatch = disp if dispatch is None else dispatch + disp
-            comb = disp * gate.reshape((t, 1, 1))
+            comb = disp.astype(probs.dtype) * gate.reshape((t, 1, 1))
             combine = comb if combine is None else combine + comb
-            remaining = remaining * (1 - oh)
+            remaining = remaining * (1 - oh.astype(probs.dtype))
 
         # dispatch: (T, E, C) x (T, d) -> (E, C, d); one MXU contraction
+        dispatch = dispatch.astype(xt.dtype)
         expert_in = md.tensordot(dispatch, xt, axes=([0], [0]))
         h = F.gelu(md.matmul(expert_in, params["experts"]["w1"])
                    + md.expand_dims(params["experts"]["b1"], 1))
@@ -130,7 +137,7 @@ class MoEFeedForward(Module):
         # combine: (T, E, C) x (E, C, d) -> (T, d)
         y = md.tensordot(combine, out, axes=([1, 2], [0, 1]))
 
-        frac = md.mean(first_choice, axis=0)  # f_e: first-choice load share
+        frac = md.mean(first_choice, axis=0).astype(probs.dtype)  # f_e
         mean_prob = md.mean(probs, axis=0)    # P_e
         aux = md.sum(frac * mean_prob) * float(e)
         return y.reshape((b, s, d)), aux

@@ -43,16 +43,7 @@ if TYPE_CHECKING:
     from minidiff_tpu.models.transformer import TransformerLM
 
 
-def _is_tensor(x):
-    return isinstance(x, md.Tensor)
-
-
-def _unwrap(tree):
-    return jax.tree.map(lambda t: t._data, tree, is_leaf=_is_tensor)
-
-
-def _wrap(tree, allow_grad=False):
-    return jax.tree.map(lambda a: md.Tensor(a, allow_grad=allow_grad), tree)
+from minidiff_tpu.parallel._util import _is_tensor, _unwrap, _wrap  # noqa: E402
 
 
 def stack_stage_params(params: "Any", pp: int) -> "Any":
@@ -101,26 +92,32 @@ def unstack_stage_params(stacked: "Any", pp: int) -> "Any":
 
 def _state_specs(raw_state, raw_params, param_specs):
     """Specs for an optimizer-state tree: reuse the param spec tree wherever
-    the state embeds a params-shaped subtree (SGD momentum, Adam m/v);
-    everything else (step counters, scalars) is replicated."""
+    the state embeds a params-shaped subtree, RECURSIVELY (SGD momentum,
+    Adam m/v, MixedPrecision's {master, inner:{m,v,t}} nesting); everything
+    else (step counters, scalars) is replicated.
+
+    Limitation: optimizers whose state replaces each param leaf with a
+    differently-shaped sub-structure (Adafactor's factored r/c vectors)
+    have no params-shaped subtree; their stage-sharded moments would need
+    shape-aware placement — unsupported here (the trace fails loudly with
+    a shape mismatch rather than training with a wrong layout)."""
     if raw_state is None:
         return None
     pstruct = jax.tree.structure(raw_params)
 
-    def match(sub):
+    def walk(sub):
         try:
-            return jax.tree.structure(sub) == pstruct
+            if jax.tree.structure(sub) == pstruct:
+                return param_specs
         except Exception:
-            return False
+            pass
+        if isinstance(sub, dict):
+            return {k: walk(v) for k, v in sub.items()}
+        if isinstance(sub, (list, tuple)):
+            return type(sub)(walk(v) for v in sub)
+        return P()
 
-    if match(raw_state):
-        return param_specs
-    if isinstance(raw_state, dict):
-        return {
-            k: (param_specs if match(v) else jax.tree.map(lambda _: P(), v))
-            for k, v in raw_state.items()
-        }
-    return jax.tree.map(lambda _: P(), raw_state)
+    return walk(raw_state)
 
 
 def make_pipeline_train_step(

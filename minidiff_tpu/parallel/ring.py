@@ -246,16 +246,7 @@ def ring_attention_zigzag(
 # ---------------------------------------------------------------------------
 
 
-def _is_tensor(x):
-    return isinstance(x, md.Tensor)
-
-
-def _unwrap(tree):
-    return jax.tree.map(lambda t: t._data, tree, is_leaf=_is_tensor)
-
-
-def _wrap(tree, allow_grad=False):
-    return jax.tree.map(lambda a: md.Tensor(a, allow_grad=allow_grad), tree)
+from minidiff_tpu.parallel._util import _is_tensor, _unwrap, _wrap  # noqa: E402
 
 
 def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None,

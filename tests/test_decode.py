@@ -115,3 +115,32 @@ def test_compiled_sampling_top_k_runs():
     arr = np.asarray(out.detach())
     assert arr.shape == (2, 12)
     assert ((arr >= 0) & (arr < 29)).all()
+
+
+def test_compiled_rejects_zero_new_tokens():
+    m = TransformerLM(vocab_size=11, dim=8, num_heads=2, num_layers=1,
+                      max_seq_len=8)
+    p = m.init()
+    prompt = md.Tensor(np.random.randint(1, 11, size=(1, 3)))
+    with np.testing.assert_raises(AssertionError):
+        generate_compiled(m, p, prompt, 0)
+
+
+def test_sampled_seed_reuses_compiled_program():
+    """Different seeds must NOT recompile: seed is a runtime argument."""
+    import minidiff_tpu.models.decode as dec
+
+    np.random.seed(21)
+    m = TransformerLM(vocab_size=13, dim=8, num_heads=2, num_layers=1,
+                      max_seq_len=16)
+    p = m.init()
+    prompt = md.Tensor(np.random.randint(1, 13, size=(2, 3)))
+    before = len(dec._decode_cache)
+    a = generate_compiled(m, p, prompt, 5, greedy=False, seed=1)
+    after_first = len(dec._decode_cache)
+    b = generate_compiled(m, p, prompt, 5, greedy=False, seed=2)
+    c = generate_compiled(m, p, prompt, 5, greedy=False, seed=1)
+    assert len(dec._decode_cache) == after_first == before + 1
+    assert not np.array_equal(np.asarray(a.detach()), np.asarray(b.detach()))
+    np.testing.assert_array_equal(np.asarray(a.detach()),
+                                  np.asarray(c.detach()))

@@ -325,3 +325,17 @@ def test_value_and_grad_has_aux(backend):
     g2, aux2 = md.grad(f, has_aux=True)(x)
     np.testing.assert_allclose(np.asarray(g2), [0.0, 2.0, 4.0])
     np.testing.assert_allclose(float(aux2["mean"].item()), 1.0)
+
+
+def test_vjp_identity_passthrough(backend):
+    out, f = md.vjp(lambda x: x, md.Tensor(np.ones(3)))
+    g = f(md.Tensor(np.array([1.0, 2.0, 3.0])))
+    np.testing.assert_allclose(np.asarray(g), [1.0, 2.0, 3.0])
+
+
+def test_scan_empty_xs_numpy_raises():
+    md.set_backend("numpy")
+    with pytest.raises(ValueError):
+        md.scan(lambda c, x: (c, c))(md.Tensor(np.ones(2)),
+                                     md.Tensor(np.zeros((0, 2))))
+    md.set_backend("xla")

@@ -194,3 +194,38 @@ def test_expert_parallel_loss_decreases():
         params, state, loss = step(params, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_bf16_routing_positions_stay_exact():
+    """Queue positions must be integer-exact even in bf16 models: capacity
+    slots > 256 collide if the cumsum runs in bf16."""
+    md.set_backend("xla")
+    np.random.seed(20)
+    t, d, e = 1200, 8, 2  # capacity = ceil(1.25 * 1200 / 2) = 750 > 256
+    moe = MoEFeedForward(dim=d, num_experts=e, mlp_ratio=1, k=1,
+                         capacity_factor=1.25, dtype=md.bfloat16)
+    params = moe.init()
+    x = md.Tensor(np.random.randn(1, t, d).astype(np.float32)).astype(md.bfloat16)
+    c = moe.capacity(t)
+
+    xt = x.reshape((t, d))
+    probs = md.Tensor(
+        np.asarray(
+            np.exp(np.random.randn(t, e)) /
+            np.exp(np.random.randn(t, e)).sum(-1, keepdims=True)
+        ).astype(np.float32)
+    ).astype(md.bfloat16)
+    # reproduce apply_with_aux's routing in its own dtype discipline
+    f32 = md.float32
+    oh = (md.Tensor(np.eye(e, dtype=np.float32)[
+        np.asarray(md.argmax(probs, axis=-1).detach()).astype(int)]))
+    pos = md.cumsum(oh.astype(f32), axis=0) - oh.astype(f32)
+    pos_tok = np.asarray(md.sum(pos * oh.astype(f32), axis=-1).detach())
+    kept = pos_tok[pos_tok < c]
+    # every kept token has a UNIQUE (expert, slot): no collisions
+    expert = np.asarray(md.argmax(probs, axis=-1).detach())[pos_tok < c]
+    pairs = set(zip(expert.tolist(), kept.astype(int).tolist()))
+    assert len(pairs) == kept.shape[0], "capacity slot collision"
+    # and the full layer runs + produces finite output at this scale
+    y, aux = moe.apply_with_aux(params, x)
+    assert np.isfinite(np.asarray(y.astype(md.float32).detach())).all()

@@ -152,3 +152,24 @@ def test_pipeline_loss_decreases():
         params, state, loss = step(params, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+@needs_8
+def test_pipeline_with_mixed_precision_state_specs():
+    """MixedPrecision nests {master, inner:{m,v,t}}: the recursive state-spec
+    matcher must shard the stage-param-shaped subtrees on pp."""
+    from minidiff_tpu.models import Adam, MixedPrecision
+
+    np.random.seed(22)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=4,
+                          max_seq_len=8, dtype=md.bfloat16)
+    mesh = parallel.make_mesh({"pp": 4})
+    step, params, state = parallel.make_pipeline_train_step(
+        model, mesh, n_micro=2, optimizer=MixedPrecision(Adam(1e-2))
+    )
+    x, y = next(synthetic_lm_batches(4, 8, 16, 1))
+    losses = []
+    for _ in range(5):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0], losses
