@@ -23,7 +23,7 @@ import minidiff_tpu as md
 import minidiff_tpu.backend as backend
 
 if TYPE_CHECKING:
-    from typing import Any, Callable, Sequence, Tuple, Union
+    from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 
 def _is_tensor(x: "Any") -> bool:
@@ -105,9 +105,10 @@ def vjp(fn: "Callable[..., md.Tensor]", *primals: "Any"):
         else:
             # fn passed a primal leaf straight through (identity/selection):
             # the cotangent flows to THAT leaf, zero-structure elsewhere
+            ct_cast = ct.astype(out.dtype)
             grads = tuple(
                 jax.tree.map(
-                    lambda leaf: ct if leaf is out else None,
+                    lambda leaf: ct_cast if leaf is out else None,
                     c, is_leaf=_is_tensor,
                 )
                 for c in copies
@@ -242,6 +243,11 @@ def jit(
     if backend.backend_name() != "xla":
         raise RuntimeError("md.jit requires the xla backend")
 
+    if in_shardings is not None and (donate or donate_argnums):
+        raise ValueError(
+            "md.jit: in_shardings cannot be combined with donation — the "
+            "sharding pytree aligns with the non-donated leaves only"
+        )
     cache: dict = {}
     donate_set = frozenset(donate_argnums or ())
 

@@ -116,7 +116,9 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     # fresh trace+compile per request
     key = (id(model), b, s0, max_new_tokens, str(p_dtype),
            str(prompt_raw.dtype), greedy, float(temperature), top_k)
-    seed_raw = jnp.asarray(int(seed), jnp.uint32)
+    # mask into uint32 range: PRNGKey folding only uses 32 bits, and
+    # negative / 64-bit seeds (request hashes) must not crash
+    seed_raw = jnp.asarray(int(seed) & 0xFFFFFFFF, jnp.uint32)
     cached = _decode_cache.get(key)
     if cached is not None:
         generated = cached(raw_params, prompt_raw, seed_raw)

@@ -18,7 +18,8 @@ import numpy as np
 import minidiff_tpu as md
 from minidiff_tpu.models import functional as F
 from minidiff_tpu.models.layers import Linear, Module
-from minidiff_tpu.models.transformer import LayerNorm, MultiHeadAttention
+from minidiff_tpu.models.transformer import (LayerNorm, MultiHeadAttention,
+                                              TransformerBlock)
 
 if TYPE_CHECKING:
     from typing import Any, Dict, Optional
@@ -53,27 +54,13 @@ class CrossAttention(Module):
         return self.out.apply(params["out"], o)
 
 
-class EncoderBlock(Module):
-    """Pre-LN: x + SelfAttn(LN(x)) (bidirectional); x + MLP(LN(x))."""
+class EncoderBlock(TransformerBlock):
+    """Pre-LN bidirectional block: exactly TransformerBlock(causal=False)
+    (subclass, not a copy, so the block math exists once)."""
 
     def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4,
                  dtype: "Optional[Any]" = None):
-        self.ln1 = LayerNorm(dim, dtype=dtype)
-        self.attn = MultiHeadAttention(dim, num_heads, causal=False,
-                                       dtype=dtype)
-        self.ln2 = LayerNorm(dim, dtype=dtype)
-        self.fc1 = Linear(dim, mlp_ratio * dim, dtype=dtype)
-        self.fc2 = Linear(mlp_ratio * dim, dim, dtype=dtype)
-
-    def init(self):
-        return {"ln1": self.ln1.init(), "attn": self.attn.init(),
-                "ln2": self.ln2.init(), "fc1": self.fc1.init(),
-                "fc2": self.fc2.init()}
-
-    def apply(self, params, x):
-        x = x + self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x))
-        h = F.gelu(self.fc1.apply(params["fc1"], self.ln2.apply(params["ln2"], x)))
-        return x + self.fc2.apply(params["fc2"], h)
+        super().__init__(dim, num_heads, mlp_ratio, causal=False, dtype=dtype)
 
 
 class DecoderBlock(Module):

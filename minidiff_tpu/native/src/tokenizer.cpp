@@ -41,6 +41,9 @@ struct Tokenizer {
     }
     if (id - 256 >= merges.size()) return false;
     const auto& m = merges[id - 256];
+    // valid BPE merges only reference EARLIER ids; anything else is a
+    // corrupt/crafted table that would recurse forever
+    if (m.first >= id || m.second >= id) return false;
     return expand(m.first, out) && expand(m.second, out);
   }
 };

@@ -113,6 +113,8 @@ def _state_specs(raw_state, raw_params, param_specs):
             pass
         if isinstance(sub, dict):
             return {k: walk(v) for k, v in sub.items()}
+        if isinstance(sub, tuple) and hasattr(sub, "_fields"):
+            return type(sub)(*[walk(v) for v in sub])  # namedtuple
         if isinstance(sub, (list, tuple)):
             return type(sub)(walk(v) for v in sub)
         return P()

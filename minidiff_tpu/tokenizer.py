@@ -33,6 +33,13 @@ class BPETokenizer:
         self.merges: "List[Tuple[int, int]]" = [
             (int(a), int(b)) for a, b in (merges or [])
         ]
+        for i, (a, b) in enumerate(self.merges):
+            # a merge may only reference earlier ids — rejects cyclic /
+            # forward-referencing tables that would recurse forever
+            if not (0 <= a < 256 + i and 0 <= b < 256 + i):
+                raise ValueError(
+                    f"invalid merge {i}: ({a}, {b}) references a non-earlier id"
+                )
         self._lib = native.load_library()
         self._handle = None
         if self._lib is not None and self.merges:
@@ -187,4 +194,6 @@ def _expand_py(tid: int, merges: list) -> bytes:
     if tid < 256:
         return bytes([tid])
     a, b = merges[tid - 256]
+    if a >= tid or b >= tid:  # matches the C++ guard against cycles
+        raise ValueError(f"invalid merge table at id {tid}")
     return _expand_py(int(a), merges) + _expand_py(int(b), merges)

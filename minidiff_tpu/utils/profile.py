@@ -97,12 +97,18 @@ class StepTimer:
             self._pending = True
 
     def sync(self, value: "Any") -> None:
-        """Upgrade the last measurement to device-true time (blocks on
-        ``value``); without a sync the recorded time is dispatch wall time."""
-        if self._t0 is None or not self._pending:
+        """Record device-true time (blocks on ``value``).  Works both
+        inside the ``with`` block and right after it (upgrading the
+        dispatch-time entry __exit__ recorded); without any sync the
+        recorded time is dispatch wall time."""
+        if self._t0 is None:
             return
         _sync(value)
-        self.times[-1] = time.perf_counter() - self._t0
+        elapsed = time.perf_counter() - self._t0
+        if self._pending:   # called after __exit__: upgrade its entry
+            self.times[-1] = elapsed
+        else:               # called inside the with block
+            self.times.append(elapsed)
         self._t0 = None
         self._pending = False
 

@@ -144,3 +144,14 @@ def test_sampled_seed_reuses_compiled_program():
     assert not np.array_equal(np.asarray(a.detach()), np.asarray(b.detach()))
     np.testing.assert_array_equal(np.asarray(a.detach()),
                                   np.asarray(c.detach()))
+
+
+def test_seed_accepts_negative_and_64bit():
+    np.random.seed(23)
+    m = TransformerLM(vocab_size=11, dim=8, num_heads=2, num_layers=1,
+                      max_seq_len=12)
+    p = m.init()
+    prompt = md.Tensor(np.random.randint(1, 11, size=(1, 3)))
+    for seed in (-1, 2**63 + 17, 0):
+        out = generate_compiled(m, p, prompt, 4, greedy=False, seed=seed)
+        assert out.shape == (1, 7)

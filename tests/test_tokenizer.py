@@ -117,3 +117,13 @@ def test_decode_rejects_out_of_vocab_ids():
     tok2._handle = None
     with _pytest.raises(ValueError):
         tok2.decode(np.asarray([tok.vocab_size]))
+
+
+def test_cyclic_merge_tables_rejected():
+    """Corrupt vocab files must raise, not recurse forever / segfault."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BPETokenizer(merges=[(256, 65)])  # self-reference
+    with _pytest.raises(ValueError):
+        BPETokenizer(merges=[(65, 257), (66, 67)])  # forward reference
