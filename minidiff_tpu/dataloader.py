@@ -52,6 +52,8 @@ def save_dataset(path: str, **fields: np.ndarray) -> str:
         raise ValueError("save_dataset needs at least one field")
     arrays = {k: np.ascontiguousarray(v) for k, v in fields.items()}
     n = next(iter(arrays.values())).shape[0]
+    if n == 0:
+        raise ValueError("save_dataset needs at least one item")
     for k, v in arrays.items():
         if v.shape[0] != n:
             raise ValueError(f"field {k!r} has {v.shape[0]} items, expected {n}")
