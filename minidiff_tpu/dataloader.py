@@ -151,21 +151,38 @@ class DataLoader:
         return out
 
     def __iter__(self) -> "Iterator[Dict[str, md.Tensor]]":
+        # Eager setup (NOT a generator body): each __iter__ claims the shared
+        # native handle immediately; a still-active previous generator would
+        # otherwise silently start yielding the NEW epoch's batches
+        # (ld_start_epoch resets the claim/deliver counters it reads from).
         epoch = self.epoch
         self.epoch += 1
+        self._iter_token = token = getattr(self, "_iter_token", 0) + 1
         if self._handle is not None:
             self._lib.ld_start_epoch(self._handle, epoch)
-            buf = ctypes.create_string_buffer(self.batch_size * self.item_bytes)
-            for _ in range(len(self)):
-                count = self._lib.ld_next(self._handle, buf)
-                if count <= 0:
-                    break
-                flat = np.frombuffer(
-                    buf, dtype=np.uint8, count=int(count) * self.item_bytes
-                ).copy()
-                yield self._split(flat, int(count))
-            return
-        # fallback path
+            return self._native_iter(token)
+        return self._fallback_iter(epoch)
+
+    def _native_iter(self, token: int) -> "Iterator[Dict[str, md.Tensor]]":
+        buf = ctypes.create_string_buffer(self.batch_size * self.item_bytes)
+        for _ in range(len(self)):
+            if self._iter_token != token:
+                raise RuntimeError(
+                    "DataLoader: this iterator was invalidated by a newer "
+                    "__iter__() on the same loader (the native prefetcher "
+                    "supports one active epoch at a time)"
+                )
+            count = self._lib.ld_next(self._handle, buf)
+            if count <= 0:
+                break
+            flat = np.frombuffer(
+                buf, dtype=np.uint8, count=int(count) * self.item_bytes
+            ).copy()
+            yield self._split(flat, int(count))
+
+    def _fallback_iter(self, epoch: int) -> "Iterator[Dict[str, md.Tensor]]":
+        # independent per-iterator state: concurrent fallback iterators are
+        # safe (each owns its permutation)
         order = (
             self._permutation(self.n_items, self.seed, epoch)
             if self.shuffle else np.arange(self.n_items, dtype=np.uint64)

@@ -41,8 +41,16 @@ def _is_tensor(x):
     return isinstance(x, md.Tensor)
 
 
-# (model id, batch, prompt len, new tokens, dtypes) -> jitted decode program
-_decode_cache: dict = {}
+# (model id, batch, prompt len, new tokens, dtypes) -> jitted decode program.
+# LRU-bounded: each compiled program pins its model (the scan body closes
+# over the layer objects) plus an XLA executable, so an unbounded cache leaks
+# in long-running serving with varied shapes/configs.  32 distinct
+# (model, shape, sampling) combinations is far beyond a normal server's
+# working set; eviction just means a re-trace on the next call.
+from collections import OrderedDict
+
+_DECODE_CACHE_MAX = 32
+_decode_cache: "OrderedDict" = OrderedDict()
 
 
 def _block_decode_step(blk, params, x, cache, pos_t, mask):
@@ -121,6 +129,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     seed_raw = jnp.asarray(int(seed) & 0xFFFFFFFF, jnp.uint32)
     cached = _decode_cache.get(key)
     if cached is not None:
+        _decode_cache.move_to_end(key)
         generated = cached(raw_params, prompt_raw, seed_raw)
         return md.concatenate(
             [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
@@ -234,6 +243,8 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
         return jnp.swapaxes(gen, 0, 1)  # (B, max_new)
 
     _decode_cache[key] = decode
+    while len(_decode_cache) > _DECODE_CACHE_MAX:
+        _decode_cache.popitem(last=False)
     generated = decode(raw_params, prompt_raw, seed_raw)
     return md.concatenate(
         [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1

@@ -223,6 +223,10 @@ class MixedPrecision(Optimizer):
     MXU, f32 accumulation of the optimizer state so tiny updates don't
     round to zero.
 
+    ``compute_dtype=None`` (default) re-casts each updated param to the
+    dtype it came in with — so wrapping an f32 model never silently
+    downcasts it; pass ``compute_dtype=bfloat16`` explicitly to convert.
+
     ``loss_scale`` matches a loss multiplied by the same factor at the call
     site (usually unnecessary for bf16 — its exponent range equals f32's —
     but required for f16).
@@ -247,11 +251,6 @@ class MixedPrecision(Optimizer):
         return {"master": master, "inner": self.inner.init(master)}
 
     def update(self, params, grads, state):
-        import minidiff_tpu.backend as backend
-
-        compute_dtype = self.compute_dtype
-        if compute_dtype is None:
-            compute_dtype = backend.get_backend().bfloat16
         with md.no_grad():
             f32 = self._f32()
             gscale = 1.0 / self.loss_scale
@@ -264,10 +263,20 @@ class MixedPrecision(Optimizer):
             state["master"], grads32, state["inner"]
         )
         with md.no_grad():
-            new_params = _tree_map(
-                lambda p: p.astype(compute_dtype).detach(allow_grad=True),
-                master,
-            )
+            if self.compute_dtype is not None:
+                new_params = _tree_map(
+                    lambda p: p.astype(self.compute_dtype).detach(
+                        allow_grad=True),
+                    master,
+                )
+            else:
+                # default: every param keeps the dtype it came in with —
+                # wrapping an f32 model without compute_dtype must not
+                # silently re-cast it to bf16 after the first update
+                new_params = _tree_map(
+                    lambda m, p: m.astype(p.dtype).detach(allow_grad=True),
+                    master, params,
+                )
         return new_params, {"master": master, "inner": inner_state}
 
 

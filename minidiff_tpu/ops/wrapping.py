@@ -93,41 +93,41 @@ def create_op_func(
     tensor_only: bool = False,
     op_name: "Optional[str]" = None,
 ) -> "Callable[..., md.Tensor]":
-    """Manufacture a graph-building op (wrapping.py:137-178).
+    """Manufacture a graph-building op (capability parity: wrapping.py:137-178).
 
-    Non-differentiable ops never attach a tape node (reference-faithful:
-    wrapping.py:163 gates on ``is_differentiable``), so they appear as
-    fresh leaves to consumers; their outputs still inherit allow_grad so a
-    consumer's backward accumulates a .grad on them that stops there.
+    Non-differentiable ops keep their arity but carry all-``None`` VJP slots,
+    so backprop skips them silently instead of erroring; their outputs still
+    inherit allow_grad so a consumer's backward accumulates a ``.grad`` on
+    them that stops there.
     """
-    if not is_differentiable:
-        grad_funcs = [None] * len(grad_funcs)
-    if op_name is None:
-        op_name = forward_func.__name__
+    name = op_name if op_name is not None else forward_func.__name__
+    vjps = list(grad_funcs) if is_differentiable else [None] * len(grad_funcs)
 
-    def op(*op_inputs: Any, **op_kwargs: Any) -> md.Tensor:
-        _validate_op_inputs(op_inputs, tensor_only)
-        allow_grad = _should_allow_grad(op_inputs)
-        output = forward_func(*op_inputs, **op_kwargs)
-        # An output already owned by a graph gets adopted into this one via a
-        # fresh detached view (wrapping.py:158-159).
-        if output.op_node is not None:
-            output = output.detach()
-        output.allow_grad = allow_grad
+    def record_on_tape(result: md.Tensor, inputs: tuple, kwargs: dict) -> None:
+        result.op_node = OpNode(
+            forward_func=forward_func,
+            grad_functions=vjps,
+            op_inputs=inputs,
+            op_kwargs=kwargs,
+            op_name=name,
+            propagate_kwargs=propagate_kwargs,
+        )
 
-        if is_differentiable and allow_grad and md.grad_allowed_():
-            output.op_node = OpNode(
-                forward_func=forward_func,
-                grad_functions=grad_funcs,
-                op_inputs=op_inputs,
-                op_kwargs=op_kwargs,
-                op_name=op_name,
-                propagate_kwargs=propagate_kwargs,
-            )
-        return output
+    def op(*inputs: Any, **kwargs: Any) -> md.Tensor:
+        _validate_op_inputs(inputs, tensor_only)
+        track = _should_allow_grad(inputs)
+        result = forward_func(*inputs, **kwargs)
+        if result.op_node is not None:
+            # forward handed back a tensor another graph already owns — take
+            # a detached view so THIS op becomes its sole producer
+            result = result.detach()
+        result.allow_grad = track
+        if track and is_differentiable and md.grad_allowed_():
+            record_on_tape(result, inputs, kwargs)
+        return result
 
-    op.__name__ = op_name
-    op.__qualname__ = f"<op func '{op_name}'>"
+    op.__name__ = name
+    op.__qualname__ = f"op:{name}"
     return op
 
 

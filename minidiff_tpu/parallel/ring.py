@@ -41,6 +41,24 @@ if TYPE_CHECKING:
 _NEG = -1e30
 
 
+def _acc_dtype(dt):
+    """Accumulation dtype for the online softmax: at least f32.
+
+    md.sdpa computes scores/softmax in >=f32 internally; running the ring's
+    (m, l, o) recurrence in bf16 would drift well past the documented parity,
+    so sub-f32 inputs accumulate in f32 (and cast back at the end) while
+    f32/f64 inputs keep their own precision (bit-parity with md.sdpa).
+    """
+    import numpy as _np
+
+    try:
+        if _np.dtype(dt).itemsize < 4:
+            return md.float32
+    except TypeError:
+        pass
+    return dt
+
+
 def ring_attention(
     q: "md.Tensor",
     k: "md.Tensor",
@@ -75,22 +93,24 @@ def ring_attention(
     cols = jnp.arange(s)[None, :]
     tri = md.Tensor(rows >= cols)  # (s, s) lower-triangular allow-mask
 
-    m = md.full((b, h, s, 1), _NEG).astype(q.dtype)
-    l = md.zeros((b, h, s, 1)).astype(q.dtype)
-    o = md.zeros((b, h, s, hd)).astype(q.dtype)
+    acc = _acc_dtype(q.dtype)
+    m = md.full((b, h, s, 1), _NEG).astype(acc)
+    l = md.zeros((b, h, s, 1)).astype(acc)
+    o = md.zeros((b, h, s, hd)).astype(acc)
 
     shift = [(i, (i + 1) % sp) for i in range(sp)]
     kk, vv = k, v
     for r in range(sp):
         # kk/vv currently hold chunk (my - r) mod sp
         src = jnp.mod(my - r + sp, sp)
-        scores = md.matmul_nt(q, expand_kv(kk)) * scale  # (b, h, s, s)
+        # QK on the MXU in model dtype; softmax recurrence in acc dtype
+        scores = (md.matmul_nt(q, expand_kv(kk)) * scale).astype(acc)
         if causal:
             past = md.Tensor(my > src)  # whole block in the past: allow all
             diag = md.Tensor(my == src)  # same chunk: intra-chunk triangle
             allowed = md.logical_or(past, md.logical_and(diag, tri))
             scores = md.where(allowed, scores, md.full_like(scores, _NEG))
-            gate = allowed.astype(q.dtype)
+            gate = allowed.astype(acc)
         else:
             gate = None
 
@@ -103,13 +123,15 @@ def ring_attention(
             p = p * gate
         alpha = md.exp(m - m_new)
         l = l * alpha + md.sum(p, axis=-1, keepdims=True)
-        o = o * alpha + md.matmul(p, expand_kv(vv))
+        # PV back on the MXU in model dtype (flash-kernel style: probs are
+        # rounded once), accumulated in acc dtype
+        o = o * alpha + md.matmul(p.astype(q.dtype), expand_kv(vv)).astype(acc)
         m = m_new
         if r < sp - 1:
             kk = md.ppermute(kk, axis_name=axis_name, perm=shift)
             vv = md.ppermute(vv, axis_name=axis_name, perm=shift)
 
-    return o / l
+    return (o / l).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -182,28 +204,31 @@ def ring_attention_zigzag(
     tri = md.Tensor(rows >= cols)  # (s2, s2)
 
     q0, q1 = q[:, :, :s2], q[:, :, s2:]
+    acc = _acc_dtype(q.dtype)
 
     def fresh_state():
         return (
-            md.full((b, h, s2, 1), _NEG).astype(q.dtype),
-            md.zeros((b, h, s2, 1)).astype(q.dtype),
-            md.zeros((b, h, s2, hd)).astype(q.dtype),
+            md.full((b, h, s2, 1), _NEG).astype(acc),
+            md.zeros((b, h, s2, 1)).astype(acc),
+            md.zeros((b, h, s2, hd)).astype(acc),
         )
 
     st0, st1 = fresh_state(), fresh_state()
 
     def merge(state, scores, vals, gate=None):
         m, l, o = state
+        scores = scores.astype(acc)
         if gate is not None:
             scores = md.where(gate, scores, md.full_like(scores, _NEG))
         bm = md.max(scores, axis=-1, keepdims=True)
         m_new = md.maximum(m, bm)
         p = md.exp(scores - m_new)
         if gate is not None:
-            p = p * gate.astype(q.dtype)
+            p = p * gate.astype(acc)
         alpha = md.exp(m - m_new)
         return (m_new, l * alpha + md.sum(p, axis=-1, keepdims=True),
-                o * alpha + md.matmul(p, expand_kv(vals)))
+                o * alpha
+                + md.matmul(p.astype(q.dtype), expand_kv(vals)).astype(acc))
 
     shift = [(i, (i + 1) % sp) for i in range(sp)]
     kk, vv = k, v
@@ -235,8 +260,8 @@ def ring_attention_zigzag(
             kk = md.ppermute(kk, axis_name=axis_name, perm=shift)
             vv = md.ppermute(vv, axis_name=axis_name, perm=shift)
 
-    out0 = st0[2] / st0[1]
-    out1 = st1[2] / st1[1]
+    out0 = (st0[2] / st0[1]).astype(q.dtype)
+    out1 = (st1[2] / st1[1]).astype(q.dtype)
     return md.concat([out0, out1], axis=2)
 
 

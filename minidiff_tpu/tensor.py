@@ -153,8 +153,9 @@ class Tensor:
         # so fail fast (minidiff/tensor.py:131-148).
         if not allow_grad and not self.is_leaf:
             raise ValueError(
-                "Turning off gradient tracking for intermediate tensors will "
-                "almost always break chain rule in backprop"
+                "cannot disable gradient tracking on an intermediate tensor: "
+                "the chain rule would silently stop at this node during "
+                "backprop (detach() it instead)"
             )
         if self._allow_grad == allow_grad:
             return
@@ -237,7 +238,7 @@ class Tensor:
     def item(self) -> Any:
         if self.size != 1:
             raise ValueError(
-                "Only Tensors with a single element can be reduced to a Python scalar"
+                f"item() needs a single-element tensor, got shape {self.shape}"
             )
         return backend.tensor_item(self._data)
 
@@ -292,7 +293,8 @@ class Tensor:
     def _validate_mutation(self) -> None:
         if self._graph_tracking():
             raise ValueError(
-                "In-place operations can break computation graphs during backprop"
+                "refusing to mutate a tensor the tape still references; "
+                "in-place updates would corrupt the recorded graph"
             )
 
     # -------- operators --------

@@ -106,6 +106,26 @@ def test_epochs_reshuffle_deterministically():
     ld2.close()
 
 
+def test_stale_iterator_invalidated_by_new_epoch():
+    """A second __iter__ while the first is active must not let the old
+    generator silently yield the new epoch's batches from the shared native
+    handle — it raises instead."""
+    x = np.arange(128, dtype=np.int32).reshape(128, 1)
+    ld = md.DataLoader({"x": x}, batch_size=32, shuffle=True, seed=1)
+    if not ld.native:
+        pytest.skip("native loader unavailable; fallback iterators are "
+                    "independent")
+    it_old = iter(ld)
+    next(it_old)  # old epoch active
+    it_new = iter(ld)  # claims the handle for the next epoch
+    with pytest.raises(RuntimeError, match="invalidated"):
+        next(it_old)
+    # the new iterator still delivers its full epoch
+    batches = [next(it_new) for _ in range(len(ld))]
+    assert sum(b["x"].shape[0] for b in batches) == 128
+    ld.close()
+
+
 def test_no_shuffle_preserves_order_and_drop_last():
     x = np.arange(100, dtype=np.int32).reshape(100, 1)
     ld = md.DataLoader({"x": x}, batch_size=32, shuffle=False, drop_last=True)

@@ -191,6 +191,33 @@ def test_mixed_precision_trains_bf16_with_f32_master():
     assert losses[-1] < losses[0] * 0.6, (losses[0], losses[-1])
 
 
+def test_mixed_precision_keeps_f32_params_f32():
+    """Wrapping an f32 model without compute_dtype must not re-cast the
+    params to bf16 after the first update (each param keeps its own dtype)."""
+    from minidiff_tpu.models import MixedPrecision
+    from minidiff_tpu.models.optim import SGD as _SGD
+
+    params = {
+        "a": md.Tensor(np.ones((3, 3), dtype=np.float32), allow_grad=True),
+        "b": md.Tensor(np.ones((3,), dtype=np.float32),
+                       dtype=md.bfloat16, allow_grad=True),
+    }
+    opt = MixedPrecision(_SGD(0.1))
+    state = opt.init(params)
+    grads = {
+        "a": md.Tensor(np.ones((3, 3), dtype=np.float32)),
+        "b": md.Tensor(np.ones((3,), dtype=np.float32)),
+    }
+    new_params, _ = opt.update(params, grads, state)
+    assert str(new_params["a"].dtype) == "float32"
+    assert str(new_params["b"].dtype) == "bfloat16"
+    # explicit compute_dtype still converts
+    opt2 = MixedPrecision(_SGD(0.1), compute_dtype=md.bfloat16)
+    state2 = opt2.init(params)
+    conv, _ = opt2.update(params, grads, state2)
+    assert str(conv["a"].dtype) == "bfloat16"
+
+
 def test_mixed_precision_small_updates_survive():
     """A tiny update that rounds to zero in bf16 must accumulate in the f32
     master copy: that is the point of master weights."""
