@@ -48,6 +48,14 @@ from minidiff_tpu.backend import (  # noqa: F401
     set_backend,
     use_backend,
 )
+from minidiff_tpu.random import (  # noqa: F401
+    fold_in,
+    random_bernoulli,
+    random_key,
+    random_normal,
+    random_uniform,
+    split_key,
+)
 from minidiff_tpu.dataloader import DataLoader, save_dataset  # noqa: F401
 from minidiff_tpu.tokenizer import BPETokenizer  # noqa: F401
 

@@ -38,6 +38,10 @@ Indexing/scatter:   index_add, put_along_axis, take_along_axis, setitem,
     isin, unravel_index, split
 Random:             choice, rand, randint, randn, binomial, permutation,
     shuffle, seed
+Functional random:  key_from_seed, key_fold_in, key_split, key_uniform,
+    key_normal (explicit (2,)-uint32 keys; pure functions of the key, so a
+    compiled program that takes the key as an input stays random per call —
+    the stateful fns above become trace-time constants under jit)
 IO:                 save, load
 Collectives:        psum, ppermute (SPMD axis collectives; identity /
     self-edge-only on the single-device numpy backend)
@@ -81,9 +85,12 @@ REQUIRED_ATTRS = [
     # indexing / scatter
     "index_add", "scatter_add", "put_along_axis", "take_along_axis",
     "setitem", "isin", "unravel_index", "split",
-    # random
+    # random (stateful, reference-parity surface)
     "choice", "rand", "randint", "randn", "binomial", "permutation",
     "shuffle", "seed",
+    # random (functional, counter-based: explicit keys that stay random per
+    # step when threaded through a jit-compiled program as inputs)
+    "key_from_seed", "key_fold_in", "key_split", "key_uniform", "key_normal",
     # io
     "save", "load",
     # collectives

@@ -279,6 +279,63 @@ class NumpyBackend:
     def seed(value: int) -> None:
         np.random.seed(value)
 
+    # ---- functional (counter-based) random: explicit (2,) uint32 keys ----
+    # Deterministic functions of the key (splitmix64 mixing + Philox
+    # bit-generation), mirroring the XLA backend's jax.random semantics.
+    # Streams are backend-specific (like the reference's numpy/cupy/mlx
+    # stateful streams); determinism per key is the contract, not bit
+    # equality across backends.
+    @staticmethod
+    def _key_base(key: np.ndarray) -> int:
+        k = np.asarray(key, dtype=np.uint64)
+        return (int(k[0]) << 32) | int(k[1])
+
+    @staticmethod
+    def _mix64(z: int) -> int:
+        m = (1 << 64) - 1
+        z = (z + 0x9E3779B97F4A7C15) & m
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+        return (z ^ (z >> 31)) & m
+
+    @staticmethod
+    def _key_pack(base: int) -> np.ndarray:
+        return np.array([(base >> 32) & 0xFFFFFFFF, base & 0xFFFFFFFF],
+                        dtype=np.uint32)
+
+    @classmethod
+    def key_from_seed(cls, seed: int) -> np.ndarray:
+        return cls._key_pack(cls._mix64(int(seed) & ((1 << 64) - 1)))
+
+    @classmethod
+    def key_fold_in(cls, key: np.ndarray, data: Any) -> np.ndarray:
+        base = cls._key_base(key)
+        return cls._key_pack(cls._mix64(base ^ cls._mix64(int(data))))
+
+    @classmethod
+    def key_split(cls, key: np.ndarray, num: int) -> np.ndarray:
+        base = cls._key_base(key)
+        return np.stack([
+            cls._key_pack(cls._mix64(base ^ cls._mix64((i << 1) | 1)))
+            for i in range(num)
+        ])
+
+    @classmethod
+    def _key_gen(cls, key: np.ndarray) -> np.random.Generator:
+        return np.random.Generator(np.random.Philox(key=cls._key_base(key)))
+
+    @classmethod
+    def key_uniform(cls, key: np.ndarray, shape: Any,
+                    dtype: Any = None) -> np.ndarray:
+        out = cls._key_gen(key).random(tuple(shape) if shape else ())
+        return out.astype(dtype or np.float64)
+
+    @classmethod
+    def key_normal(cls, key: np.ndarray, shape: Any,
+                   dtype: Any = None) -> np.ndarray:
+        out = cls._key_gen(key).standard_normal(tuple(shape) if shape else ())
+        return out.astype(dtype or np.float64)
+
     # ---- io ----
     save = staticmethod(np.save)
     load = staticmethod(np.load)

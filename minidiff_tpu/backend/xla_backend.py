@@ -444,6 +444,32 @@ class XlaBackend:
     def shuffle(x: jax.Array) -> jax.Array:
         return jax.random.permutation(_prng.next_key(), x)
 
+    # ---- functional (counter-based) random: explicit keys, traceable ----
+    # Unlike the stateful draws above (which become trace-time constants
+    # under jit), these are pure functions of a (2,) uint32 key array, so a
+    # jitted program taking the key as an INPUT stays random per call.
+    @staticmethod
+    def key_from_seed(seed: int) -> jax.Array:
+        return jax.random.PRNGKey(seed)
+
+    @staticmethod
+    def key_fold_in(key: jax.Array, data: Any) -> jax.Array:
+        return jax.random.fold_in(key, data)
+
+    @staticmethod
+    def key_split(key: jax.Array, num: int) -> jax.Array:
+        return jax.random.split(key, num)
+
+    @staticmethod
+    def key_uniform(key: jax.Array, shape: Any, dtype: Any = None) -> jax.Array:
+        return jax.random.uniform(key, _as_shape(shape) or (),
+                                  dtype=dtype or _float_dtype())
+
+    @staticmethod
+    def key_normal(key: jax.Array, shape: Any, dtype: Any = None) -> jax.Array:
+        return jax.random.normal(key, _as_shape(shape) or (),
+                                 dtype=dtype or _float_dtype())
+
     # ---- io ----
     @staticmethod
     def save(file: Any, arr: jax.Array) -> None:

@@ -12,7 +12,7 @@ from typing import TYPE_CHECKING
 import minidiff_tpu as md
 
 if TYPE_CHECKING:
-    from typing import Optional
+    from typing import Optional, Union
 
 
 def relu(x: "md.Tensor") -> "md.Tensor":
@@ -132,26 +132,32 @@ def avg_pool2d(x: "md.Tensor", window: int = 2) -> "md.Tensor":
     return md.mean(x, axis=(2, 4))
 
 
-def dropout(x: "md.Tensor", rate: float, key: "Optional[int]" = None,
+def dropout(x: "md.Tensor", rate: float,
+            key: "Optional[Union[md.Tensor, int]]" = None,
             deterministic: bool = False,
             mask: "Optional[md.Tensor]" = None) -> "md.Tensor":
     """Inverted dropout built from framework ops.
 
     Randomness sources, in priority order:
-    * ``mask``: a caller-supplied boolean keep-mask Tensor.  This is the ONLY
-      form that stays random per step inside an ``md.jit``-compiled train
-      step — pass a fresh mask in as an input each call.
-    * ``key``: integer seed for a reproducible eager mask.  NOTE: under
-      md.jit this (like the library RNG) bakes ONE mask into the trace — the
-      same units drop every step, which is pruning, not dropout.
-    * neither: a draw from the library RNG (eager use / evaluation).
+    * ``mask``: a caller-supplied boolean keep-mask Tensor.
+    * ``key``: a **PRNG key Tensor** (``md.random_key`` / ``md.fold_in``) —
+      the jit-correct form: the mask is a pure function of the key, so a
+      compiled train step that takes the key as an input draws a fresh mask
+      every call.  An ``int`` key is also accepted for a reproducible eager
+      mask (NOTE: under md.jit an int key bakes ONE mask into the trace).
+    * neither: a draw from the stateful library RNG (eager use only — under
+      md.jit this also becomes a trace-time constant).
     """
     if deterministic or rate <= 0.0:
         return x
     if rate >= 1.0:
         return md.zeros_like(x)
     if mask is None:
-        if key is None:
+        if isinstance(key, md.Tensor):
+            from minidiff_tpu.random import random_uniform
+
+            mask = random_uniform(key, x.shape) >= rate
+        elif key is None:
             mask = md.rand(*x.shape) >= rate
         else:
             import numpy as _np

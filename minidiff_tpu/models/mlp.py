@@ -70,14 +70,23 @@ def make_train_step(
     update with the averaged gradients — activation memory scales with the
     microbatch, so batch sizes that do not fit in HBM still train (the
     statically-unrolled microbatch loop compiles into the same executable).
+
+    Stochastic-layer models (dropout): pass a PRNG key per call,
+    ``step(params, opt_state, x, y, rng=md.fold_in(key, step_no))`` — the
+    key is a traced *input* to the compiled program, so ONE executable
+    draws fresh dropout masks every step (each microbatch under grad_accum
+    folds its index off the step key).
     """
     optimizer = optimizer or SGD(0.1)
     apply = apply_fn or model.apply
 
-    def step(params, opt_state, x, y):
+    def _apply(p, xb, rng):
+        return apply(p, xb) if rng is None else apply(p, xb, rng=rng)
+
+    def step(params, opt_state, x, y, rng=None):
         if grad_accum == 1:
             def objective(p):
-                return loss_fn(apply(p, x), y)
+                return loss_fn(_apply(p, x, rng), y)
 
             loss, grads = md.value_and_grad(objective)(params)
         else:
@@ -88,9 +97,10 @@ def make_train_step(
             for i in range(grad_accum):
                 xi = x[i * n:(i + 1) * n]
                 yi = y[i * n:(i + 1) * n]
+                ri = None if rng is None else md.fold_in(rng, i)
 
-                def objective(p, xi=xi, yi=yi):
-                    return loss_fn(apply(p, xi), yi)
+                def objective(p, xi=xi, yi=yi, ri=ri):
+                    return loss_fn(_apply(p, xi, ri), yi)
 
                 li, gi = md.value_and_grad(objective)(params)
                 loss = li if loss is None else loss + li

@@ -135,7 +135,8 @@ class TransformerBlock(Module):
 
     def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4,
                  causal: bool = True, dtype: "Optional[Any]" = None,
-                 num_kv_heads: "Optional[int]" = None, rope: bool = False):
+                 num_kv_heads: "Optional[int]" = None, rope: bool = False,
+                 dropout: float = 0.0):
         self.ln1 = LayerNorm(dim, dtype=dtype)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        dtype=dtype, num_kv_heads=num_kv_heads,
@@ -143,6 +144,7 @@ class TransformerBlock(Module):
         self.ln2 = LayerNorm(dim, dtype=dtype)
         self.fc1 = Linear(dim, mlp_ratio * dim, dtype=dtype)
         self.fc2 = Linear(mlp_ratio * dim, dim, dtype=dtype)
+        self.dropout = float(dropout)
 
     def init(self):
         return {
@@ -153,10 +155,21 @@ class TransformerBlock(Module):
             "fc2": self.fc2.init(),
         }
 
-    def apply(self, params, x):
-        x = x + self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x))
+    def apply(self, params, x, rng: "Optional[md.Tensor]" = None):
+        """``rng``: a PRNG key Tensor (md.random_key / md.fold_in).  When
+        given and ``dropout > 0``, residual-branch dropout is applied with
+        masks that are pure functions of the key — so the block stays
+        correctly random per step under md.jit.  ``rng=None`` = eval mode
+        (no dropout), matching the functional-RNG convention."""
+        a = self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x))
+        if self.dropout > 0.0 and rng is not None:
+            a = F.dropout(a, self.dropout, key=md.fold_in(rng, 1))
+        x = x + a
         hdn = F.gelu(self.fc1.apply(params["fc1"], self.ln2.apply(params["ln2"], x)))
-        return x + self.fc2.apply(params["fc2"], hdn)
+        h = self.fc2.apply(params["fc2"], hdn)
+        if self.dropout > 0.0 and rng is not None:
+            h = F.dropout(h, self.dropout, key=md.fold_in(rng, 2))
+        return x + h
 
 
 class TransformerLM(Module):
@@ -167,7 +180,7 @@ class TransformerLM(Module):
                  num_layers: int = 2, max_seq_len: int = 256, mlp_ratio: int = 4,
                  dtype: "Optional[Any]" = None, remat_blocks: bool = False,
                  num_kv_heads: "Optional[int]" = None, rope: bool = False,
-                 tie_embeddings: bool = False):
+                 tie_embeddings: bool = False, dropout: float = 0.0):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
@@ -177,9 +190,11 @@ class TransformerLM(Module):
         # rope=True replaces the learned absolute pos_emb with rotary
         # embeddings inside attention (no pos_emb parameter at all)
         self.rope = rope
+        self.dropout = float(dropout)
         self.blocks = [
             TransformerBlock(dim, num_heads, mlp_ratio, causal=True,
-                             dtype=dtype, num_kv_heads=num_kv_heads, rope=rope)
+                             dtype=dtype, num_kv_heads=num_kv_heads, rope=rope,
+                             dropout=dropout)
             for _ in range(num_layers)
         ]
         self.ln_f = LayerNorm(dim, dtype=dtype)
@@ -212,26 +227,41 @@ class TransformerLM(Module):
                                           dtype=self.dtype)
         return params
 
-    def apply(self, params, tokens):
-        """tokens (B, S) int -> logits (B, S, V)."""
+    def apply(self, params, tokens, rng: "Optional[md.Tensor]" = None):
+        """tokens (B, S) int -> logits (B, S, V).
+
+        ``rng``: PRNG key Tensor enabling dropout (train mode); each block
+        folds its index off the key.  ``rng=None`` = eval (no dropout)."""
         b, s = tokens.shape
         # embedding lookups are differentiable getitem (VJP = scatter_add)
         x = params["tok_emb"][tokens]
         if not self.rope:
             x = x + params["pos_emb"][:s]
-        for blk, p in zip(self.blocks, params["blocks"]):
+        for i, (blk, p) in enumerate(zip(self.blocks, params["blocks"])):
+            blk_rng = None if rng is None else md.fold_in(rng, i)
             if self.remat_blocks:
                 import jax as _jax
 
                 flat, treedef = _jax.tree.flatten(
                     p, is_leaf=lambda t: isinstance(t, md.Tensor))
 
-                def _seg(x, *leaves, _blk=blk, _treedef=treedef):
-                    return _blk.apply(_jax.tree.unflatten(_treedef, list(leaves)), x)
+                if blk_rng is None:
+                    def _seg(x, *leaves, _blk=blk, _treedef=treedef):
+                        return _blk.apply(
+                            _jax.tree.unflatten(_treedef, list(leaves)), x)
 
-                x = md.remat(_seg)(x, *flat)
+                    x = md.remat(_seg)(x, *flat)
+                else:
+                    # the key rides as a tensor input, so the VJP's recompute
+                    # draws the SAME mask (pure function of the key value)
+                    def _seg_r(x, key, *leaves, _blk=blk, _treedef=treedef):
+                        return _blk.apply(
+                            _jax.tree.unflatten(_treedef, list(leaves)), x,
+                            rng=key)
+
+                    x = md.remat(_seg_r)(x, blk_rng, *flat)
             else:
-                x = blk.apply(p, x)
+                x = blk.apply(p, x, rng=blk_rng)
         x = self.ln_f.apply(params["ln_f"], x)
         return self.lm_head(params, x)
 
