@@ -349,6 +349,42 @@ def _flash_vjp_bwd(scale, causal, residuals, do):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+def flash_grads(q, k, v, do, scale, causal):
+    """Fused (dq, dk, dv) for (B, H, S, D) operands via the flash kernels.
+
+    Serves the TAPE's sdpa VJPs (ops/definitions.py): one flash-forward
+    recompute (o, lse residuals) + the two backward kernels, instead of the
+    composed framework-op grads that materialize the (S, S) score matrix in
+    HBM three ways.  Caller is responsible for eligibility (use
+    ``flash_grads_decision``).
+    """
+    b, h, s, d = q.shape
+    sk = k.shape[2]
+    qf = q.reshape(b * h, s, d)
+    kf = k.reshape(b * h, sk, d)
+    vf = v.reshape(b * h, sk, d)
+    dof = do.reshape(b * h, s, d).astype(q.dtype)
+    _, vjp_fn = jax.vjp(
+        lambda a, b_, c: _flash(a, b_, c, scale, causal), qf, kf, vf
+    )
+    dqf, dkf, dvf = vjp_fn(dof)
+    return (
+        dqf.reshape(b, h, s, d),
+        dkf.reshape(b, h, sk, d),
+        dvf.reshape(b, h, sk, d),
+    )
+
+
+def flash_grads_decision(q, k, v, causal) -> bool:
+    """True when the fused flash backward should serve this (4-D) shape —
+    same eligibility AND same autotuner verdict as the forward dispatch."""
+    if not _flash_eligible(q, k, v):
+        return False
+    b, h, s, d = q.shape
+    sk = k.shape[2]
+    return _attn_decision(b * h, s, sk, d, q.dtype, bool(causal)) != "composed"
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------

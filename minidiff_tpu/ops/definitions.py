@@ -907,17 +907,61 @@ def _sdpa_ds(q, k, v, grad, causal, scale, mask=None):
     return p, p * (dp - md.sum(dp * p, axis=-1, keepdims=True))
 
 
+# First-order sdpa backward on the XLA backend dispatches to the FUSED flash
+# backward kernels (kernels/attention.py flash_grads): one flash-forward
+# recompute for the (o, lse) residuals + the dK/dV and dQ kernels, instead of
+# rematerializing the (S, S) probability matrix in HBM via the composed grads
+# below.  The engine calls the three grad functions back-to-back with the
+# same operand objects, so a single-entry memo computes (dq, dk, dv) once.
+# The memo pins strong refs to the operands, so their ids cannot be recycled
+# while the entry is live (a mismatch always means genuinely new operands).
+_sdpa_fused_memo: dict = {}
+
+
+def _sdpa_fused(q, k, v, grad, causal, scale, mask):
+    if mask is not None or md.grad_allowed_():
+        return None  # higher-order backward must re-tape the composed form
+    import minidiff_tpu.backend as _backend
+
+    if _backend.backend_name() != "xla":
+        return None
+    qr, kr, vr = q._data, k._data, v._data
+    if qr.ndim != 4:
+        return None
+    key = (id(q), id(k), id(v), id(grad), bool(causal), scale)
+    if _sdpa_fused_memo.get("key") != key:
+        from minidiff_tpu.kernels import attention as _att
+
+        if not _att.flash_grads_decision(qr, kr, vr, causal):
+            return None
+        _sdpa_fused_memo["key"] = key
+        _sdpa_fused_memo["refs"] = (q, k, v, grad)
+        _sdpa_fused_memo["val"] = _att.flash_grads(
+            qr, kr, vr, grad._data, _sdpa_scale(q, scale), bool(causal)
+        )
+    return _sdpa_fused_memo["val"]
+
+
 def sdpa_grad_q(q, k, v, grad, causal=False, scale=None, mask=None):
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask)
+    if fused is not None:
+        return md.Tensor(fused[0])
     _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask)
     return md.matmul(ds, k) * _sdpa_scale(q, scale)
 
 
 def sdpa_grad_k(q, k, v, grad, causal=False, scale=None, mask=None):
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask)
+    if fused is not None:
+        return md.Tensor(fused[1])
     _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask)
     return md.matmul_tn(ds, q) * _sdpa_scale(q, scale)
 
 
 def sdpa_grad_v(q, k, v, grad, causal=False, scale=None, mask=None):
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask)
+    if fused is not None:
+        return md.Tensor(fused[2])
     p = _sdpa_probs(q, k, causal, scale, mask)
     return md.matmul_tn(p, grad)
 

@@ -135,6 +135,80 @@ def test_flash_fwd_bwd_match_composed(_interpret, causal):
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), rtol=1e-3, atol=5e-3)
 
 
+def test_tape_backward_uses_fused_flash_grads(_interpret, monkeypatch):
+    """The TAPE's first-order sdpa backward must dispatch to the fused flash
+    backward (kernels/attention.flash_grads) and match the composed grads —
+    this is the path the flagship train step takes on TPU."""
+    from minidiff_tpu.kernels import attention as A
+    from minidiff_tpu.ops import definitions as D
+
+    md.set_backend("xla")
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: True)
+    s, d = 256, 128
+    # pin the autotuner decision so no device race runs on CPU
+    monkeypatch.setitem(
+        A._attn_cache,
+        A._attn_key(4, s, s, d, jnp.dtype(jnp.float32), True),
+        ((128, 128), (128, 128)),
+    )
+
+    rng = np.random.RandomState(0)
+    q = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+    k = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+    v = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+
+    calls = {"n": 0}
+    real = A.flash_grads
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(A, "flash_grads", counting)
+
+    out = md.sdpa(q, k, v, causal=True)
+    md.sum(out).backward()
+    assert calls["n"] == 1, "fused path must run exactly once for all 3 grads"
+    fused = [np.asarray(t.grad.detach()) for t in (q, k, v)]
+
+    # composed reference: same tape backward with the fused path disabled
+    monkeypatch.setattr(D, "_sdpa_fused", lambda *a, **kw: None)
+    q2 = q.detach(allow_grad=True)
+    k2 = k.detach(allow_grad=True)
+    v2 = v.detach(allow_grad=True)
+    md.sum(md.sdpa(q2, k2, v2, causal=True)).backward()
+    for g_fused, t in zip(fused, (q2, k2, v2)):
+        np.testing.assert_allclose(
+            g_fused, np.asarray(t.grad.detach()), rtol=1e-3, atol=5e-3
+        )
+
+
+def test_sdpa_higher_order_stays_composed(_interpret, monkeypatch):
+    """allow_higher_order backward must NOT take the fused kernel path (it
+    has no tape); the composed grads re-tape so second order works."""
+    from minidiff_tpu.kernels import attention as A
+
+    md.set_backend("xla")
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: True)
+
+    def boom(*a, **kw):  # pragma: no cover - must not run
+        raise AssertionError("fused flash grads used under higher-order")
+
+    monkeypatch.setattr(A, "flash_grads", boom)
+    rng = np.random.RandomState(1)
+    q = md.Tensor(rng.randn(1, 1, 256, 128).astype(np.float32),
+                  allow_grad=True)
+    k = md.Tensor(rng.randn(1, 1, 256, 128).astype(np.float32),
+                  allow_grad=True)
+    v = md.Tensor(rng.randn(1, 1, 256, 128).astype(np.float32),
+                  allow_grad=True)
+    out = md.sum(md.sdpa(q, k, v, causal=True))
+    out.backward(allow_higher_order=True)
+    g = md.sum(q.grad)
+    g.backward()
+    assert q.grad is not None
+
+
 def test_flash_eligibility_rules():
     from minidiff_tpu.kernels import attention as A
 
