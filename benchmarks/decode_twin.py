@@ -1,0 +1,192 @@
+"""Handwritten jax.lax.scan decode twin — the serving roofline to beat.
+
+Architecturally identical to models/decode.generate_compiled (fixed-size KV
+cache via dynamic_update_slice, full-cache masked attention per step, greedy
+argmax feedback, one-shot prefill) but written directly in jax with no
+framework machinery.  `main()` times both over the same checkpoint with the
+chained-steps protocol (the device sits behind an async tunnel; a single
+host pull costs ~27 ms, so each measurement chains K whole decodes through a
+data dependency and divides).
+
+Run: `python benchmarks/decode_twin.py` from the repo root (real TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VOCAB, DIM, HEADS, LAYERS, CACHE = 512, 1024, 8, 4, 512
+BATCH, PROMPT, NEW = 8, 16, 128
+HD = DIM // HEADS
+CHAIN = 8
+REPEATS = 3
+
+
+def _ln(x, p):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc / jnp.sqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def _gelu(x):
+    c = 0.7978845608028654
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x**3)))
+
+
+def _project_qkv(p, x):
+    b, s, d = x.shape
+    qkv = jnp.matmul(x, p["qkv"]["w"]).reshape(b, s, HEADS, 3, HD)
+    qkv = jnp.transpose(qkv, (3, 0, 2, 1, 4))  # (3, b, h, s, hd)
+    return qkv[0], qkv[1], qkv[2]
+
+
+def _prefill(p, toks):
+    """Whole-prompt forward; returns (caches, last logits)."""
+    b, s = toks.shape
+    x = p["tok_emb"][toks] + p["pos_emb"][:s]
+    caches = []
+    scale = 1.0 / np.sqrt(HD)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    for blk in p["blocks"]:
+        xa = _ln(x, blk["ln1"])
+        q, k, v = _project_qkv(blk["attn"], xa)
+        ck = jnp.zeros((b, HEADS, CACHE, HD), p["tok_emb"].dtype)
+        cv = jnp.zeros((b, HEADS, CACHE, HD), p["tok_emb"].dtype)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        caches.append({"k": ck, "v": cv})
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+        sc = jnp.where(rows >= cols, sc, -1e30)
+        pr = jax.nn.softmax(sc, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", pr, v)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, DIM)
+        x = x + jnp.matmul(o, blk["attn"]["out"]["w"])
+        h = _gelu(jnp.matmul(_ln(x, blk["ln2"]), blk["fc1"]["w"])
+                  + blk["fc1"]["b"])
+        x = x + jnp.matmul(h, blk["fc2"]["w"]) + blk["fc2"]["b"]
+    x = _ln(x, p["ln_f"])
+    return caches, jnp.matmul(x[:, -1], p["head"]["w"])  # (B, V)
+
+
+def _step(p, caches, tok, pos, mask):
+    """One decode position: tok (B,) at pos -> (caches, logits (B, V))."""
+    b = tok.shape[0]
+    x = p["tok_emb"][tok[:, None]] + p["pos_emb"][pos][None, None]
+    scale = 1.0 / np.sqrt(HD)
+    new_caches = []
+    for blk, cache in zip(p["blocks"], caches):
+        xa = _ln(x, blk["ln1"])
+        q, k, v = _project_qkv(blk["attn"], xa)  # (b, h, 1, hd)
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype),
+            (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype),
+            (0, 0, pos, 0))
+        new_caches.append({"k": ck, "v": cv})
+        sc = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, ck.astype(q.dtype)
+        ).astype(jnp.float32) * scale  # (b, h, 1, CACHE)
+        sc = jnp.where(mask, sc, -1e30)
+        pr = jax.nn.softmax(sc, axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", pr, cv.astype(q.dtype))
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, 1, DIM)
+        x = x + jnp.matmul(o, blk["attn"]["out"]["w"])
+        h = _gelu(jnp.matmul(_ln(x, blk["ln2"]), blk["fc1"]["w"])
+                  + blk["fc1"]["b"])
+        x = x + jnp.matmul(h, blk["fc2"]["w"]) + blk["fc2"]["b"]
+    x = _ln(x, p["ln_f"])
+    return new_caches, jnp.matmul(x[:, 0], p["head"]["w"])
+
+
+@functools.partial(jax.jit, static_argnames=("new",))
+def twin_decode(p, prompt, new: int):
+    s0 = prompt.shape[1]
+    caches, logits0 = _prefill(p, prompt)
+    nxt0 = jnp.argmax(logits0, axis=-1).astype(prompt.dtype)
+
+    def body(carry, j):
+        caches, prev = carry
+        pos = s0 + j
+        mask = (jnp.arange(CACHE) <= pos)[None, None, None, :]
+        caches, logits = _step(p, caches, prev, pos, mask)
+        nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+        return (caches, nxt), nxt
+
+    (_, _), nexts = jax.lax.scan(body, (caches, nxt0), jnp.arange(new - 1))
+    gen = jnp.concatenate([nxt0[None], nexts], axis=0)
+    return jnp.swapaxes(gen, 0, 1)
+
+
+def _chain_time(run, prompt_np, repeats=REPEATS, chain=CHAIN):
+    """Median s/call: each chain feeds the previous output's tokens back in
+    (data dependency), closed by ONE host pull."""
+    out = run(jnp.asarray(prompt_np))
+    np.asarray(out)  # compile + settle
+    # pull latency
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(out).astype(jnp.float32))
+        ts.append(time.perf_counter() - t0)
+    lat = float(np.median(ts))
+    per = []
+    for _ in range(repeats):
+        cur = jnp.asarray(prompt_np)
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            cur = run(cur)[:, -PROMPT:] % VOCAB
+        float(jnp.sum(cur).astype(jnp.float32))
+        per.append(max(time.perf_counter() - t0 - lat, 1e-9) / chain)
+    return float(np.median(per))
+
+
+def main() -> None:
+    import minidiff_tpu as md
+    from minidiff_tpu.models import TransformerLM, generate_compiled
+
+    md.set_backend("xla")
+    model = TransformerLM(vocab_size=VOCAB, dim=DIM, num_heads=HEADS,
+                          num_layers=LAYERS, max_seq_len=CACHE,
+                          dtype=md.bfloat16)
+    np.random.seed(0)
+    params = model.init()
+    raw = jax.tree.map(lambda t: t._data, params,
+                       is_leaf=lambda t: isinstance(t, md.Tensor))
+    prompt_np = np.random.RandomState(1).randint(
+        1, VOCAB, size=(BATCH, PROMPT))
+
+    def run_fw(prompt_j):
+        out = generate_compiled(model, params,
+                                md.Tensor(prompt_j), NEW)
+        return out._data
+
+    def run_twin(prompt_j):
+        return jnp.concatenate(
+            [prompt_j, twin_decode(raw, prompt_j, NEW).astype(prompt_j.dtype)],
+            axis=-1)
+
+    t_fw = _chain_time(run_fw, prompt_np)
+    t_twin = _chain_time(run_twin, prompt_np)
+
+    print(json.dumps({
+        "model": f"TransformerLM d{DIM} h{HEADS} L{LAYERS} cache{CACHE} "
+                 f"b{BATCH} bf16, prompt {PROMPT} + {NEW} new",
+        "framework_ms_per_token": round(t_fw / NEW * 1e3, 4),
+        "twin_ms_per_token": round(t_twin / NEW * 1e3, 4),
+        "framework_tok_per_s": round(BATCH * NEW / t_fw, 1),
+        "twin_tok_per_s": round(BATCH * NEW / t_twin, 1),
+        "speedup_vs_twin": round(t_twin / t_fw, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -349,13 +349,64 @@ def _flash_vjp_bwd(scale, causal, residuals, do):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_aux(q, k, v, scale, causal):
+    """Flash forward returning (o, lse) — lse is a non-differentiable aux
+    residual the dispatcher stashes for the tape's backward.  Still a
+    custom_vjp so jax AD through backend sdpa (e.g. md.scan's jax.vjp over
+    a step built from md ops) keeps working; the lse cotangent is ignored."""
+    bq, bk = _blocks_for("fwd", q, k, causal)
+    return _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
+
+
+def _flash_aux_vjp_fwd(q, k, v, scale, causal):
+    bq, bk = _blocks_for("fwd", q, k, causal)
+    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
+    return (o, lse), (q, k, v, o, lse)
+
+
+def _flash_aux_vjp_bwd(scale, causal, residuals, cts):
+    q, k, v, o, lse = residuals
+    do, _ = cts  # lse is aux: its cotangent is discarded
+    bq, bk = _blocks_for("bwd", q, k, causal)
+    return _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=bq, bk=bk)
+
+
+_flash_aux.defvjp(_flash_aux_vjp_fwd, _flash_aux_vjp_bwd)
+
+
+# Forward-time residual stash: the sdpa dispatcher records (o, lse) per
+# flash forward so the tape's backward can run ONLY the two backward kernels
+# (no flash-forward recompute).  Entries pin strong refs to the operand
+# arrays, so a key (id triple) can only match the exact same objects; FIFO
+# eviction bounds growth across re-traces.  Misses just fall back to a
+# recompute via jax.vjp.
+from collections import OrderedDict as _OrderedDict
+
+_residual_stash: "_OrderedDict" = _OrderedDict()
+_STASH_MAX = 64
+
+
+def _stash_residuals(qf, kf, vf, o, lse) -> None:
+    # only worth pinning when a backward can follow; no_grad forwards
+    # (decode, eval) must not accumulate dead activations in the stash
+    import minidiff_tpu as _md
+
+    if not _md.grad_allowed_():
+        return
+    _residual_stash[(id(qf), id(kf), id(vf))] = ((qf, kf, vf), o, lse)
+    while len(_residual_stash) > _STASH_MAX:
+        _residual_stash.popitem(last=False)
+
+
 def flash_grads(q, k, v, do, scale, causal):
     """Fused (dq, dk, dv) for (B, H, S, D) operands via the flash kernels.
 
-    Serves the TAPE's sdpa VJPs (ops/definitions.py): one flash-forward
-    recompute (o, lse residuals) + the two backward kernels, instead of the
-    composed framework-op grads that materialize the (S, S) score matrix in
-    HBM three ways.  Caller is responsible for eligibility (use
+    Serves the TAPE's sdpa VJPs (ops/definitions.py): the dK/dV and dQ
+    backward kernels over the forward's stashed (o, lse) residuals (or one
+    flash-forward recompute on a stash miss), instead of the composed
+    framework-op grads that materialize the (S, S) score matrix in HBM
+    three ways.  Caller is responsible for eligibility (use
     ``flash_grads_decision``).
     """
     b, h, s, d = q.shape
@@ -364,10 +415,19 @@ def flash_grads(q, k, v, do, scale, causal):
     kf = k.reshape(b * h, sk, d)
     vf = v.reshape(b * h, sk, d)
     dof = do.reshape(b * h, s, d).astype(q.dtype)
-    _, vjp_fn = jax.vjp(
-        lambda a, b_, c: _flash(a, b_, c, scale, causal), qf, kf, vf
-    )
-    dqf, dkf, dvf = vjp_fn(dof)
+
+    hit = _residual_stash.pop((id(q), id(k), id(v)), None)
+    if hit is not None:
+        _, o, lse = hit
+        bq, bk = _blocks_for("bwd", qf, kf, causal)
+        dqf, dkf, dvf = _flash_bwd(
+            qf, kf, vf, o, lse, dof, scale, causal, bq=bq, bk=bk
+        )
+    else:
+        _, vjp_fn = jax.vjp(
+            lambda a, b_, c: _flash(a, b_, c, scale, causal), qf, kf, vf
+        )
+        dqf, dkf, dvf = vjp_fn(dof)
     return (
         dqf.reshape(b, h, s, d),
         dkf.reshape(b, h, sk, d),
@@ -456,13 +516,18 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
         use_flash = _attn_decision(b * h, s, sk, d, q.dtype, bool(causal)) \
             != "composed"
     if use_flash:
-        out = _flash(
+        out_f, lse = _flash_aux(
             q.reshape(b * h, s, d),
             k.reshape(b * h, sk, d),
             v.reshape(b * h, sk, d),
             scale,
             bool(causal),
-        ).reshape(b, h, s, d)
+        )
+        # record residuals so the tape's backward (flash_grads) skips the
+        # flash-forward recompute; keyed by the UN-reshaped operand ids the
+        # grad functions will present
+        _stash_residuals(q, k, v, out_f, lse)
+        out = out_f.reshape(b, h, s, d)
     else:
         if mask is not None:
             mask = jnp.asarray(mask, bool)

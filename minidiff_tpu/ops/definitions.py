@@ -25,6 +25,7 @@ VJP math is re-derived TPU-first rather than translated:
 
 from __future__ import annotations
 
+from builtins import any as py_any
 from builtins import bool as py_bool
 from builtins import max as py_max
 from math import prod as py_prod
@@ -471,25 +472,25 @@ cumsum = wrapping.create_unary_op_func(
 
 
 # ---------------------------------------------------------------------------
-# einsum (extension op) — 1- and 2-operand, differentiable, higher-order
-# capable (the VJPs are themselves einsums over framework ops).
+# einsum (extension op) — any number of operands, ellipsis, repeated-index
+# diagonals; differentiable and higher-order capable (the VJPs are
+# themselves einsums over framework ops, with a delta-mask scatter for
+# diagonal operands).
 # ---------------------------------------------------------------------------
 
 
 def _einsum_parse(subscripts: str, n_ops: int):
     spec = subscripts.replace(" ", "")
     if "." in spec:
-        raise NotImplementedError("einsum: ellipsis is not supported")
+        raise ValueError(
+            "einsum: ellipsis must be expanded before parsing (internal)")
     lhs, arrow, rhs = spec.partition("->")
     ins = lhs.split(",")
     if len(ins) != n_ops:
         raise ValueError(f"einsum spec {subscripts!r} expects {len(ins)} "
                          f"operands, got {n_ops}")
-    for term in ins:
-        if len(set(term)) != len(term):
-            raise NotImplementedError(
-                "einsum: repeated indices within one operand (diagonals) "
-                "are not supported")
+    if arrow and len(set(rhs)) != len(rhs):
+        raise ValueError("einsum: repeated index in the output term")
     if not arrow:  # numpy implicit mode: once-seen indices, alphabetical
         from collections import Counter
 
@@ -498,15 +499,85 @@ def _einsum_parse(subscripts: str, n_ops: int):
     return ins, rhs
 
 
-def _einsum_operand_grad(term: str, other_terms: "list", out: str, grad,
-                         others: "list", x):
-    """d(einsum)/d(operand with index-string ``term``).
+def _expand_ellipsis(subscripts: str, operands) -> str:
+    """Resolve ``...`` into explicit letters (shared, right-aligned).
 
-    Standard rule: contract the cotangent (indexed by ``out``) with every
-    other operand back to ``term``'s indices.  Indices of ``term`` absent
-    from (out + others) were summed inside the forward — the cotangent
-    broadcasts back over them.
+    Ellipsis-covered axes must agree in size across operands (no broadcasting
+    inside the ellipsis — the one numpy einsum feature not supported); the
+    backend raises on mismatch.
     """
+    spec = subscripts.replace(" ", "")
+    if "..." not in spec:
+        if "." in spec:
+            raise ValueError(f"einsum: invalid subscripts {subscripts!r}")
+        return spec
+    lhs, arrow, rhs = spec.partition("->")
+    ins = lhs.split(",")
+    if py_any("." in t.replace("...", "") for t in ins) or \
+            "." in rhs.replace("...", ""):
+        raise ValueError(f"einsum: invalid subscripts {subscripts!r}")
+
+    import string
+
+    used = {c for c in spec if c.isalpha()}
+    pool = [c for c in string.ascii_letters if c not in used]
+    n_ell = 0
+    for t, op in zip(ins, operands):
+        if "..." in t:
+            n = op.ndim - (len(t) - 3)
+            if n < 0:
+                raise ValueError(
+                    f"einsum: operand of rank {op.ndim} too small for "
+                    f"term {t!r}")
+            n_ell = py_max(n_ell, n)
+    if n_ell > len(pool):
+        raise ValueError("einsum: too many ellipsis axes")
+    ell = "".join(pool[:n_ell])
+    new_ins = []
+    for t, op in zip(ins, operands):
+        if "..." in t:
+            n = op.ndim - (len(t) - 3)
+            new_ins.append(t.replace("...", ell[n_ell - n:] if n else ""))
+        else:
+            new_ins.append(t)
+    if arrow:
+        new_rhs = rhs.replace("...", ell)
+        return f"{','.join(new_ins)}->{new_rhs}"
+    # implicit mode with ellipsis: ellipsis axes lead, then once-seen
+    # EXPLICIT letters alphabetically (numpy semantics)
+    from collections import Counter
+
+    counts = Counter("".join(t.replace("...", "") for t in ins))
+    tail = "".join(sorted(c for c, n in counts.items() if n == 1))
+    return f"{','.join(new_ins)}->{ell}{tail}"
+
+
+def _diag_delta(term: str, shape) -> "md.Tensor":
+    """Boolean Tensor of ``shape``: True where every repeated letter's axes
+    hold equal indices (the Kronecker delta of the diagonal constraint).
+    Built from framework ops so it lives on device and both backends agree."""
+    nd = len(term)
+    mask = None
+    seen: dict = {}
+    for pos, c in enumerate(term):
+        if c not in seen:
+            seen[c] = pos
+            continue
+        first = seen[c]
+        a = reshape(md.arange(shape[first]),
+                    tuple(shape[first] if d == first else 1 for d in range(nd)))
+        b = reshape(md.arange(shape[pos]),
+                    tuple(shape[pos] if d == pos else 1 for d in range(nd)))
+        m = equal(a, b)
+        mask = m if mask is None else logical_and(mask, m)
+    return mask
+
+
+def _einsum_pullback(term: str, other_terms: "list", out: str, grad,
+                     others: "list", shape):
+    """Cotangent for a repeat-free operand term: contract the cotangent
+    (indexed by ``out``) with every other operand back to ``term``'s
+    indices; axes summed away in the forward broadcast back."""
     avail = set(out)
     for t in other_terms:
         avail |= set(t)
@@ -515,27 +586,40 @@ def _einsum_operand_grad(term: str, other_terms: "list", out: str, grad,
     sub = einsum(f"{in_specs}->{reachable}", grad, *others)
     if reachable == term:
         return sub
-    # re-insert the summed-away axes (size from x) and broadcast
+    # re-insert the summed-away axes and broadcast
     for pos, c in enumerate(term):
         if c not in reachable:
             sub = expand_dims(sub, pos)
             reachable = reachable[:pos] + c + reachable[pos:]
-    return broadcast_to(sub, x.shape)
+    return broadcast_to(sub, tuple(shape))
 
 
-def _einsum1_grad(x, grad, subscripts=""):
-    (a,), out = _einsum_parse(subscripts, 1)
-    return _einsum_operand_grad(a, [], out, grad, [], x)
+def _einsum_operand_grad(term: str, other_terms: "list", out: str, grad,
+                         others: "list", x):
+    """d(einsum)/d(operand with index-string ``term``).
 
-
-def _einsum2_grad_x(x, y, grad, subscripts=""):
-    (a, b), out = _einsum_parse(subscripts, 2)
-    return _einsum_operand_grad(a, [b], out, grad, [y], x)
-
-
-def _einsum2_grad_y(x, y, grad, subscripts=""):
-    (a, b), out = _einsum_parse(subscripts, 2)
-    return _einsum_operand_grad(b, [a], out, grad, [x], y)
+    Repeat-free terms use the standard reverse-einsum rule.  A term with
+    repeated letters (diagonal) is equivalent to the repeat-free einsum over
+    its extracted diagonal; the cotangent for the full operand scatters the
+    diagonal cotangent back through a delta mask (zero off-diagonal).
+    """
+    if len(set(term)) == len(term):
+        return _einsum_pullback(term, other_terms, out, grad, others, x.shape)
+    dedup = "".join(dict.fromkeys(term))
+    shape = tuple(x.shape)
+    dedup_shape = tuple(shape[term.index(c)] for c in dedup)
+    sub = _einsum_pullback(dedup, other_terms, out, grad, others, dedup_shape)
+    # align the diagonal cotangent to the full term's axes: duplicate
+    # positions get size-1 axes (left to right keeps order), then broadcast
+    seen: set = set()
+    for pos, c in enumerate(term):
+        if c in seen:
+            sub = expand_dims(sub, pos)
+        else:
+            seen.add(c)
+    sub = broadcast_to(sub, shape)
+    delta = _diag_delta(term, shape)
+    return sub * delta.astype(sub.dtype)
 
 
 def _einsum_forward_raw(*operands, subscripts=""):
@@ -544,36 +628,51 @@ def _einsum_forward_raw(*operands, subscripts=""):
     return _backend.get_backend().einsum(subscripts, *operands)
 
 
-_einsum1 = wrapping.create_unary_op_func(
-    forward_func=as_tensor_func(_einsum_forward_raw),
-    grad=_einsum1_grad,
-    propagate_kwargs=True,
-    op_name="einsum",
-)
-_einsum2 = wrapping.create_binary_op_func(
-    forward_func=as_tensor_func(_einsum_forward_raw),
-    grad_x=_einsum2_grad_x,
-    grad_y=_einsum2_grad_y,
-    propagate_kwargs=True,
-    op_name="einsum",
-    tensor_only=True,
-)
+def _make_einsum_grad(i: int, n: int):
+    def grad_fn(*args_and_grad, subscripts=""):
+        *ops, grad = args_and_grad
+        ins, out = _einsum_parse(subscripts, n)
+        return _einsum_operand_grad(
+            ins[i], ins[:i] + ins[i + 1:], out, grad,
+            list(ops[:i]) + list(ops[i + 1:]), ops[i],
+        )
+
+    return grad_fn
+
+
+# one manufactured op per arity, created on first use
+_einsum_ops: dict = {}
+
+
+def _einsum_n(n: int):
+    if n not in _einsum_ops:
+        _einsum_ops[n] = wrapping.create_op_func(
+            forward_func=as_tensor_func(_einsum_forward_raw),
+            grad_funcs=[_make_einsum_grad(i, n) for i in range(n)],
+            propagate_kwargs=True,
+            op_name="einsum",
+            tensor_only=True,
+        )
+    return _einsum_ops[n]
 
 
 def einsum(subscripts: str, *operands: "md.Tensor") -> "md.Tensor":
-    """Differentiable Einstein summation (1 or 2 operands).
+    """Differentiable Einstein summation — any operand count, explicit or
+    numpy-implicit specs, ellipsis, and repeated-index diagonals.
 
-    Supports explicit (``"ij,jk->ik"``) and numpy-implicit specs; no
-    ellipsis or per-operand repeated indices.  VJPs are reverse einsums in
-    framework ops, so higher-order gradients re-tape as usual.
+    VJPs are reverse einsums in framework ops (diagonal terms scatter
+    through a delta mask), so higher-order gradients re-tape as usual.
+    Not supported: broadcasting of mismatched sizes inside an ellipsis.
     """
-    ins, out = _einsum_parse(subscripts, len(operands))  # validate eagerly
+    if not operands:
+        raise ValueError("einsum needs at least one operand")
+    operands = tuple(
+        t if isinstance(t, md.Tensor) else md.Tensor(t) for t in operands
+    )
+    spec = _expand_ellipsis(subscripts, operands)
+    ins, out = _einsum_parse(spec, len(operands))  # validate eagerly
     canonical = f"{','.join(ins)}->{out}"
-    if len(operands) == 1:
-        return _einsum1(operands[0], subscripts=canonical)
-    if len(operands) == 2:
-        return _einsum2(*operands, subscripts=canonical)
-    raise NotImplementedError("einsum: more than 2 operands not supported")
+    return _einsum_n(len(operands))(*operands, subscripts=canonical)
 
 
 # ---------------------------------------------------------------------------

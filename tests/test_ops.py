@@ -628,6 +628,26 @@ def test_vmap_extra_args_pass_through_unmapped(backend):
     ("ij,j->i", [(3, 4), (4,)]),
     ("ij,jk", [(3, 4), (4, 5)]),  # implicit output
     ("bhqd,bhkd->bhqk", [(2, 2, 3, 4), (2, 2, 5, 4)]),
+    # >=3 operands
+    ("ij,jk,kl->il", [(2, 3), (3, 4), (4, 2)]),
+    ("bij,bjk,kl->bil", [(2, 2, 3), (2, 3, 4), (4, 2)]),
+    ("i,j,k->ijk", [(2,), (3,), (4,)]),
+    ("ij,jk,kl,lm->im", [(2, 3), (3, 2), (2, 3), (3, 2)]),
+    # ellipsis
+    ("...ij,jk->...ik", [(2, 2, 3, 4), (4, 5)]),
+    ("...i->...", [(2, 3, 4)]),
+    ("...ij->...ji", [(2, 3, 4)]),
+    ("...i,...i->...", [(2, 3, 4), (2, 3, 4)]),
+    ("...i,i", [(2, 3), (3,)]),  # implicit with ellipsis
+    # diagonals (repeated indices within one operand)
+    ("ii->i", [(4, 4)]),
+    ("ii->", [(4, 4)]),
+    ("ii", [(4, 4)]),  # implicit trace
+    ("iji->j", [(3, 4, 3)]),
+    ("ii,ij->j", [(3, 3), (3, 4)]),
+    ("iij,jk->ik", [(3, 3, 4), (4, 2)]),
+    # diagonals + ellipsis together
+    ("...ii->...i", [(2, 3, 3)]),
 ])
 def test_einsum(backend, spec, shapes):
     ts = [md.Tensor(np.random.randn(*s), allow_grad=True) for s in shapes]
@@ -646,14 +666,29 @@ def test_einsum(backend, spec, shapes):
                            atol=1e-5), (spec, i)
 
 
-def test_einsum_rejects_unsupported(backend):
+def test_einsum_rejects_invalid(backend):
     x = md.Tensor(np.random.randn(3, 3))
-    with pytest.raises(NotImplementedError):
-        md.einsum("ii->i", x)  # diagonal
-    with pytest.raises(NotImplementedError):
-        md.einsum("...i->...", x)  # ellipsis
     with pytest.raises(ValueError):
         md.einsum("ij,jk->ik", x)  # operand count mismatch
+    with pytest.raises(ValueError):
+        md.einsum("ij->jj", x)  # repeated output index
+    with pytest.raises(ValueError):
+        md.einsum(".i->i", x)  # stray dot (not a full ellipsis)
+    with pytest.raises(ValueError):
+        md.einsum("...ijk->", x)  # rank too small for the term
+    with pytest.raises(ValueError):
+        md.einsum("")  # no operands
+
+
+def test_einsum_diagonal_grad_structure(backend):
+    """The diagonal VJP must scatter only onto the diagonal."""
+    x = md.Tensor(np.random.randn(4, 4), allow_grad=True)
+    md.sum(md.einsum("ii->i", x) ** 2).backward()
+    g = np.asarray(backend_mod.as_numpy(x.grad._data))
+    xd = np.diag(np.asarray(backend_mod.as_numpy(x._data)))
+    assert np.allclose(np.diag(g), 2 * xd)
+    off = g - np.diag(np.diag(g))
+    assert np.allclose(off, 0.0)
 
 
 def test_einsum_higher_order(backend):
