@@ -128,6 +128,18 @@ def test_jvp_vector_output(backend):
     )
 
 
+def test_hessian_batched_matches_loop_at_n64():
+    """The xla hessian (ONE vmapped hvp program) must equal the explicit
+    per-direction loop at production-ish n (VERDICT item 7)."""
+    md.set_backend("xla")
+    n = 64
+    x = md.Tensor(np.linspace(-1.2, 1.2, n))
+    H = md.hessian(_rosen)(x)
+    assert tuple(int(d) for d in H.shape) == (n, n)
+    want = _rosen_hessian(np.linspace(-1.2, 1.2, n))
+    np.testing.assert_allclose(np.asarray(H.detach()), want, rtol=1e-8)
+
+
 def test_hessian_helper_rosenbrock(backend):
     v0 = np.array([1.2, 1.0, 0.8])
     H = md.hessian(_rosen)(md.Tensor(v0))
