@@ -364,8 +364,10 @@ def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
     or lower peak temp than the barrier-pinned recompute — prefer plain
     md.jit there unless profiling says otherwise.
 
-    First-order only through the segment (an outer ``allow_higher_order``
-    backward still works for everything outside it); inputs must all be
+    First-order only through the segment: a backward with
+    ``allow_higher_order=True`` that reaches a remat node raises
+    NotImplementedError (its grads cannot re-tape, and recording them as
+    constants would silently drop second derivatives).  Inputs must all be
     Tensors.
     """
     from minidiff_tpu.ops import wrapping
@@ -408,6 +410,16 @@ def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
 
         def make_grad(i: int):
             def grad_fn(*args_and_grad: "Any", **kw: "Any") -> "md.Tensor":
+                if md.grad_allowed_():
+                    # a higher-order sweep would record these grads as
+                    # constants and silently DROP the segment's second
+                    # derivatives — refuse instead (VERDICT r1 item 4)
+                    raise NotImplementedError(
+                        "md.remat: gradients of a remat segment cannot "
+                        "re-tape, so backward(allow_higher_order=True) "
+                        "through it is unsupported — drop md.remat from "
+                        "this graph or take first-order gradients"
+                    )
                 *seg_inputs, grad = args_and_grad
                 g = run_all(seg_inputs, grad)[i]
                 return g if g is not None else md.zeros_like(seg_inputs[i])
@@ -441,7 +453,9 @@ def scan(step: "Callable"):
     time and code size grow with T), while md.scan lowers to a single
     rolled ``lax.scan`` whose compile time is independent of T.  The VJP is
     jax's reverse-scan transpose, staged into the same program under
-    ``md.jit``; first-order only through the loop (like the flash kernels).
+    ``md.jit``; first-order only through the loop on xla — a
+    higher-order backward reaching the scan raises NotImplementedError
+    (the numpy backend's eager scan re-tapes and supports it).
     Outputs are exposed as two tape ops sharing one forward expression —
     XLA CSEs the twin scans under jit; grads from both accumulate.
 
@@ -507,6 +521,13 @@ def scan(step: "Callable"):
 
         def make_grad(which: int, i: int):
             def grad_fn(*args_and_grad: "Any") -> "md.Tensor":
+                if md.grad_allowed_():
+                    raise NotImplementedError(
+                        "md.scan: the lax.scan VJP cannot re-tape, so "
+                        "backward(allow_higher_order=True) through a "
+                        "scanned loop is unsupported on the xla backend "
+                        "(the numpy backend's eager scan supports it)"
+                    )
                 *inputs, grad = args_and_grad
                 key = which
                 if key not in memo or memo[key][0] is not grad:
