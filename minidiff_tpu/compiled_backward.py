@@ -74,6 +74,10 @@ def _collect(root_node, traversal):
 
 
 def _node_sig(node):
+    if getattr(node.forward_func, "_stateful", False):
+        # stateful-protocol ops: grads may read per-call instance state,
+        # which a cached executable would freeze as trace-time constants
+        return None
     parts = []
     for k in sorted(node.op_kwargs):
         s = _static_sig(node.op_kwargs[k])

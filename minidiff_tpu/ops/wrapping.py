@@ -170,6 +170,10 @@ def create_stateful_op_func(
         # per-call closures need a stable structural token or reuse_graph's
         # hash would never repeat (and recycled id()s could alias)
         forward._structural_id = ("stateful", op_class.__module__, op_class.__qualname__)
+        # grads may read per-call instance state, which a compiled backward
+        # replay would freeze as trace-time constants — mark the node so
+        # compiled_backward falls back to the eager sweep
+        forward._stateful = True
         output = forward(*op_inputs, **op_kwargs)
         if output.op_node is not None:
             output = output.detach()
