@@ -378,6 +378,9 @@ exp = wrapping.create_unary_op_func(
 flatten = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("flatten")),
     grad=lambda x, grad, order="C": reshape(grad, x.shape, order=order),
+    # without kwarg propagation the VJP un-flattens in C order regardless of
+    # the forward's `order` — wrong gradients for order="F"
+    propagate_kwargs=True,
 )
 flip = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("flip")),
@@ -420,6 +423,7 @@ prod = wrapping.create_unary_op_func(
 ravel = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("ravel")),
     grad=lambda x, grad, order="C": reshape(grad, x.shape, order=order),
+    propagate_kwargs=True,  # same order-aware VJP requirement as flatten
 )
 sign = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("sign")), is_differentiable=False
@@ -435,6 +439,10 @@ sinh = wrapping.create_unary_op_func(
 squeeze = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("squeeze")),
     grad=squeeze_grad,
+    # squeeze_grad must know WHICH axes were removed: with an explicit
+    # `axis=` the un-propagated default (re-insert every size-1 axis) is
+    # wrong whenever other size-1 axes survive the forward
+    propagate_kwargs=True,
 )
 std = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("std")),
@@ -937,7 +945,10 @@ power = wrapping.create_binary_op_func(
 )
 reshape = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("reshape")),
-    grad_x=lambda x, shape, grad, **kwargs: grad.reshape(x.shape),
+    # the inverse of an order-o reshape is the order-o reshape back
+    grad_x=lambda x, shape, grad, order="C", **kw:
+        reshape(grad, x.shape, order=order),
+    propagate_kwargs=True,
 )
 subtract = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("subtract")),

@@ -271,8 +271,8 @@ class Tensor:
     def clip(self, a_min: Any = None, a_max: Any = None) -> Tensor:
         return md.clip(self, a_min, a_max)
 
-    def reshape(self, shape: Union[int, Sequence[int]]) -> Tensor:
-        return md.reshape(self, shape)
+    def reshape(self, shape: Union[int, Sequence[int]], **kwargs: Any) -> Tensor:
+        return md.reshape(self, shape, **kwargs)
 
     def dot(self, other: Any) -> Tensor:
         return md.dot(self, other)

@@ -28,7 +28,9 @@ from minidiff_tpu.utils import compute_grads
 RTOL = 1e-4
 ATOL = 1e-6
 H = 1e-3
-TRIALS = 3
+# 5 randomized repetitions per op, matching the reference's breadth
+# (reference tests/test_ops.py loops 5x with fresh inputs AND fresh kwargs)
+TRIALS = 5
 
 
 def _mask_nans(a: np.ndarray, b: np.ndarray):
@@ -127,17 +129,51 @@ def test_non_differentiable_unary_forward(backend, name):
 
 def test_ravel(backend):
     for _ in range(TRIALS):
-        check_op(md.ravel, "ravel", [rnd(2, 2, 2, 2)])
+        check_op(md.ravel, "ravel", [rnd(2, 2, 2, 2)],
+                 {"order": random.choice(["C", "F"])})
 
 
 def test_flatten(backend):
     for _ in range(TRIALS):
-        check_op(md.flatten, "flatten", [rnd(2, 2, 2, 2)])
+        check_op(md.flatten, "flatten", [rnd(2, 2, 2, 2)],
+                 {"order": random.choice(["C", "F"])})
 
 
 def test_squeeze(backend):
     for _ in range(TRIALS):
-        check_op(md.squeeze, "squeeze", [rnd(1, 2, 1, 2)])
+        # random single size-1 axis, or None (squeeze all)
+        axis = random.choice([None, 0, 2, (0,), (2,), (0, 2)])
+        kwargs = {} if axis is None else {"axis": axis}
+        check_op(md.squeeze, "squeeze", [rnd(1, 2, 1, 2)], kwargs)
+
+
+def test_fortran_order_grads_route_back_correctly(backend):
+    """Regression (round-2 fuzz find): flatten/ravel/reshape with
+    order='F' must un-map the cotangent in F order — the kwarg was not
+    propagated to the VJPs, silently producing C-order (permuted) grads."""
+    x = md.Tensor(np.arange(6.0).reshape(2, 3), allow_grad=True)
+    w = md.Tensor(np.arange(6.0) + 1.0)
+    md.sum(md.flatten(x, order="F") * w).backward()
+    # weight i lands on the i-th element in column-major order
+    want = (np.arange(6.0) + 1.0).reshape((2, 3), order="F")
+    np.testing.assert_allclose(np.asarray(x.grad.detach()), want)
+    x2 = md.Tensor(np.arange(6.0).reshape(2, 3), allow_grad=True)
+    md.sum(md.reshape(x2, (3, 2), order="F") * w.reshape((3, 2), order="F")
+           ).backward()
+    np.testing.assert_allclose(np.asarray(x2.grad.detach()), want)
+
+
+def test_squeeze_partial_axis_grad(backend):
+    """Regression (round-2 fuzz find): squeeze(axis=0) on a (1, 2, 1, 2)
+    tensor keeps the OTHER size-1 axis; the un-propagated VJP re-inserted
+    every size-1 axis and produced a wrong-shaped gradient."""
+    x = md.Tensor(np.random.randn(1, 2, 1, 2), allow_grad=True)
+    out = md.squeeze(x, axis=0)
+    assert tuple(int(d) for d in out.shape) == (2, 1, 2)
+    md.sum(out * md.Tensor(np.arange(4.0).reshape(2, 1, 2))).backward()
+    np.testing.assert_allclose(
+        np.asarray(x.grad.detach()),
+        np.arange(4.0).reshape(1, 2, 1, 2))
 
 
 def test_expand_dims(backend):
@@ -148,7 +184,9 @@ def test_expand_dims(backend):
 
 def test_reshape(backend):
     for _ in range(TRIALS):
-        check_op(md.reshape, "reshape", [rnd(2, 2, 2, 2), (4, 4)])
+        shape = random.choice([(4, 4), (16,), (2, 8), (8, 2), (2, 2, 4),
+                               (4, 2, 2), (1, 16)])
+        check_op(md.reshape, "reshape", [rnd(2, 2, 2, 2), shape])
 
 
 def test_transpose(backend):
@@ -206,14 +244,26 @@ def test_getitem_slices(backend):
 # reductions
 # ---------------------------------------------------------------------------
 
+def _well_separated(*shape):
+    """Random tensor whose values are pairwise >= 0.05 apart: finite
+    differences of max/min split the derivative across near-ties closer
+    than h, which the exact equality-mask VJP rightly does not."""
+    n = int(np.prod(shape))
+    vals = np.random.permutation(n) * 0.1 + np.random.uniform(-0.02, 0.02)
+    return md.Tensor(vals.reshape(shape), allow_grad=True)
+
+
 @pytest.mark.parametrize("name", ["sum", "mean", "max", "min", "prod", "std"])
 def test_reductions(backend, name):
     for _ in range(TRIALS):
+        x = _well_separated(2, 2, 2, 2) if name in ("max", "min") \
+            else rnd(2, 2, 2, 2)
         check_op(
             getattr(md, name),
             name,
-            [rnd(2, 2, 2, 2)],
-            {"axis": rand_axis_subset()},
+            [x],
+            {"axis": rand_axis_subset(),
+             "keepdims": random.choice([True, False])},
         )
 
 
