@@ -56,57 +56,15 @@ _decode_cache: "OrderedDict" = OrderedDict()
 _DECODE_BLOCK = 128
 
 
-def _bounded_cache_attention(q_raw, ck_raw, cv_raw, pos_raw, scale,
-                             num_heads: int, block: int = _DECODE_BLOCK):
-    """Single-token attention reading ONLY the live prefix of the KV cache.
-
-    q (b, h, 1, hd) raw array; ck/cv (b, kv, L, hd); pos traced scalar.
-    The fixed-size cache makes shapes static, but a full-cache masked read
-    moves L slots of dead K/V through HBM every step.  Decode is
-    bandwidth-bound, so this runs an online-softmax ``lax.fori_loop`` over
-    ``ceil((pos+1)/block)`` cache blocks — the masked tail is never read.
-    At L=512 and a 144-token working set that is ~2.6x less cache traffic
-    than the handwritten full-read twin (the framework's serving edge).
-    Scores/normalizer accumulate in f32, matching md.sdpa's precision.
-    """
-    b, kv, L, hd = ck_raw.shape
-    g = num_heads // kv  # query heads per kv head (GQA groups)
-    q3 = q_raw[:, :, 0, :].reshape(b, kv, g, hd).astype(jnp.float32)
-    nb = jax.lax.div(pos_raw, block) + 1
-
-    def body(i, carry):
-        m, l, o = carry
-        start = i * block
-        kb = jax.lax.dynamic_slice(
-            ck_raw, (0, 0, start, 0), (b, kv, block, hd)).astype(jnp.float32)
-        vb = jax.lax.dynamic_slice(
-            cv_raw, (0, 0, start, 0), (b, kv, block, hd)).astype(jnp.float32)
-        s = jnp.einsum("bkgd,bkld->bkgl", q3, kb) * scale  # (b, kv, g, blk)
-        idx = start + jnp.arange(block)
-        s = jnp.where(idx[None, None, None, :] <= pos_raw, s, -1e30)
-        bm = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m, bm)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        o_new = o * alpha + jnp.einsum("bkgl,bkld->bkgd", p, vb)
-        return m_new, l_new, o_new
-
-    m0 = jnp.full((b, kv, g, 1), -1e30, jnp.float32)
-    l0 = jnp.zeros((b, kv, g, 1), jnp.float32)
-    o0 = jnp.zeros((b, kv, g, hd), jnp.float32)
-    m, l, o = jax.lax.fori_loop(0, nb, body, (m0, l0, o0))
-    out = (o / l).reshape(b, num_heads, 1, hd)
-    return out.astype(q_raw.dtype)
-
-
 def _block_decode_step(blk, params, x, cache, pos_t, mask):
     """One-token pre-LN block step against the fixed-size cache.
 
-    x (b, 1, d); cache {"k","v"} (b, kv, L, hd); pos_t scalar Tensor; mask
-    (L,) bool Tensor of positions <= pos.  Mirrors transformer._block_step
-    with traced positions; the attention core is the bandwidth-bounded
-    block read (``_bounded_cache_attention``).
+    x (b, 1, d); cache {"k","v"} (b, kv, W, hd); pos_t scalar Tensor; mask
+    (W,) bool Tensor of positions <= pos.  Mirrors transformer._block_step
+    but with traced positions and masked window attention — W is the
+    program's STATIC cache window (see ``generate_compiled``), not the
+    model's max_seq_len, so short decodes never move dead cache slots
+    through HBM.
     """
     attn = blk.attn
     b, _, d = x.shape
@@ -123,22 +81,15 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
     cache["k"][:, :, pos_t, :] = md.squeeze(k, axis=2).astype(cache["k"].dtype)
     cache["v"][:, :, pos_t, :] = md.squeeze(v, axis=2).astype(cache["v"].dtype)
 
-    L = int(cache["k"].shape[2])
-    if L % _DECODE_BLOCK == 0 and L > _DECODE_BLOCK:
-        o_raw = _bounded_cache_attention(
-            q._data, cache["k"]._data, cache["v"]._data, pos_t._data,
-            1.0 / math.sqrt(hd), attn.num_heads)
-        o = md.Tensor(o_raw)
-    else:
-        keys = attn.expand_kv(cache["k"].astype(q.dtype))  # (b, h, L, hd)
-        vals = attn.expand_kv(cache["v"].astype(q.dtype))
-        scores = md.matmul_nt(q, keys) * (1.0 / math.sqrt(hd))  # (b,h,1,L)
-        # scores/softmax in f32 regardless of model dtype (matching
-        # md.sdpa's internal precision)
-        scores = scores.astype(md.float32)
-        scores = md.where(mask, scores, md.full_like(scores, -1e30))
-        attn_w = F.softmax(scores, axis=-1).astype(q.dtype)
-        o = md.matmul(attn_w, vals)  # (b, h, 1, hd)
+    keys = attn.expand_kv(cache["k"].astype(q.dtype))  # (b, h, W, hd)
+    vals = attn.expand_kv(cache["v"].astype(q.dtype))
+    scores = md.matmul_nt(q, keys) * (1.0 / math.sqrt(hd))  # (b, h, 1, W)
+    # scores/softmax in f32 regardless of model dtype (matching md.sdpa's
+    # internal precision, so bf16 decode agrees with the eager paths)
+    scores = scores.astype(md.float32)
+    scores = md.where(mask, scores, md.full_like(scores, -1e30))
+    attn_w = F.softmax(scores, axis=-1).astype(q.dtype)
+    o = md.matmul(attn_w, vals)  # (b, h, 1, hd)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, 1, d))
     x = x + attn.out.apply(params["attn"]["out"], o)
 
@@ -165,7 +116,13 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     assert max_new_tokens >= 1, "max_new_tokens must be >= 1"
     total = s0 + max_new_tokens - 1
     assert total <= model.max_seq_len, "prompt + new tokens exceed max_seq_len"
-    L = model.max_seq_len
+    # STATIC cache window: this program only ever touches positions
+    # [0, total], so allocate and read ceil-to-block of that instead of
+    # max_seq_len.  Decode is HBM-bound and the K/V read dominates — a
+    # 144-token request against a 512-slot model reads 2x less cache per
+    # step (the compiled-serving edge over naive fixed-size caches).
+    L = min(model.max_seq_len,
+            -(-(total + 1) // _DECODE_BLOCK) * _DECODE_BLOCK)
 
     raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
     p_dtype = raw_params["tok_emb"].dtype
