@@ -6,7 +6,8 @@ The reference framework selects an array library once at import time by abusing
 namespace of ~80 array functions + dtype symbols that every other layer calls —
 but make selection explicit and dynamic:
 
-* ``MINIDIFF_TPU_BACKEND`` env var (``xla`` | ``numpy``), default ``xla``.
+* ``MINIDIFF_TPU_BACKEND`` env var (``xla`` | ``numpy`` | ``torch``),
+  default ``xla``.
 * ``set_backend(name)`` / ``use_backend(name)`` (context manager) at runtime.
 * Attribute access on this module dispatches to the *active* backend through
   ``__getattr__``, so ops bound at import time still resolve dynamically.
@@ -55,6 +56,10 @@ def _ensure_registered() -> None:
         importlib.import_module("minidiff_tpu.backend.xla_backend")
     except Exception as e:  # pragma: no cover - jax should always be present
         _import_errors["xla"] = repr(e)
+    try:
+        importlib.import_module("minidiff_tpu.backend.torch_backend")
+    except Exception as e:  # torch is optional; numpy/xla never depend on it
+        _import_errors["torch"] = repr(e)
 
 
 _import_errors: dict = {}
@@ -125,6 +130,7 @@ def __getattr__(name: str) -> Any:
     if name.startswith("__") or name in (
         "numpy_backend",
         "xla_backend",
+        "torch_backend",
         "interface",
     ):
         raise AttributeError(name)
