@@ -56,13 +56,23 @@ def _causal_mask(s, qi, ki, bq, bk):
     return jnp.where(rows >= cols, s, _NEG_INF)
 
 
+def _apply_kv_mask(s, mask_ref):
+    """Mask s (bq, bk) by the (1, bk) key-padding row (nonzero = attend)."""
+    return jnp.where(mask_ref[0][None, :] != 0, s, _NEG_INF)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale, causal, bq, bk):
+def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
+                scale, causal, bq, bk, has_mask=False):
+    if has_mask:
+        mask_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        mask_ref = None
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -81,6 +91,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         ) * jnp.float32(scale)  # (bq, bk)
         if causal:
             s = _causal_mask(s, qi, ki, bq, bk)
+        if mask_ref is not None:
+            s = _apply_kv_mask(s, mask_ref)
 
         m_prev = m_scr[:]  # (bq, LANES), all lanes equal
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
@@ -118,13 +130,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "causal", "bq", "bk"))
-def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK):
+    jax.jit, static_argnames=("scale", "causal", "bq", "bk", "h"))
+def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1):
+    """``mask``: optional (B, Sk) int32 key-padding rows (nonzero = attend),
+    shared across the ``h`` heads folded into q's leading B*H axis."""
     bh, s, d = q.shape
     sk = k.shape[1]
     grid = (bh, s // bq, sk // bk)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk)
+        _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk,
+        has_mask=mask is not None)
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+    ]
+    operands = [q, k, v]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, bk), lambda b, i, j: (b // h, j)))
+        operands.append(mask)
     o, lse = pl.pallas_call(
         kernel,
         out_shape=(
@@ -132,11 +157,7 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK):
             jax.ShapeDtypeStruct((bh, 1, s), jnp.float32),
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
@@ -155,7 +176,7 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK):
             * q.dtype.itemsize,
             transcendentals=bh * s * sk,
         ),
-    )(q, k, v)
+    )(*operands)
     return o, lse[:, 0, :]
 
 
@@ -164,7 +185,8 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK):
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk):
+def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
+                    mask_ref=None):
     """Shared blockwise recompute: P from lse, then dS. All f32."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -172,6 +194,8 @@ def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk):
     ) * jnp.float32(scale)  # (bq, bk)
     if causal:
         s = _causal_mask(s, qi, ki, bq, bk)
+    if mask_ref is not None:
+        s = _apply_kv_mask(s, mask_ref)
     p = jnp.exp(s - lse[:, :1])  # (bq, bk); masked entries exp(-inf)→0
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -181,8 +205,13 @@ def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk):
     return p, ds
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal, bq, bk):
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
+                    scale, causal, bq, bk, has_mask=False):
+    if has_mask:
+        mask_ref, dk_ref, dv_ref, dk_scr, dv_scr = refs
+    else:
+        mask_ref = None
+        dk_ref, dv_ref, dk_scr, dv_scr = refs
     ki = pl.program_id(1)
     qi = pl.program_id(2)
 
@@ -199,7 +228,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         lse = lse_ref[0][0][:, None]  # (bq, 1)
         delta = delta_ref[0][0][:, None]
         p, ds = _recompute_p_ds(
-            q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk)
+            q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
+            mask_ref=mask_ref)
         # dv += P^T @ dO ; dk += dS^T @ Q  (contract over the q-block rows)
         dv_scr[:] += jax.lax.dot_general(
             p, do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -221,8 +251,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_scr, *, scale, causal, bq, bk):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
+                   scale, causal, bq, bk, has_mask=False):
+    if has_mask:
+        mask_ref, dq_ref, dq_scr = refs
+    else:
+        mask_ref = None
+        dq_ref, dq_scr = refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -238,7 +273,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         lse = lse_ref[0][0][:, None]
         delta = delta_ref[0][0][:, None]
         _, ds = _recompute_p_ds(
-            q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk)
+            q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
+            mask_ref=mask_ref)
         dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     if causal:
@@ -254,13 +290,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "causal", "bq", "bk"))
-def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK):
+    jax.jit, static_argnames=("scale", "causal", "bq", "bk", "h"))
+def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
+               mask=None, h=1):
     bh, s, d = q.shape
     sk = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
-    kernel_kw = dict(scale=scale, causal=causal, bq=bq, bk=bk)
+    kernel_kw = dict(scale=scale, causal=causal, bq=bq, bk=bk,
+                     has_mask=mask is not None)
     dkv_in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # q
         pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),   # k
@@ -269,6 +307,11 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK):
         pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),   # lse
         pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),   # delta
     ]
+    dkv_operands = [q, k, v, do, lse[:, None, :], delta[:, None, :]]
+    if mask is not None:
+        dkv_in_specs.append(
+            pl.BlockSpec((1, bk), lambda b, j, i: (b // h, j)))
+        dkv_operands.append(mask)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **kernel_kw),
         out_shape=(
@@ -288,26 +331,32 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v, do, lse[:, None, :], delta[:, None, :])
+    )(*dkv_operands)
 
+    dq_in_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+    ]
+    dq_operands = [q, k, v, do, lse[:, None, :], delta[:, None, :]]
+    if mask is not None:
+        dq_in_specs.append(
+            pl.BlockSpec((1, bk), lambda b, i, j: (b // h, j)))
+        dq_operands.append(mask)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **kernel_kw),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         grid=(bh, s // bq, sk // bk),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(q, k, v, do, lse[:, None, :], delta[:, None, :])
+    )(*dq_operands)
     return dq, dk, dv
 
 
@@ -327,52 +376,85 @@ def _blocks_for(kind: str, q, k, causal: bool):
     return _pick_blocks(table, q.shape[1], k.shape[1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, scale, causal):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, mask, scale, causal, h=1):
     bq, bk = _blocks_for("fwd", q, k, causal)
-    o, _ = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
+    o, _ = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, scale, causal):
+def _flash_vjp_fwd(q, k, v, mask, scale, causal, h):
     bq, bk = _blocks_for("fwd", q, k, causal)
-    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
-    return o, (q, k, v, o, lse)
+    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h)
+    return o, (q, k, v, mask, o, lse)
 
 
-def _flash_vjp_bwd(scale, causal, residuals, do):
-    q, k, v, o, lse = residuals
+def _flash_vjp_bwd(scale, causal, h, residuals, do):
+    q, k, v, mask, o, lse = residuals
     bq, bk = _blocks_for("bwd", q, k, causal)
-    return _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=bq, bk=bk)
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, scale, causal,
+                            bq=bq, bk=bk, mask=mask, h=h)
+    return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_aux(q, k, v, scale, causal):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_aux(q, k, v, mask, scale, causal, h=1):
     """Flash forward returning (o, lse) — lse is a non-differentiable aux
     residual the dispatcher stashes for the tape's backward.  Still a
     custom_vjp so jax AD through backend sdpa (e.g. md.scan's jax.vjp over
     a step built from md ops) keeps working; the lse cotangent is ignored."""
     bq, bk = _blocks_for("fwd", q, k, causal)
-    return _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
+    return _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h)
 
 
-def _flash_aux_vjp_fwd(q, k, v, scale, causal):
+def _flash_aux_vjp_fwd(q, k, v, mask, scale, causal, h):
     bq, bk = _blocks_for("fwd", q, k, causal)
-    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk)
-    return (o, lse), (q, k, v, o, lse)
+    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h)
+    return (o, lse), (q, k, v, mask, o, lse)
 
 
-def _flash_aux_vjp_bwd(scale, causal, residuals, cts):
-    q, k, v, o, lse = residuals
+def _flash_aux_vjp_bwd(scale, causal, h, residuals, cts):
+    q, k, v, mask, o, lse = residuals
     do, _ = cts  # lse is aux: its cotangent is discarded
     bq, bk = _blocks_for("bwd", q, k, causal)
-    return _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=bq, bk=bk)
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, scale, causal,
+                            bq=bq, bk=bk, mask=mask, h=h)
+    return dq, dk, dv, None
 
 
 _flash_aux.defvjp(_flash_aux_vjp_fwd, _flash_aux_vjp_bwd)
+
+
+def _kv_mask_shape_ok(shape, b, sk) -> bool:
+    """Shape-only test for :func:`_as_kv_mask` (used by the backward's
+    eligibility check, which must not touch the mask's values)."""
+    nd = len(shape)
+    if nd == 0 or nd > 4 or shape[-1] != sk:
+        return False
+    if nd <= 2:
+        return nd == 1 or shape[0] == 1
+    return all(d == 1 for d in shape[1:-1]) and shape[0] in (1, b)
+
+
+def _as_kv_mask(mask, b, sk):
+    """Normalize ``mask`` to a (B, Sk) int32 key-padding table, or None.
+
+    Key-padding means: after the dispatcher's broadcast against the
+    (B, H, Sq, Sk) score shape (3-D masks get the head axis inserted at 1,
+    everything else broadcasts right-aligned), the mask value depends only
+    on (batch, key).  Shapes qualifying: (Sk,), (1, Sk), (B|1, 1, Sk),
+    (B|1, 1, 1, Sk).  A 2-D (X, Sk) with X != 1 aligns X against Sq — NOT
+    key padding — and anything with a real Sq or head extent is dense.
+    """
+    m = jnp.asarray(mask)
+    if not _kv_mask_shape_ok(m.shape, b, sk):
+        return None
+    lead = m.shape[0] if m.ndim >= 3 else 1
+    mb = m.reshape(lead, sk)
+    return jnp.broadcast_to(mb.astype(jnp.int32), (b, sk))
 
 
 # Forward-time residual stash: the sdpa dispatcher records (o, lse) per
@@ -387,26 +469,28 @@ _residual_stash: "_OrderedDict" = _OrderedDict()
 _STASH_MAX = 64
 
 
-def _stash_residuals(qf, kf, vf, o, lse) -> None:
+def _stash_residuals(qf, kf, vf, mask, o, lse) -> None:
     # only worth pinning when a backward can follow; no_grad forwards
     # (decode, eval) must not accumulate dead activations in the stash
     import minidiff_tpu as _md
 
     if not _md.grad_allowed_():
         return
-    _residual_stash[(id(qf), id(kf), id(vf))] = ((qf, kf, vf), o, lse)
+    key = (id(qf), id(kf), id(vf), 0 if mask is None else id(mask))
+    _residual_stash[key] = ((qf, kf, vf, mask), o, lse)
     while len(_residual_stash) > _STASH_MAX:
         _residual_stash.popitem(last=False)
 
 
-def flash_grads(q, k, v, do, scale, causal):
+def flash_grads(q, k, v, do, scale, causal, mask=None):
     """Fused (dq, dk, dv) for (B, H, S, D) operands via the flash kernels.
 
     Serves the TAPE's sdpa VJPs (ops/definitions.py): the dK/dV and dQ
     backward kernels over the forward's stashed (o, lse) residuals (or one
     flash-forward recompute on a stash miss), instead of the composed
     framework-op grads that materialize the (S, S) score matrix in HBM
-    three ways.  Caller is responsible for eligibility (use
+    three ways.  ``mask`` is the raw (pre-normalization) key-padding mask
+    the forward saw, if any.  Caller is responsible for eligibility (use
     ``flash_grads_decision``).
     """
     b, h, s, d = q.shape
@@ -415,17 +499,21 @@ def flash_grads(q, k, v, do, scale, causal):
     kf = k.reshape(b * h, sk, d)
     vf = v.reshape(b * h, sk, d)
     dof = do.reshape(b * h, s, d).astype(q.dtype)
+    kvm = None if mask is None else _as_kv_mask(mask, b, sk)
 
-    hit = _residual_stash.pop((id(q), id(k), id(v)), None)
+    key = (id(q), id(k), id(v), 0 if mask is None else id(mask))
+    hit = _residual_stash.pop(key, None)
     if hit is not None:
         _, o, lse = hit
         bq, bk = _blocks_for("bwd", qf, kf, causal)
         dqf, dkf, dvf = _flash_bwd(
-            qf, kf, vf, o, lse, dof, scale, causal, bq=bq, bk=bk
+            qf, kf, vf, o, lse, dof, scale, causal, bq=bq, bk=bk,
+            mask=kvm, h=h,
         )
     else:
         _, vjp_fn = jax.vjp(
-            lambda a, b_, c: _flash(a, b_, c, scale, causal), qf, kf, vf
+            lambda a, b_, c: _flash(a, b_, c, kvm, scale, causal, h),
+            qf, kf, vf,
         )
         dqf, dkf, dvf = vjp_fn(dof)
     return (
@@ -435,13 +523,15 @@ def flash_grads(q, k, v, do, scale, causal):
     )
 
 
-def flash_grads_decision(q, k, v, causal) -> bool:
+def flash_grads_decision(q, k, v, causal, mask=None) -> bool:
     """True when the fused flash backward should serve this (4-D) shape —
     same eligibility AND same autotuner verdict as the forward dispatch."""
     if not _flash_eligible(q, k, v):
         return False
     b, h, s, d = q.shape
     sk = k.shape[2]
+    if mask is not None and not _kv_mask_shape_ok(jnp.shape(mask), b, sk):
+        return False
     return _attn_decision(b * h, s, sk, d, q.dtype, bool(causal)) != "composed"
 
 
@@ -497,8 +587,9 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
 
     Backend entry point for the ``md.sdpa`` op: flash kernel on TPU when
     eligible, composed jnp softmax-attention otherwise.  ``mask`` (boolean,
-    True = attend, broadcastable over the score shape) forces the composed
-    path.
+    True = attend, broadcastable over the score shape) rides into the flash
+    kernels when it is key-padding-shaped (value depends only on (batch,
+    key) — see ``_as_kv_mask``); any other mask forces the composed path.
     """
     q = jnp.asarray(q)
     k = jnp.asarray(k)
@@ -510,23 +601,30 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
         scale = 1.0 / (q.shape[-1] ** 0.5)
     scale = float(scale)
     use_flash = False
-    if mask is None and _flash_eligible(q, k, v):
+    kvm = None
+    if _flash_eligible(q, k, v):
         b, h, s, d = q.shape
         sk = k.shape[2]
-        use_flash = _attn_decision(b * h, s, sk, d, q.dtype, bool(causal)) \
-            != "composed"
+        if mask is not None:
+            kvm = _as_kv_mask(mask, b, sk)
+        if mask is None or kvm is not None:
+            use_flash = _attn_decision(
+                b * h, s, sk, d, q.dtype, bool(causal)) != "composed"
     if use_flash:
         out_f, lse = _flash_aux(
             q.reshape(b * h, s, d),
             k.reshape(b * h, sk, d),
             v.reshape(b * h, sk, d),
+            kvm,
             scale,
             bool(causal),
+            h,
         )
         # record residuals so the tape's backward (flash_grads) skips the
         # flash-forward recompute; keyed by the UN-reshaped operand ids the
-        # grad functions will present
-        _stash_residuals(q, k, v, out_f, lse)
+        # grad functions will present (mask keyed by the RAW object — the
+        # same unwrapped kwarg value the tape's grad functions unwrap to)
+        _stash_residuals(q, k, v, mask, out_f, lse)
         out = out_f.reshape(b, h, s, d)
     else:
         if mask is not None:
@@ -557,16 +655,13 @@ def _attn_key(bh, s, sk, d, dtype, causal):
     return (bh, s, sk, d, str(dtype), bool(causal))
 
 
-def _time_thunk(thunk, pull_latency) -> float:
-    from minidiff_tpu.kernels.matmul import time_device_thunk
-
-    return time_device_thunk(thunk, pull_latency)
-
-
 def _attn_autotune(bh, s, sk, d, dtype, causal):
     import numpy as np
 
-    from minidiff_tpu.kernels.matmul import _measure_pull_latency
+    from minidiff_tpu.kernels.matmul import (
+        _measure_pull_latency,
+        time_device_chain,
+    )
 
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.standard_normal((bh, s, d)), dtype)
@@ -575,42 +670,82 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
     do = jnp.asarray(rng.standard_normal((bh, s, d)), dtype)
     scale = float(1.0 / d**0.5)
 
-    def warm(fn, *a):
-        out = fn(*a)
-        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-        return out
+    # Chained racing (see matmul._autotune_eager): a scalar feedback from
+    # each rep's output perturbs the next rep's producer scale, forcing
+    # sequential execution — independent dispatches pipeline through the
+    # tunnel and time dispatch, not device work.  Reps are unrolled
+    # IN-TRACE so one dispatch covers >=~4ms of device work and the ~300us
+    # high-variance per-dispatch tunnel cost becomes a small common-mode
+    # term.
+    def _chain_step(core, unroll):
+        @jax.jit
+        def step(carry):
+            x, fb = carry
+            for _ in range(unroll):
+                xp = x * (jnp.asarray(1.0, jnp.float32) + fb).astype(x.dtype)
+                out = core(xp)
+                # feedback over EVERY output leaf: anything left out of the
+                # feedback is dead code the compiler deletes from the race
+                fb = sum(
+                    jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree.leaves(out)
+                ) * jnp.asarray(1e-30, jnp.float32)
+            return x, fb
+
+        return step
+
+    import time as _time
+
+    def _race(core, carry_leaf):
+        """Per-REP seconds for ``core`` under chained in-trace unrolling."""
+        step1 = _chain_step(core, 1)
+        carry0 = (carry_leaf, jnp.zeros((), jnp.float32))
+        out = step1(carry0)  # compile (raises propagate to the caller)
+        float(out[-1])
+        t0 = _time.perf_counter()
+        out = carry0
+        for _ in range(4):
+            out = step1(out)
+        float(out[-1])
+        per_est = max((_time.perf_counter() - t0 - lat) / 4, 1e-6)
+        unroll = max(1, min(16, int(4e-3 / per_est) + 1))
+        step = step1 if unroll == 1 else _chain_step(core, unroll)
+        if unroll > 1:
+            out = step(carry0)  # compile
+            float(out[-1])
+        return time_device_chain(step, carry0, lat) / unroll
 
     lat = _measure_pull_latency(q)
 
     # composed baseline: ONE value_and_grad executable = fwd + bwd (charging
     # an extra standalone forward would bias the race toward flash)
-    comp_g = jax.jit(jax.value_and_grad(
+    comp_g = jax.value_and_grad(
         lambda q, k, v: jnp.sum(
             _composed_sdpa(q, k, v, scale, causal).astype(jnp.float32)
             * do.astype(jnp.float32)
         ),
         argnums=(0, 1, 2),
-    ))
-    warm(comp_g, q, k, v)
-    t_comp = _time_thunk(lambda: comp_g(q, k, v), lat)
+    )
+    t_comp = _race(lambda qp: comp_g(qp, k, v), q)
 
     # best flash fwd blocks
-    best_f, best_f_t, lse = None, float("inf"), None
+    best_f, best_f_t = None, float("inf")
     for blocks in _FWD_BLOCKS:
         if s % blocks[0] or sk % blocks[1]:
             continue
         bq, bk = blocks
-        fn = jax.jit(functools.partial(
-            _flash_fwd, scale=scale, causal=causal, bq=bq, bk=bk))
+        fwd = functools.partial(
+            _flash_fwd, scale=scale, causal=causal, bq=bq, bk=bk)
         try:
-            o, l = warm(fn, q, k, v)
+            t = _race(lambda qp, fwd=fwd: fwd(qp, k, v), q)
         except Exception:
             continue
-        t = _time_thunk(lambda fn=fn: fn(q, k, v)[0], lat)
         if t < best_f_t:
-            best_f, best_f_t, lse, o_best = blocks, t, l, o
+            best_f, best_f_t = blocks, t
     if best_f is None:
         return "composed"
+    o_best, lse = _flash_fwd(
+        q, k, v, scale, causal, bq=best_f[0], bk=best_f[1])
 
     # best flash bwd blocks (using the best fwd's residuals)
     best_b, best_b_t = None, float("inf")
@@ -618,21 +753,23 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
         if s % blocks[0] or sk % blocks[1]:
             continue
         bq, bk = blocks
-        fn = jax.jit(functools.partial(
-            _flash_bwd, scale=scale, causal=causal, bq=bq, bk=bk))
+        bwd = functools.partial(
+            _flash_bwd, scale=scale, causal=causal, bq=bq, bk=bk)
         try:
-            warm(fn, q, k, v, o_best, lse, do)
+            t = _race(
+                lambda dop, bwd=bwd: bwd(q, k, v, o_best, lse, dop), do)
         except Exception:
             continue
-        t = _time_thunk(lambda fn=fn: fn(q, k, v, o_best, lse, do), lat)
         if t < best_b_t:
             best_b, best_b_t = blocks, t
     if best_b is None:
         return "composed"
 
-    # flash must beat composed fwd+bwd by >3% (ties go to XLA: better fusion
-    # with neighboring work inside larger jits)
-    if best_f_t + best_b_t > 0.97 * t_comp:
+    # flash must beat composed fwd+bwd by >8% — above the chained race's
+    # residual tunnel noise (~5%); real flash wins are 1.9-3.2x, so the
+    # margin never costs a genuine win (ties go to XLA: better fusion with
+    # neighboring work inside larger jits)
+    if best_f_t + best_b_t > 0.92 * t_comp:
         return "composed"
     return (best_f, best_b)
 

@@ -316,10 +316,11 @@ def _tiles_fit(variant: str, tiles: tuple, m: int, n: int, k: int) -> bool:
 def time_device_thunk(thunk, pull_latency: float) -> float:
     """Seconds per call of a device thunk, latency-robust.
 
-    The tunnel's scalar-pull latency (~25 ms) can dwarf the kernel under
-    test, so reps are calibrated until the chained device work is >=5x the
-    pull latency; min over 3 interleaved rounds strips the (one-sided)
-    latency jitter.
+    CAVEAT: the calls are independent, so the tunnel's execution pipeline
+    can overlap/ack them and the number reflects dispatch throughput as
+    much as device time.  Racing decisions must use
+    :func:`time_device_chain` (data-dependent steps) instead; this remains
+    for rough standalone measurements only.
     """
     import time
 
@@ -340,11 +341,41 @@ def time_device_thunk(thunk, pull_latency: float) -> float:
     return min(times)
 
 
-def _time_fn(fn, a, b) -> float:
-    return time_device_thunk(lambda: fn(a, b), _time_fn.pull_latency)
+def time_device_chain(step, carry0, pull_latency: float) -> float:
+    """Seconds per call of ``step`` (carry -> carry) under DATA DEPENDENCE.
 
+    Each step's inputs depend on the previous step's outputs, so the
+    runtime must execute the chain sequentially — the only timing the
+    tunnel cannot fake by pipelining independent dispatches (observed:
+    independent-call races flip a 10% kernel difference either way; the
+    round-1 op-bench scatter had the same cause).  The chain window is
+    calibrated to >=5x the scalar-pull latency that closes it; min over 3
+    rounds strips the (one-sided) latency jitter.
+    """
+    import time
 
-_time_fn.pull_latency = 0.0
+    out = step(carry0)  # compile
+    float(jnp.sum(jax.tree.leaves(out)[-1].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    out = carry0
+    for _ in range(4):
+        out = step(out)
+    float(jnp.sum(jax.tree.leaves(out)[-1].astype(jnp.float32)))
+    per = max((time.perf_counter() - t0 - pull_latency) / 4, 1e-5)
+    # the cap must not defeat the 5x-latency window target: a 512-cap at
+    # ~130us/step left a 67ms window against ~27+-10ms latency jitter =
+    # +-15% noise, which flipped sub-10% races
+    reps = min(4096, max(8, int(5 * pull_latency / per) + 1))
+
+    times = []
+    for _ in range(3):
+        out = carry0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = step(out)
+        float(jnp.sum(jax.tree.leaves(out)[-1].astype(jnp.float32)))
+        times.append(max(time.perf_counter() - t0 - pull_latency, 1e-9) / reps)
+    return min(times)
 
 
 def _measure_pull_latency(a) -> float:
@@ -399,26 +430,62 @@ def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
     a = jnp.asarray(rng.standard_normal(xs), dtype=xdt)
     b = jnp.asarray(rng.standard_normal(ys), dtype=ydt)
 
-    # Composition-aware racing: in real programs a matmul sits next to
-    # elementwise work (activation forward, activation-grad producer in the
-    # backward).  XLA fuses that into the dot's epilogue for free, while an
-    # opaque pallas_call forces the elementwise pass through HBM again —
-    # ~2 extra full-array passes that an isolated race never prices in
-    # (measured: Pallas "wins" 4096^2 bf16 NN by 17% bare but loses the
-    # fwd+bwd chain).  Timing every candidate under a cheap affine epilogue
-    # (VPU multiply-add, bandwidth-bound, fusable) makes the dispatch
-    # decision reflect in-context cost.
-    def _with_epilogue(fn):
-        def wrapped(x, y):
-            out = fn(x, y)
-            return out * jnp.asarray(1.0009765625, out.dtype) + jnp.asarray(
-                0.5, out.dtype
-            )
+    # Composition-aware racing: in real programs a matmul sits between
+    # elementwise work on BOTH sides (activation producer feeding the dot,
+    # activation/grad consumer reading it).  XLA fuses both into the dot for
+    # free, while an opaque pallas_call forces each through HBM again —
+    # extra full-array passes an isolated race never prices in (measured:
+    # Pallas "wins" 512x8192 f32 NN bare but loses the real fwd+bwd chain
+    # 2.4x).  Each candidate therefore races as a CHAINED step: a scalar
+    # feedback from each rep's output perturbs the next rep's producer
+    # scale, so (a) execution is forced sequential — independent dispatches
+    # pipeline through the tunnel and time dispatch, not device work — and
+    # (b) the producer multiply and consumer reduction price the fusions.
+    # Reps are unrolled IN-TRACE (one dispatch covers ``unroll`` device
+    # steps) because per-dispatch tunnel overhead is ~300us with high
+    # variance — at ~100us kernels a one-rep-per-dispatch chain times the
+    # tunnel, not the candidates (measured: 269-596us/step scatter on
+    # identical work).
+    def _race_step(fn, unroll):
+        @jax.jit
+        def step(carry):
+            x, fb = carry
+            for _ in range(unroll):
+                xp = x * (jnp.asarray(1.0009765625, jnp.float32) + fb).astype(
+                    x.dtype
+                )  # producer: fuses into XLA's dot, extra HBM pass for Pallas
+                out = fn(xp, b)
+                out = out * jnp.asarray(1.0009765625, out.dtype) + jnp.asarray(
+                    0.5, out.dtype
+                )  # consumer epilogue
+                fb = jnp.sum(out.astype(jnp.float32)) * jnp.asarray(
+                    1e-30, jnp.float32
+                )  # data dependence into the next rep; numerically ~0
+            return x, fb
 
-        return wrapped
+        return step
+
+    lat = _measure_pull_latency(a)
+    carry0 = (a, jnp.zeros((), jnp.float32))
+
+    # calibrate the in-trace unroll so one dispatch is >=~4ms of device work
+    # (dispatch overhead becomes a small, common-mode cost); estimated from
+    # a single-rep XLA chain
+    import time as _time
+
+    est_step = _race_step(_XLA_FNS[variant], 1)
+    out = est_step(carry0)
+    float(out[-1])
+    t0 = _time.perf_counter()
+    out = carry0
+    for _ in range(8):
+        out = est_step(out)
+    float(out[-1])
+    per_est = max((_time.perf_counter() - t0 - lat) / 8, 1e-6)
+    unroll = max(1, min(16, int(4e-3 / per_est) + 1))
 
     candidates: "list[tuple[tuple | None, Any]]" = [
-        (None, jax.jit(_with_epilogue(_XLA_FNS[variant])))
+        (None, _race_step(_XLA_FNS[variant], unroll))
     ]
     for tiles in _TILE_CANDIDATES[variant]:
         if _tiles_fit(variant, tiles, m, n, k):
@@ -426,12 +493,11 @@ def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
             candidates.append(
                 (
                     tiles,
-                    jax.jit(
-                        _with_epilogue(
-                            functools.partial(
-                                _PALLAS_FNS[variant], bm=bm, bn=bn, bk=bk
-                            )
-                        )
+                    _race_step(
+                        functools.partial(
+                            _PALLAS_FNS[variant], bm=bm, bn=bn, bk=bk
+                        ),
+                        unroll,
                     ),
                 )
             )
@@ -441,29 +507,31 @@ def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
     alive = []
     for tiles, fn in candidates:
         try:
-            out = fn(a, b)
-            float(jnp.sum(out).astype(jnp.float32))
+            out = fn(carry0)
+            float(jnp.sum(out[-1].astype(jnp.float32)))
             alive.append((tiles, fn))
         except Exception:
             if tiles is None:
                 raise
-    _time_fn.pull_latency = _measure_pull_latency(a)
 
     # Interleaved rounds + per-candidate MIN: robust to tunnel-latency drift
     # (a one-sided additive noise, which min strips and medians don't).
     best = {id(fn): float("inf") for _, fn in alive}
-    for _ in range(4):
+    for _ in range(2):
         for tiles, fn in alive:
-            best[id(fn)] = min(best[id(fn)], _time_fn(fn, a, b))
+            best[id(fn)] = min(best[id(fn)], time_device_chain(fn, carry0, lat))
 
     xla_t = best[id(alive[0][1])]
     winner, winner_t = None, xla_t
     for tiles, fn in alive[1:]:
         if best[id(fn)] < winner_t:
             winner, winner_t = tiles, best[id(fn)]
-    # Pallas must beat XLA by >3% to win: ties go to XLA, which fuses better
-    # with neighboring elementwise work inside a larger jit.
-    if winner is not None and winner_t > 0.97 * xla_t:
+    # Pallas must beat XLA by >8% to win — the margin must exceed the
+    # chained race's residual noise (~5% over the tunnel), because the two
+    # mistakes are asymmetric: a wrong Pallas pick has been measured 2.4x
+    # slower in context (512x8192 f32), a wrong XLA pick costs at most the
+    # margin.  Ties go to XLA, which fuses into neighboring work.
+    if winner is not None and winner_t > 0.92 * xla_t:
         winner = None
     return winner
 

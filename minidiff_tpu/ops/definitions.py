@@ -1029,7 +1029,7 @@ _sdpa_fused_memo: dict = {}
 
 
 def _sdpa_fused(q, k, v, grad, causal, scale, mask):
-    if mask is not None or md.grad_allowed_():
+    if md.grad_allowed_():
         return None  # higher-order backward must re-tape the composed form
     import minidiff_tpu.backend as _backend
 
@@ -1038,16 +1038,21 @@ def _sdpa_fused(q, k, v, grad, causal, scale, mask):
     qr, kr, vr = q._data, k._data, v._data
     if qr.ndim != 4:
         return None
-    key = (id(q), id(k), id(v), id(grad), bool(causal), scale)
+    # unwrap the mask the same way the forward's backend call did, so its
+    # id matches the residual-stash key recorded at forward time
+    mraw = mask._data if isinstance(mask, md.Tensor) else mask
+    key = (id(q), id(k), id(v), id(grad), bool(causal), scale,
+           0 if mraw is None else id(mraw))
     if _sdpa_fused_memo.get("key") != key:
         from minidiff_tpu.kernels import attention as _att
 
-        if not _att.flash_grads_decision(qr, kr, vr, causal):
+        if not _att.flash_grads_decision(qr, kr, vr, causal, mask=mraw):
             return None
         _sdpa_fused_memo["key"] = key
-        _sdpa_fused_memo["refs"] = (q, k, v, grad)
+        _sdpa_fused_memo["refs"] = (q, k, v, grad, mraw)
         _sdpa_fused_memo["val"] = _att.flash_grads(
-            qr, kr, vr, grad._data, _sdpa_scale(q, scale), bool(causal)
+            qr, kr, vr, grad._data, _sdpa_scale(q, scale), bool(causal),
+            mask=mraw,
         )
     return _sdpa_fused_memo["val"]
 

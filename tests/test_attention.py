@@ -183,6 +183,147 @@ def test_tape_backward_uses_fused_flash_grads(_interpret, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_masked_fwd_bwd_match_composed(_interpret, causal):
+    """Key-padding masks ride INTO the flash kernels: fwd/bwd with a (B, Sk)
+    mask folded across h heads must match the composed dense-mask path."""
+    from minidiff_tpu.kernels import attention as A
+
+    rng = np.random.RandomState(7)
+    b, h, s, d = 2, 2, 256, 128
+    bh = b * h
+    q = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    do = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    # batch 0 attends to the first 160 keys, batch 1 to the first 250
+    kvm = np.zeros((b, s), np.int32)
+    kvm[0, :160] = 1
+    kvm[1, :250] = 1
+    kvm = jnp.asarray(kvm)
+    # equivalent dense mask on the flattened (bh, s, s) score shape
+    dense = jnp.repeat(kvm.astype(bool), h, axis=0)[:, None, :]
+
+    o, lse = A._flash_fwd(q, k, v, scale, causal, bq=128, bk=128,
+                          mask=kvm, h=h)
+    ref = A._composed_sdpa(q, k, v, scale, causal, mask=dense)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(q, k, v):
+        return jnp.sum(A._composed_sdpa(q, k, v, scale, causal,
+                                        mask=dense) * do)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq, dk, dv = A._flash_bwd(q, k, v, o, lse, do, scale, causal,
+                              bq=128, bk=128, mask=kvm, h=h)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gq), rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gk), rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), rtol=1e-3, atol=5e-3)
+
+
+def test_kv_mask_normalization():
+    from minidiff_tpu.kernels import attention as A
+
+    b, sk = 3, 256
+    # qualifying shapes normalize to (B, Sk)
+    for shape in [(sk,), (1, sk), (1, 1, sk), (b, 1, sk), (1, 1, 1, sk),
+                  (b, 1, 1, sk)]:
+        m = np.ones(shape, bool)
+        out = A._as_kv_mask(m, b, sk)
+        assert out is not None and out.shape == (b, sk), shape
+        assert A._kv_mask_shape_ok(shape, b, sk)
+    # non-key-padding shapes are rejected
+    for shape in [(2, sk), (b, sk, sk), (b, 2, 1, sk), (1, 1, sk, sk),
+                  (sk - 1,), ()]:
+        m = np.ones(shape, bool)
+        assert A._as_kv_mask(m, b, sk) is None, shape
+        assert not A._kv_mask_shape_ok(shape, b, sk)
+
+
+def test_tape_backward_fused_with_padding_mask(_interpret, monkeypatch):
+    """A key-padding mask must keep the tape's sdpa on the FUSED flash path
+    (forward + fused backward), matching the composed masked grads."""
+    from minidiff_tpu.kernels import attention as A
+    from minidiff_tpu.ops import definitions as D
+
+    md.set_backend("xla")
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: True)
+    s, d = 256, 128
+    monkeypatch.setitem(
+        A._attn_cache,
+        A._attn_key(4, s, s, d, jnp.dtype(jnp.float32), False),
+        ((128, 128), (128, 128)),
+    )
+
+    rng = np.random.RandomState(3)
+    q = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+    k = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+    v = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+    maskn = np.zeros((2, 1, 1, s), bool)
+    maskn[0, ..., :128] = True
+    maskn[1, ..., :200] = True
+    mask = jnp.asarray(maskn)
+
+    calls = {"n": 0}
+    real = A.flash_grads
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        assert kw.get("mask") is mask, "raw mask must reach flash_grads"
+        return real(*a, **kw)
+
+    monkeypatch.setattr(A, "flash_grads", counting)
+
+    out = md.sdpa(q, k, v, mask=mask)
+    md.sum(out).backward()
+    assert calls["n"] == 1, "fused path must serve the masked backward"
+    fused = [np.asarray(t.grad.detach()) for t in (q, k, v)]
+
+    # composed reference: fused path disabled, flash fwd disabled
+    monkeypatch.setattr(D, "_sdpa_fused", lambda *a, **kw: None)
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: False)
+    q2 = q.detach(allow_grad=True)
+    k2 = k.detach(allow_grad=True)
+    v2 = v.detach(allow_grad=True)
+    md.sum(md.sdpa(q2, k2, v2, mask=mask)).backward()
+    for g_fused, t in zip(fused, (q2, k2, v2)):
+        np.testing.assert_allclose(
+            g_fused, np.asarray(t.grad.detach()), rtol=1e-3, atol=5e-3
+        )
+
+
+def test_flash_grads_masked_stash_miss_recompute(_interpret):
+    """On a residual-stash miss the masked fused backward recomputes via
+    jax.vjp through the masked flash forward — cover the custom_vjp path."""
+    from minidiff_tpu.kernels import attention as A
+
+    rng = np.random.RandomState(11)
+    b, h, s, d = 1, 2, 256, 128
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    do = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    maskn = np.zeros((b, 1, 1, s), bool)
+    maskn[..., :192] = True
+    mask = jnp.asarray(maskn)
+    A._residual_stash.clear()
+    scale = 1.0 / np.sqrt(d)
+    dq, dk, dv = A.flash_grads(q, k, v, do, scale, False, mask=mask)
+
+    dense = jnp.broadcast_to(mask, (b, 1, s, s)).reshape(b, 1, s, s)
+
+    def loss(q, k, v):
+        return jnp.sum(A._composed_sdpa(q, k, v, scale, False,
+                                        mask=dense) * do)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gq), rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gk), rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), rtol=1e-3, atol=5e-3)
+
+
 def test_sdpa_higher_order_stays_composed(_interpret, monkeypatch):
     """allow_higher_order backward must NOT take the fused kernel path (it
     has no tape); the composed grads re-tape so second order works."""
