@@ -52,7 +52,7 @@ def main() -> None:
         scale = float(1.0 / np.sqrt(d))
         flops = 4 * b * h * s * s * d // (2 if causal else 1)
 
-        fl = jax.jit(lambda q, k, v: A._flash(q, k, v, scale, causal))
+        fl = jax.jit(lambda q, k, v: A._flash(q, k, v, None, scale, causal, 1))
         co = jax.jit(lambda q, k, v: A._composed_sdpa(q, k, v, scale, causal))
         t_fl, t_co = _time_q_chain(fl, q, k, v), _time_q_chain(co, q, k, v)
 
@@ -62,7 +62,7 @@ def main() -> None:
                                * do.astype(jnp.float32))
             return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-        g_fl = mk_loss(lambda q, k, v: A._flash(q, k, v, scale, causal))
+        g_fl = mk_loss(lambda q, k, v: A._flash(q, k, v, None, scale, causal, 1))
         g_co = mk_loss(lambda q, k, v: A._composed_sdpa(q, k, v, scale, causal))
         tb_fl = _time_q_chain(g_fl, q, k, v)
         tb_co = _time_q_chain(g_co, q, k, v)

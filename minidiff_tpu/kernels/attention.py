@@ -49,6 +49,37 @@ def _pick_blocks(table, s, sk):
     return None
 
 
+def _round128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _pad_flash_inputs(qf, kf, vf, kvm, b):
+    """Zero-pad (B*H, S, D) flash operands so both sequence lengths are
+    multiples of 128 (every block table divides those), extending/creating
+    the (B, Sk) key mask so padded keys never receive attention.  Padded
+    QUERY rows compute garbage the callers slice off; their backward
+    contribution is exactly zero because the padded dO rows are zero.
+    Returns (qf, kf, vf, kvm) — kvm padded to (B, Sk_pad) or None when no
+    key padding and no user mask."""
+    bh, s, d = qf.shape
+    sk = kf.shape[1]
+    sp, skp = _round128(s), _round128(sk)
+    if sp != s:
+        qf = jnp.pad(qf, ((0, 0), (0, sp - s), (0, 0)))
+    if skp != sk:
+        kf = jnp.pad(kf, ((0, 0), (0, skp - sk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, skp - sk), (0, 0)))
+        if kvm is None:
+            kvm = jnp.broadcast_to(
+                (jnp.arange(skp) < sk).astype(jnp.int32)[None, :], (b, skp)
+            )
+        else:
+            kvm = jnp.concatenate(
+                [kvm, jnp.zeros((b, skp - sk), jnp.int32)], axis=1
+            )
+    return qf, kf, vf, kvm
+
+
 def _causal_mask(s, qi, ki, bq, bk):
     """Mask s (bq, bk) so query row r attends only to key cols <= global r."""
     rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -57,8 +88,13 @@ def _causal_mask(s, qi, ki, bq, bk):
 
 
 def _apply_kv_mask(s, mask_ref):
-    """Mask s (bq, bk) by the (1, bk) key-padding row (nonzero = attend)."""
-    return jnp.where(mask_ref[0][None, :] != 0, s, _NEG_INF)
+    """Mask s (bq, bk) by the (1, 1, bk) key-padding row (nonzero = attend).
+
+    The mask rides as a (B, 1, Sk) operand — NOT (B, Sk) — because the TPU
+    lowering requires a block's last two dims to divide (8, 128) or equal
+    the array's; a (1, bk) block over (B, Sk) violates that, while
+    (1, 1, bk) over (B, 1, Sk) matches the unit dim exactly."""
+    return jnp.where(mask_ref[0] != 0, s, _NEG_INF)
 
 
 # ---------------------------------------------------------------------------
@@ -148,8 +184,8 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1):
     operands = [q, k, v]
     if mask is not None:
         in_specs.append(
-            pl.BlockSpec((1, bk), lambda b, i, j: (b // h, j)))
-        operands.append(mask)
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b // h, 0, j)))
+        operands.append(mask[:, None, :])
     o, lse = pl.pallas_call(
         kernel,
         out_shape=(
@@ -310,8 +346,8 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
     dkv_operands = [q, k, v, do, lse[:, None, :], delta[:, None, :]]
     if mask is not None:
         dkv_in_specs.append(
-            pl.BlockSpec((1, bk), lambda b, j, i: (b // h, j)))
-        dkv_operands.append(mask)
+            pl.BlockSpec((1, 1, bk), lambda b, j, i: (b // h, 0, j)))
+        dkv_operands.append(mask[:, None, :])
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **kernel_kw),
         out_shape=(
@@ -344,8 +380,8 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
     dq_operands = [q, k, v, do, lse[:, None, :], delta[:, None, :]]
     if mask is not None:
         dq_in_specs.append(
-            pl.BlockSpec((1, bk), lambda b, i, j: (b // h, j)))
-        dq_operands.append(mask)
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b // h, 0, j)))
+        dq_operands.append(mask[:, None, :])
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **kernel_kw),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
@@ -495,31 +531,37 @@ def flash_grads(q, k, v, do, scale, causal, mask=None):
     """
     b, h, s, d = q.shape
     sk = k.shape[2]
-    qf = q.reshape(b * h, s, d)
-    kf = k.reshape(b * h, sk, d)
-    vf = v.reshape(b * h, sk, d)
-    dof = do.reshape(b * h, s, d).astype(q.dtype)
     kvm = None if mask is None else _as_kv_mask(mask, b, sk)
+    qf, kf, vf, kvmp = _pad_flash_inputs(
+        q.reshape(b * h, s, d),
+        k.reshape(b * h, sk, d),
+        v.reshape(b * h, sk, d),
+        kvm,
+        b,
+    )
+    dof = do.reshape(b * h, s, d).astype(q.dtype)
+    if qf.shape[1] != s:
+        dof = jnp.pad(dof, ((0, 0), (0, qf.shape[1] - s), (0, 0)))
 
     key = (id(q), id(k), id(v), 0 if mask is None else id(mask))
     hit = _residual_stash.pop(key, None)
     if hit is not None:
-        _, o, lse = hit
+        _, o, lse = hit  # padded (o, lse) from the padded forward
         bq, bk = _blocks_for("bwd", qf, kf, causal)
         dqf, dkf, dvf = _flash_bwd(
             qf, kf, vf, o, lse, dof, scale, causal, bq=bq, bk=bk,
-            mask=kvm, h=h,
+            mask=kvmp, h=h,
         )
     else:
         _, vjp_fn = jax.vjp(
-            lambda a, b_, c: _flash(a, b_, c, kvm, scale, causal, h),
+            lambda a, b_, c: _flash(a, b_, c, kvmp, scale, causal, h),
             qf, kf, vf,
         )
         dqf, dkf, dvf = vjp_fn(dof)
     return (
-        dqf.reshape(b, h, s, d),
-        dkf.reshape(b, h, sk, d),
-        dvf.reshape(b, h, sk, d),
+        dqf[:, :s].reshape(b, h, s, d),
+        dkf[:, :sk].reshape(b, h, sk, d),
+        dvf[:, :sk].reshape(b, h, sk, d),
     )
 
 
@@ -572,9 +614,12 @@ def _flash_eligible(q, k, v) -> bool:
         return False
     b, h, s, d = q.shape
     sk = k.shape[2]
+    # ragged lengths qualify: operands are zero-padded to 128-multiples
+    # (every block table divides those) and padded keys ride the kv mask
+    sp, skp = _round128(s), _round128(sk)
     return (
-        _pick_blocks(_FWD_BLOCKS, s, sk) is not None
-        and _pick_blocks(_BWD_BLOCKS, s, sk) is not None
+        _pick_blocks(_FWD_BLOCKS, sp, skp) is not None
+        and _pick_blocks(_BWD_BLOCKS, sp, skp) is not None
         and d % 128 == 0
         and d <= 256
         and k.shape == (b, h, sk, d)
@@ -611,21 +656,21 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
             use_flash = _attn_decision(
                 b * h, s, sk, d, q.dtype, bool(causal)) != "composed"
     if use_flash:
-        out_f, lse = _flash_aux(
+        qf, kf, vf, kvmp = _pad_flash_inputs(
             q.reshape(b * h, s, d),
             k.reshape(b * h, sk, d),
             v.reshape(b * h, sk, d),
             kvm,
-            scale,
-            bool(causal),
-            h,
+            b,
         )
+        out_f, lse = _flash_aux(qf, kf, vf, kvmp, scale, bool(causal), h)
         # record residuals so the tape's backward (flash_grads) skips the
         # flash-forward recompute; keyed by the UN-reshaped operand ids the
         # grad functions will present (mask keyed by the RAW object — the
-        # same unwrapped kwarg value the tape's grad functions unwrap to)
+        # same unwrapped kwarg value the tape's grad functions unwrap to);
+        # the stashed (o, lse) are the PADDED ones the backward kernels eat
         _stash_residuals(q, k, v, mask, out_f, lse)
-        out = out_f.reshape(b, h, s, d)
+        out = out_f[:, :s].reshape(b, h, s, d)
     else:
         if mask is not None:
             mask = jnp.asarray(mask, bool)
@@ -669,6 +714,14 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
     v = jnp.asarray(rng.standard_normal((bh, sk, d)), dtype)
     do = jnp.asarray(rng.standard_normal((bh, s, d)), dtype)
     scale = float(1.0 / d**0.5)
+
+    # ragged lengths: flash candidates run PADDED (with the kv mask pricing
+    # the padding waste) while composed runs the real shape — the decision
+    # then reflects what each path would actually execute
+    sp, skp = _round128(s), _round128(sk)
+    qp, kp, vp, kvmp = _pad_flash_inputs(q, k, v, None, bh)
+    dop = do if sp == s else jnp.pad(
+        do, ((0, 0), (0, sp - s), (0, 0)))
 
     # Chained racing (see matmul._autotune_eager): a scalar feedback from
     # each rep's output perturbs the next rep's producer scale, forcing
@@ -731,13 +784,14 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
     # best flash fwd blocks
     best_f, best_f_t = None, float("inf")
     for blocks in _FWD_BLOCKS:
-        if s % blocks[0] or sk % blocks[1]:
+        if sp % blocks[0] or skp % blocks[1]:
             continue
         bq, bk = blocks
         fwd = functools.partial(
-            _flash_fwd, scale=scale, causal=causal, bq=bq, bk=bk)
+            _flash_fwd, scale=scale, causal=causal, bq=bq, bk=bk,
+            mask=kvmp, h=1)
         try:
-            t = _race(lambda qp, fwd=fwd: fwd(qp, k, v), q)
+            t = _race(lambda qx, fwd=fwd: fwd(qx, kp, vp), qp)
         except Exception:
             continue
         if t < best_f_t:
@@ -745,19 +799,21 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
     if best_f is None:
         return "composed"
     o_best, lse = _flash_fwd(
-        q, k, v, scale, causal, bq=best_f[0], bk=best_f[1])
+        qp, kp, vp, scale, causal, bq=best_f[0], bk=best_f[1],
+        mask=kvmp, h=1)
 
     # best flash bwd blocks (using the best fwd's residuals)
     best_b, best_b_t = None, float("inf")
     for blocks in _BWD_BLOCKS:
-        if s % blocks[0] or sk % blocks[1]:
+        if sp % blocks[0] or skp % blocks[1]:
             continue
         bq, bk = blocks
         bwd = functools.partial(
-            _flash_bwd, scale=scale, causal=causal, bq=bq, bk=bk)
+            _flash_bwd, scale=scale, causal=causal, bq=bq, bk=bk,
+            mask=kvmp, h=1)
         try:
             t = _race(
-                lambda dop, bwd=bwd: bwd(q, k, v, o_best, lse, dop), do)
+                lambda dox, bwd=bwd: bwd(qp, kp, vp, o_best, lse, dox), dop)
         except Exception:
             continue
         if t < best_b_t:

@@ -294,6 +294,98 @@ def test_tape_backward_fused_with_padding_mask(_interpret, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_ragged_lengths_pad_and_match(_interpret, monkeypatch, causal):
+    """Ragged (non-128-multiple) sequence lengths ride the flash path via
+    zero-padding + key masking; fwd AND tape bwd must match composed."""
+    from minidiff_tpu.kernels import attention as A
+    from minidiff_tpu.ops import definitions as D
+
+    md.set_backend("xla")
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: True)
+    b, h, s, sk, d = 2, 2, 300, 200, 128
+    monkeypatch.setitem(
+        A._attn_cache,
+        A._attn_key(b * h, s, sk, d, jnp.dtype(jnp.float32), causal),
+        ((128, 128), (128, 128)),
+    )
+
+    rng = np.random.RandomState(5)
+    q = md.Tensor(rng.randn(b, h, s, d).astype(np.float32), allow_grad=True)
+    k = md.Tensor(rng.randn(b, h, sk, d).astype(np.float32), allow_grad=True)
+    v = md.Tensor(rng.randn(b, h, sk, d).astype(np.float32), allow_grad=True)
+
+    calls = {"n": 0}
+    real = A.flash_grads
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(A, "flash_grads", counting)
+    out = md.sdpa(q, k, v, causal=causal)
+    md.sum(out).backward()
+    assert out.shape == (b, h, s, d)
+    assert calls["n"] == 1, "ragged shape must take the fused backward"
+    fused_out = np.asarray(out.detach())
+    fused = [np.asarray(t.grad.detach()) for t in (q, k, v)]
+
+    # composed reference with flash disabled
+    monkeypatch.setattr(D, "_sdpa_fused", lambda *a, **kw: None)
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: False)
+    q2 = q.detach(allow_grad=True)
+    k2 = k.detach(allow_grad=True)
+    v2 = v.detach(allow_grad=True)
+    out2 = md.sdpa(q2, k2, v2, causal=causal)
+    md.sum(out2).backward()
+    np.testing.assert_allclose(
+        fused_out, np.asarray(out2.detach()), rtol=1e-4, atol=1e-5)
+    for g_fused, t in zip(fused, (q2, k2, v2)):
+        np.testing.assert_allclose(
+            g_fused, np.asarray(t.grad.detach()), rtol=1e-3, atol=5e-3)
+
+
+def test_flash_ragged_with_user_mask(_interpret, monkeypatch):
+    """Ragged lengths AND a user key-padding mask compose: both ride the
+    kernels' single (B, Sk_pad) mask row."""
+    from minidiff_tpu.kernels import attention as A
+
+    md.set_backend("xla")
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: True)
+    b, h, s, sk, d = 2, 1, 130, 250, 128
+    monkeypatch.setitem(
+        A._attn_cache,
+        A._attn_key(b * h, s, sk, d, jnp.dtype(jnp.float32), False),
+        ((128, 128), (128, 128)),
+    )
+    rng = np.random.RandomState(9)
+    q = md.Tensor(rng.randn(b, h, s, d).astype(np.float32), allow_grad=True)
+    k = md.Tensor(rng.randn(b, h, sk, d).astype(np.float32), allow_grad=True)
+    v = md.Tensor(rng.randn(b, h, sk, d).astype(np.float32), allow_grad=True)
+    maskn = np.zeros((b, 1, 1, sk), bool)
+    maskn[0, ..., :100] = True
+    maskn[1, ..., :250] = True
+    mask = jnp.asarray(maskn)
+
+    out = md.sdpa(q, k, v, mask=mask)
+    md.sum(out).backward()
+    gk = np.asarray(k.grad.detach())
+    assert abs(gk[0, :, 100:, :]).max() == 0.0, "masked keys must get 0 grad"
+
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: False)
+    q2 = q.detach(allow_grad=True)
+    k2 = k.detach(allow_grad=True)
+    v2 = v.detach(allow_grad=True)
+    out2 = md.sdpa(q2, k2, v2, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out.detach()), np.asarray(out2.detach()),
+        rtol=1e-4, atol=1e-5)
+    md.sum(out2).backward()
+    np.testing.assert_allclose(
+        np.asarray(q.grad.detach()), np.asarray(q2.grad.detach()),
+        rtol=1e-3, atol=5e-3)
+
+
 def test_flash_grads_masked_stash_miss_recompute(_interpret):
     """On a residual-stash miss the masked fused backward recomputes via
     jax.vjp through the masked flash forward — cover the custom_vjp path."""
@@ -364,7 +456,8 @@ def test_flash_eligibility_rules():
     try:
         A._pallas_enabled = lambda: True
         assert A._flash_eligible(good, good, good)
-        assert not A._flash_eligible(*(jnp.zeros((2, 4, 250, 128), jnp.bfloat16),) * 3)
+        # ragged lengths are eligible (they pad to 128-multiples)
+        assert A._flash_eligible(*(jnp.zeros((2, 4, 250, 128), jnp.bfloat16),) * 3)
         assert not A._flash_eligible(*(jnp.zeros((2, 4, 256, 64), jnp.bfloat16),) * 3)
         assert not A._flash_eligible(*(jnp.zeros((2, 4, 256, 128), jnp.float64),) * 3)
     finally:
