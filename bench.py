@@ -49,24 +49,38 @@ def _pull_latency(probe) -> float:
     return float(np.median(ts))
 
 
-def _time_param_chain(step, params0, probe, chain: int = CHAIN) -> float:
-    """Median s/step over REPEATS chains of `chain` param-feedback steps.
-
-    The chain must be long enough that the pull latency (~27 ms over the
-    tunnel) is a small fraction of the measured window.
-    """
-    params, loss = step(params0)
+def _one_param_chain(step, params0, chain, lat) -> float:
+    params = params0
+    t0 = time.perf_counter()
+    for _ in range(chain):
+        params, loss = step(params)
     _pull(loss)
-    lat = _pull_latency(probe)
-    per_step = []
-    for _ in range(REPEATS):
-        params = params0
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            params, loss = step(params)
+    return max(time.perf_counter() - t0 - lat, 1e-9) / chain
+
+
+def _time_param_pair(step_a, pa0, step_b, pb0, probe, chain: int = CHAIN):
+    """(s/step A, s/step B, ratio B/A) over paired param-feedback chains.
+
+    Each measurement chains `chain` data-dependent steps closed by one
+    scalar pull (the tunnel pipelines independent dispatches and fakes the
+    timing otherwise), subtracting the separately measured pull latency.
+    Rounds of A and B are PAIRED back-to-back because device throughput
+    drifts 20-40% over minutes — the per-round ratio cancels the drift
+    (median reported); absolute times are min-over-rounds.
+    """
+    for step, p0 in ((step_a, pa0), (step_b, pb0)):
+        params, loss = step(p0)
         _pull(loss)
-        per_step.append(max(time.perf_counter() - t0 - lat, 1e-9) / chain)
-    return float(np.median(per_step))
+    lat = _pull_latency(probe)
+    pairs = [
+        (_one_param_chain(step_a, pa0, chain, lat),
+         _one_param_chain(step_b, pb0, chain, lat))
+        for _ in range(REPEATS)
+    ]
+    t_a = min(p[0] for p in pairs)
+    t_b = min(p[1] for p in pairs)
+    ratio = sorted(pb / pa for pa, pb in pairs)[len(pairs) // 2]
+    return t_a, t_b, ratio
 
 
 # --------------------------------------------------------------------------
@@ -151,39 +165,47 @@ def _matmul_parity() -> dict:
         return (a, b), a
 
     # ~2 ms/step: needs a long chain to drown the ~27 ms pull latency
-    t_md = _time_param_chain(md_step, (x0, w0), x0, chain=80)
-    t_jax = _time_param_chain(jax_step, (x0, w0), x0, chain=80)
+    t_md, t_jax, ratio = _time_param_pair(
+        md_step, (x0, w0), jax_step, (x0, w0), x0, chain=80)
     flops = 3 * 2 * N_MM**3
     return {
         "matmul4096_bf16_fwdbwd_tflops": round(flops / t_md / 1e12, 2),
-        "matmul_vs_jax_grad": round(t_jax / t_md, 4),
+        "matmul_vs_jax_grad": round(ratio, 4),
     }
 
 
 def _decode_throughput() -> dict:
-    """Serving path: generate_compiled tokens/sec (whole loop = one scan)."""
-    import time
-
+    """Serving path vs the handwritten jax.lax.scan twin (chained timing)."""
     import minidiff_tpu as md
+    from benchmarks import decode_twin as T
     from minidiff_tpu.models import TransformerLM, generate_compiled
 
-    model = TransformerLM(vocab_size=VOCAB, dim=DIM, num_heads=HEADS,
-                          num_layers=LAYERS, max_seq_len=512,
+    model = TransformerLM(vocab_size=T.VOCAB, dim=T.DIM, num_heads=T.HEADS,
+                          num_layers=T.LAYERS, max_seq_len=T.CACHE,
                           dtype=md.bfloat16)
     np.random.seed(2)
     params = model.init()
-    prompt = md.Tensor(np.random.RandomState(3).randint(
-        1, VOCAB, size=(8, 16)))
-    new = 128
-    out = generate_compiled(model, params, prompt, new)  # compile
-    np.asarray(out.detach())
-    t0 = time.perf_counter()
-    out = generate_compiled(model, params, prompt, new)
-    np.asarray(out.detach())
-    dt = time.perf_counter() - t0
+    raw = jax.tree.map(lambda t: t._data, params,
+                       is_leaf=lambda t: isinstance(t, md.Tensor))
+    prompt_np = np.random.RandomState(3).randint(
+        1, T.VOCAB, size=(T.BATCH, T.PROMPT))
+
+    def run_fw(prompt_j):
+        return generate_compiled(model, params, md.Tensor(prompt_j),
+                                 T.NEW)._data
+
+    def run_twin(prompt_j):
+        return jnp.concatenate(
+            [prompt_j,
+             T.twin_decode(raw, prompt_j, T.NEW).astype(prompt_j.dtype)],
+            axis=-1)
+
+    t_fw, t_twin, ratio = T.chain_time_pair(run_fw, run_twin, prompt_np)
     return {
-        "decode_tok_per_s": round(8 * new / dt, 1),
-        "decode_ms_per_token": round(dt / new * 1e3, 3),
+        "decode_tok_per_s": round(T.BATCH * T.NEW / t_fw, 1),
+        "decode_ms_per_token": round(t_fw / T.NEW * 1e3, 3),
+        "decode_twin_ms_per_token": round(t_twin / T.NEW * 1e3, 3),
+        "decode_speedup_vs_jax_twin": round(ratio, 4),
     }
 
 
@@ -231,8 +253,8 @@ def main() -> None:
     assert abs(l1 - l2) / max(abs(l2), 1e-6) < 0.05, (l1, l2)
 
     probe = jnp.ones((8, 128), jnp.float32)
-    t_md = _time_param_chain(md_step, params0, probe)
-    t_jax = _time_param_chain(jax_step, raw0, probe)
+    t_md, t_jax, train_ratio = _time_param_pair(
+        md_step, params0, jax_step, raw0, probe)
 
     mm = _matmul_parity()
     decode = _decode_throughput()
@@ -247,9 +269,9 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "transformer_lm_train_step_speedup_vs_jax_grad",
-        "value": round(t_jax / t_md, 4),
+        "value": round(train_ratio, 4),
         "unit": "x (jax_grad_time / framework_time)",
-        "vs_baseline": round(t_jax / t_md, 4),
+        "vs_baseline": round(train_ratio, 4),
         "detail": {
             "model": f"TransformerLM d{DIM} h{HEADS} L{LAYERS} S{SEQ} "
                      f"V{VOCAB} b{BATCH} bf16 ({n_params/1e6:.1f}M params)",

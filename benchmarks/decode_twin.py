@@ -126,27 +126,55 @@ def twin_decode(p, prompt, new: int):
     return jnp.swapaxes(gen, 0, 1)
 
 
-def _chain_time(run, prompt_np, repeats=REPEATS, chain=CHAIN):
-    """Median s/call: each chain feeds the previous output's tokens back in
-    (data dependency), closed by ONE host pull."""
-    out = run(jnp.asarray(prompt_np))
-    np.asarray(out)  # compile + settle
-    # pull latency
+def _measure_lat(out):
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
         float(jnp.sum(out).astype(jnp.float32))
         ts.append(time.perf_counter() - t0)
-    lat = float(np.median(ts))
+    return float(np.median(ts))
+
+
+def _chain_time(run, prompt_np, repeats=REPEATS, chain=CHAIN):
+    """Median s/call: each chain feeds the previous output's tokens back in
+    (data dependency), closed by ONE host pull."""
+    out = run(jnp.asarray(prompt_np))
+    np.asarray(out)  # compile + settle
+    lat = _measure_lat(out)
     per = []
     for _ in range(repeats):
-        cur = jnp.asarray(prompt_np)
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            cur = run(cur)[:, -PROMPT:] % VOCAB
-        float(jnp.sum(cur).astype(jnp.float32))
-        per.append(max(time.perf_counter() - t0 - lat, 1e-9) / chain)
+        per.append(_one_chain(run, prompt_np, chain, lat))
     return float(np.median(per))
+
+
+def _one_chain(run, prompt_np, chain, lat):
+    cur = jnp.asarray(prompt_np)
+    t0 = time.perf_counter()
+    for _ in range(chain):
+        cur = run(cur)[:, -PROMPT:] % VOCAB
+    float(jnp.sum(cur).astype(jnp.float32))
+    return max(time.perf_counter() - t0 - lat, 1e-9) / chain
+
+
+def chain_time_pair(run_a, run_b, prompt_np, repeats=REPEATS, chain=CHAIN):
+    """(s/call A, s/call B, ratio B/A) with PAIRED rounds: the tunnel's
+    device throughput drifts 20-40% over minutes, so a round of A is always
+    followed within seconds by a round of B and the ratio is the median of
+    per-round ratios (drift cancels); absolute times are min-over-rounds."""
+    out = run_a(jnp.asarray(prompt_np))
+    np.asarray(out)
+    out_b = run_b(jnp.asarray(prompt_np))
+    np.asarray(out_b)
+    lat = _measure_lat(out)
+    pairs = [
+        (_one_chain(run_a, prompt_np, chain, lat),
+         _one_chain(run_b, prompt_np, chain, lat))
+        for _ in range(repeats)
+    ]
+    t_a = min(p[0] for p in pairs)
+    t_b = min(p[1] for p in pairs)
+    ratio = sorted(pb / pa for pa, pb in pairs)[len(pairs) // 2]
+    return t_a, t_b, ratio
 
 
 def main() -> None:

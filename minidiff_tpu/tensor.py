@@ -111,6 +111,10 @@ def try_unwrap(t: Any) -> Any:
 
 class Tensor:
     __array_priority__ = 100  # numpy defers binary ops to us
+    # fixed layout: Tensors are allocated on every op call and every jit
+    # dispatch, so skipping the per-instance __dict__ measurably cuts both
+    # construction time and allocator pressure on hot serving paths
+    __slots__ = ("_data", "_allow_grad", "graph_refs", "grad", "op_node")
 
     def __init__(
         self,
