@@ -114,7 +114,7 @@ class Tensor:
     # fixed layout: Tensors are allocated on every op call and every jit
     # dispatch, so skipping the per-instance __dict__ measurably cuts both
     # construction time and allocator pressure on hot serving paths
-    __slots__ = ("_data", "_allow_grad", "graph_refs", "grad", "op_node")
+    __slots__ = ("_data", "_allow_grad", "graph_refs", "grad", "op_node", "__weakref__")
 
     def __init__(
         self,
