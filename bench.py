@@ -201,11 +201,29 @@ def _decode_throughput() -> dict:
             axis=-1)
 
     t_fw, t_twin, ratio = T.chain_time_pair(run_fw, run_twin, prompt_np)
+
+    # int8 weight-only serving: same model, matmul weights quantized to
+    # int8 + per-channel scales, read through the fused dequant kernel
+    # (kernels/quant.py) — decode is HBM-bound so halving the weight
+    # stream should show directly.  Paired against the bf16 framework
+    # decode so throughput drift cancels.
+    from minidiff_tpu.models import quantize_for_serving
+
+    qparams = quantize_for_serving(params)
+
+    def run_int8(prompt_j):
+        return generate_compiled(model, qparams, md.Tensor(prompt_j),
+                                 T.NEW)._data
+
+    t_q, t_bf16, q_ratio = T.chain_time_pair(run_int8, run_fw, prompt_np)
     return {
         "decode_tok_per_s": round(T.BATCH * T.NEW / t_fw, 1),
         "decode_ms_per_token": round(t_fw / T.NEW * 1e3, 3),
         "decode_twin_ms_per_token": round(t_twin / T.NEW * 1e3, 3),
         "decode_speedup_vs_jax_twin": round(ratio, 4),
+        "decode_int8_tok_per_s": round(T.BATCH * T.NEW / t_q, 1),
+        # chain_time_pair ratio is B/A = bf16_time / int8_time
+        "decode_int8_speedup_vs_bf16": round(q_ratio, 4),
     }
 
 

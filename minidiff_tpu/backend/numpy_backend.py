@@ -137,6 +137,34 @@ class NumpyBackend:
             raise ValueError("matmul_tn requires operands with ndim >= 2")
         return np.matmul(np.swapaxes(a, -1, -2), b)
 
+    # -- weight-only int8 (the oracle for the fused Pallas dequant-matmul
+    # behind XlaBackend.dequant_matmul; see kernels/quant.py) ---------------
+
+    @staticmethod
+    def quantize_int8(w: np.ndarray):
+        """(K, N) float -> (q int8, s f32 (N,)): symmetric per-out-channel."""
+        if np.ndim(w) != 2:
+            raise ValueError("quantize_int8 expects a 2-D weight matrix")
+        w32 = np.asarray(w, np.float32)
+        amax = np.max(np.abs(w32), axis=0)
+        s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(w32 / s), -127, 127).astype(np.int8)
+        return q, s
+
+    @staticmethod
+    def dequant_matmul(x: np.ndarray, q: np.ndarray, s: np.ndarray) -> np.ndarray:
+        """x (..., K) @ (q (K, N) int8 * s (N,)) -> (..., N) in x.dtype.
+
+        The oracle computes at x's own precision (f64 under the test
+        suite's x64 mode) — strictly tighter than the kernel's f32
+        accumulation, which the parity tests absorb in their tolerance.
+        """
+        if np.ndim(q) != 2:
+            raise ValueError("dequant_matmul expects a 2-D int8 weight")
+        xd = np.asarray(x)
+        acc = np.matmul(xd, np.asarray(q, xd.dtype))
+        return (acc * np.asarray(s, xd.dtype)).astype(xd.dtype)
+
     # -- conv2d family (NHWC inputs, HWIO kernels; the oracle for the XLA
     # backend's lax.conv_general_dilated path) -----------------------------
 

@@ -334,6 +334,26 @@ class TorchBackend:
             raise ValueError("matmul_tn requires operands with ndim >= 2")
         return torch.matmul(a.transpose(-1, -2), b)
 
+    @staticmethod
+    def quantize_int8(w):
+        w = _t(w)
+        if w.ndim != 2:
+            raise ValueError("quantize_int8 expects a 2-D weight matrix")
+        w32 = w.to(torch.float32)
+        amax = torch.max(torch.abs(w32), dim=0).values
+        s = torch.where(amax > 0, amax / 127.0,
+                        torch.ones_like(amax))
+        q = torch.clamp(torch.round(w32 / s), -127, 127).to(torch.int8)
+        return q, s
+
+    @staticmethod
+    def dequant_matmul(x, q, s):
+        x, q, s = _t(x), _t(q), _t(s)
+        if q.ndim != 2:
+            raise ValueError("dequant_matmul expects a 2-D int8 weight")
+        acc = torch.matmul(x, q.to(x.dtype))
+        return (acc * s.to(x.dtype)).to(x.dtype)
+
     # ---- conv2d family: NHWC/HWIO contract onto torch NCHW/OIHW ----
     @staticmethod
     def conv2d(x, w, stride: int = 1, padding: int = 0):

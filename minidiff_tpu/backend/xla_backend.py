@@ -184,6 +184,20 @@ class XlaBackend:
 
         return _mm.matmul_tn(x, y)
 
+    @staticmethod
+    def quantize_int8(w: jax.Array):
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.quantize_int8(w)
+
+    @staticmethod
+    def dequant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+        # fused in-VMEM dequantize + MXU matmul on TPU (weight stream stays
+        # int8 in HBM); dot_general fallback elsewhere — kernels/quant.py
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.dequant_matmul(x, q, s)
+
     # -- conv2d family (NHWC x HWIO -> NHWC via XLA's native convolution;
     # the grads are the exact conv-transpose programs jax derives, obtained
     # through jax.vjp of the same forward so they lower to XLA's fused

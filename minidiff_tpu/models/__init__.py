@@ -57,3 +57,7 @@ from minidiff_tpu.models.rnn import (  # noqa: F401
     GRUClassifier,
     synthetic_sequence_classification,
 )
+from minidiff_tpu.models.quant import (  # noqa: F401
+    quantize_for_serving,
+    quantized_bytes,
+)

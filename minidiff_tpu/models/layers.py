@@ -50,7 +50,12 @@ class Linear(Module):
         return params
 
     def apply(self, params: "Dict[str, md.Tensor]", x: "md.Tensor") -> "md.Tensor":
-        out = x @ params["w"]
+        if "w_q" in params:
+            # weight-only int8 (models.quant.quantize_for_serving): the
+            # fused dequant-matmul keeps the weight stream int8 in HBM
+            out = md.dequant_matmul(x, params["w_q"], params["w_s"])
+        else:
+            out = x @ params["w"]
         if self.bias:
             out = out + params["b"]
         return out

@@ -915,6 +915,21 @@ matmul_tn = wrapping.create_binary_op_func(
     grad_y=lambda x, y, grad: matmul(x, grad),
     tensor_only=True,
 )
+# Weight-only int8 serving op: x (..., K) @ (q (K, N) int8 * s (N,)).
+# Differentiable in x only (grad flows through the frozen dequantized
+# weight — what LoRA-style tuning over a quantized base needs); q and s
+# are quantization artifacts with no meaningful cotangent, so their VJP
+# slots stay None and backward skips them.  The VJP is expressed with
+# framework ops (astype + matmul_nt), so it is higher-order capable; it
+# dequantizes the weight for the backward contraction — acceptable because
+# the op's HBM-bound win is the forward serving path, which never runs it.
+dequant_matmul = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("dequant_matmul")),
+    grad_x=lambda x, q, s, grad: matmul_nt(grad * s, q.astype(grad.dtype)),
+    grad_y=None,
+    grad_z=None,
+    tensor_only=True,
+)
 mod = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("mod")),
     grad_x=lambda x, y, grad: md.where(x % y == 0, 0, grad),
@@ -1278,6 +1293,7 @@ __all__ = [
     "matmul",
     "matmul_nt",
     "matmul_tn",
+    "dequant_matmul",
     "maximum",
     "minimum",
     "mod",

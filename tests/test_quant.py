@@ -1,0 +1,251 @@
+"""Weight-only int8 quantization: op, kernel, and serving-path tests.
+
+No reference counterpart (/root/reference has no serving or quantization
+layer); extends SURVEY §8's serving row.  Covers:
+* quantize_int8 semantics + round-trip error bound (all backends)
+* md.dequant_matmul forward vs explicit dequantize-then-matmul, batch dims
+* gradient wrt x against the finite-difference oracle (q/s excluded)
+* the Pallas kernel (interpret mode) against the jnp fallback
+* quantize_for_serving tree rewriting (what is / is not quantized)
+* quantized TransformerLM: eager generate == compiled generate token-for-
+  token, logits close to full precision, bytes actually shrink
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import minidiff_tpu as md
+from minidiff_tpu.models.quant import quantize_int8 as quantize_int8_t
+from minidiff_tpu.utils import compute_grads
+
+
+def _np(t):
+    import minidiff_tpu.backend as backend
+
+    return np.asarray(backend.get_backend().as_numpy(t._data))
+
+
+# ---------------------------------------------------------------------------
+# quantize_int8 semantics
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_error_bound(backend):
+    w = md.Tensor(np.random.randn(96, 64))
+    q, s = quantize_int8_t(w)
+    assert str(q.dtype).endswith("int8")
+    assert q.shape == (96, 64) and s.shape == (64,)
+    deq = _np(q).astype(np.float64) * _np(s)
+    # symmetric per-column: error <= s/2 per element = amax/254
+    amax = np.max(np.abs(_np(w)), axis=0)
+    assert (np.abs(deq - _np(w)) <= amax / 254 + 1e-12).all()
+
+
+def test_quantize_int8_zero_column_guard(backend):
+    w_np = np.random.randn(32, 8)
+    w_np[:, 3] = 0.0
+    q, s = quantize_int8_t(md.Tensor(w_np))
+    assert (_np(q)[:, 3] == 0).all()
+    assert _np(s)[3] == 1.0  # not 0/0
+
+
+def test_quantize_int8_rejects_non_2d(backend):
+    with pytest.raises(ValueError):
+        quantize_int8_t(md.Tensor(np.random.randn(4, 4, 4)))
+
+
+# ---------------------------------------------------------------------------
+# md.dequant_matmul
+# ---------------------------------------------------------------------------
+
+
+def test_dequant_matmul_matches_explicit_dequant(backend):
+    x = md.Tensor(np.random.randn(6, 128))
+    w = md.Tensor(np.random.randn(128, 256))
+    q, s = quantize_int8_t(w)
+    got = md.dequant_matmul(x, q, s)
+    want = _np(x) @ (_np(q).astype(np.float64) * _np(s))
+    np.testing.assert_allclose(_np(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_dequant_matmul_batch_dims(backend):
+    x = md.Tensor(np.random.randn(2, 3, 64))
+    w = md.Tensor(np.random.randn(64, 128))
+    q, s = quantize_int8_t(w)
+    got = md.dequant_matmul(x, q, s)
+    assert got.shape == (2, 3, 128)
+    want = _np(x) @ (_np(q).astype(np.float64) * _np(s))
+    np.testing.assert_allclose(_np(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_dequant_matmul_shape_validation(backend):
+    x = md.Tensor(np.random.randn(4, 32))
+    w = md.Tensor(np.random.randn(64, 128))
+    q, s = quantize_int8_t(w)
+    with pytest.raises(ValueError):
+        md.dequant_matmul(x, q, s)
+
+
+def test_dequant_matmul_grad_x_vs_oracle(backend):
+    x = md.Tensor(np.random.randn(4, 128), allow_grad=True)
+    w = md.Tensor(np.random.randn(128, 256))
+    q, s = quantize_int8_t(w)
+    manual, auto = compute_grads(
+        x, q, s,
+        func=lambda a, b, c: md.sum(md.tanh(md.dequant_matmul(a, b, c))),
+        exclude=(q, s),
+    )
+    np.testing.assert_allclose(
+        _np(manual[0]), _np(auto[0]), rtol=1e-4, atol=1e-6)
+
+
+def test_dequant_matmul_no_grad_to_weights(backend):
+    x = md.Tensor(np.random.randn(4, 128), allow_grad=True)
+    w = md.Tensor(np.random.randn(128, 256))
+    q, s = quantize_int8_t(w)
+    q = q.detach(allow_grad=True)
+    s = s.detach(allow_grad=True)
+    out = md.sum(md.dequant_matmul(x, q, s))
+    out.backward(retain_grads=True)
+    assert x.grad is not None
+    assert q.grad is None and s.grad is None
+
+
+def test_dequant_matmul_under_jit():
+    md.set_backend("xla")
+    x_np = np.random.randn(4, 128)
+    w = md.Tensor(np.random.randn(128, 256))
+    q, s = quantize_int8_t(w)
+
+    vag = md.value_and_grad(
+        lambda a: md.sum(md.tanh(md.dequant_matmul(a, q, s))))
+    jitted = md.jit(vag)
+    x = md.Tensor(x_np, allow_grad=True)
+    out_j, g_j = jitted(x)
+    out_e, g_e = vag(x)
+    np.testing.assert_allclose(_np(g_j), _np(g_e), rtol=1e-6, atol=1e-8)
+    assert len(jitted._cache) == 1
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel (interpret mode) vs jnp fallback
+# ---------------------------------------------------------------------------
+
+
+def _interpret_pallas(monkeypatch):
+    import functools
+    from jax.experimental import pallas as pl
+
+    original = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(original, interpret=True))
+
+
+@pytest.mark.parametrize("m,k,n", [(8, 256, 512), (3, 128, 256), (16, 384, 512)])
+@pytest.mark.parametrize("dtype", [jnp.float32])
+def test_pallas_dequant_matmul_matches_jnp(monkeypatch, m, k, n, dtype):
+    _interpret_pallas(monkeypatch)
+    from minidiff_tpu.kernels import quant as Q
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(m, k), dtype)
+    w = jnp.asarray(rng.randn(k, n), dtype)
+    q, s = Q.quantize_int8(w)
+    want = np.asarray(Q._jnp_dequant_matmul(x, q, s), np.float64)
+
+    # drive the dispatcher's pallas path directly (eligibility is
+    # TPU-gated; interpret mode stands in for the hardware here)
+    sub = Q._sublane(x.dtype)
+    mp = -(-m // sub) * sub
+    x2 = jnp.pad(x, ((0, mp - m), (0, 0)))
+    got = np.asarray(Q._pallas_dequant_matmul(x2, q, s)[:m], np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dispatcher_pads_and_reshapes(monkeypatch):
+    # force eligibility so the dispatcher's pad/reshape wrapper runs the
+    # (interpreted) kernel for a 3-D, non-sublane-aligned activation
+    _interpret_pallas(monkeypatch)
+    from minidiff_tpu.kernels import quant as Q
+
+    monkeypatch.setattr(Q, "_pallas_eligible", lambda m, k, n, dtype: True)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 3, 128), jnp.float32)
+    w = jnp.asarray(rng.randn(128, 256), jnp.float32)
+    q, s = Q.quantize_int8(w)
+    got = Q.dequant_matmul(x, q, s)
+    assert got.shape == (2, 3, 256)
+    want = Q._jnp_dequant_matmul(x, q, s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# quantize_for_serving tree rewriting + end-to-end serving parity
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_for_serving_selectivity(backend):
+    from minidiff_tpu.models import Linear, quantize_for_serving
+
+    lin = Linear(128, 128)
+    p = {"big": lin.init(),
+         "small": Linear(4, 4).init(),
+         "ln": {"g": md.Tensor(np.ones(128)), "b": md.Tensor(np.zeros(128))},
+         "emb": md.Tensor(np.random.randn(1000, 128))}
+    qp = quantize_for_serving(p, min_elements=128 * 128)
+    assert "w_q" in qp["big"] and "w" not in qp["big"]
+    assert "w" in qp["small"] and "w_q" not in qp["small"]  # below threshold
+    assert "g" in qp["ln"]  # norms untouched
+    assert isinstance(qp["emb"], md.Tensor)  # bare tensors pass through
+    # original tree is not mutated
+    assert "w" in p["big"]
+
+
+def test_quantized_linear_apply_close(backend):
+    from minidiff_tpu.models import Linear, quantize_for_serving
+
+    lin = Linear(256, 512)
+    p = lin.init()
+    x = md.Tensor(np.random.randn(4, 256))
+    ref = lin.apply(p, x)
+    out = lin.apply(quantize_for_serving(p), x)
+    rel = np.max(np.abs(_np(out) - _np(ref))) / np.max(np.abs(_np(ref)))
+    assert rel < 0.05, rel
+
+
+def test_quantized_bytes_shrink(backend):
+    from minidiff_tpu.models import Linear, quantize_for_serving, quantized_bytes
+
+    p = Linear(256, 512, bias=False).init()
+    full = quantized_bytes(p)
+    quant = quantized_bytes(quantize_for_serving(p))
+    # int8 + f32 scales vs the full-precision weight
+    assert quant < full / 2
+
+
+def test_quantized_lm_compiled_decode_matches_eager():
+    md.set_backend("xla")
+    from minidiff_tpu.models import (TransformerLM, generate,
+                                     generate_compiled, quantize_for_serving)
+
+    np.random.seed(0)
+    model = TransformerLM(vocab_size=64, dim=128, num_heads=4, num_layers=2,
+                          max_seq_len=64, dtype=md.float32)
+    params = model.init()
+    qp = quantize_for_serving(params, min_elements=128 * 128)
+    prompt = md.Tensor(np.random.RandomState(1).randint(1, 64, (2, 5)))
+
+    g_eager = generate(model, qp, prompt, 6, greedy=True)
+    g_comp = generate_compiled(model, qp, prompt, 6, greedy=True)
+    assert (_np(g_eager) == _np(g_comp)).all()
+
+    # quantization error stays small at the logit level
+    lq = model.apply(qp, prompt)
+    lf = model.apply(params, prompt)
+    rel = np.max(np.abs(_np(lq) - _np(lf))) / np.max(np.abs(_np(lf)))
+    assert rel < 0.1, rel
