@@ -61,3 +61,4 @@ from minidiff_tpu.models.quant import (  # noqa: F401
     quantize_for_serving,
     quantized_bytes,
 )
+from minidiff_tpu.models.vit import ViT, patchify  # noqa: F401
