@@ -249,3 +249,20 @@ def test_quantized_lm_compiled_decode_matches_eager():
     lf = model.apply(params, prompt)
     rel = np.max(np.abs(_np(lq) - _np(lf))) / np.max(np.abs(_np(lf)))
     assert rel < 0.1, rel
+
+
+def test_quantized_lm_cached_and_beam_paths():
+    md.set_backend("xla")
+    from minidiff_tpu.models import (TransformerLM, beam_search, generate,
+                                     generate_cached, quantize_for_serving)
+
+    np.random.seed(0)
+    model = TransformerLM(vocab_size=64, dim=128, num_heads=4, num_layers=2,
+                          max_seq_len=64, dtype=md.float32)
+    qp = quantize_for_serving(model.init(), min_elements=128 * 128)
+    prompt = md.Tensor(np.random.RandomState(1).randint(1, 64, (2, 5)))
+    a = _np(generate(model, qp, prompt, 6, greedy=True))
+    b = _np(generate_cached(model, qp, prompt, 6))
+    assert (a == b).all()
+    seqs, scores = beam_search(model, qp, prompt, 6, beam_width=2)
+    assert _np(seqs).shape == (2, 11)
