@@ -62,3 +62,7 @@ from minidiff_tpu.models.quant import (  # noqa: F401
     quantized_bytes,
 )
 from minidiff_tpu.models.vit import ViT, patchify  # noqa: F401
+from minidiff_tpu.models.speculative import (  # noqa: F401
+    generate_speculative,
+    generate_speculative_compiled,
+)

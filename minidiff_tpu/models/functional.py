@@ -76,11 +76,12 @@ def apply_rope(x: "md.Tensor", positions: "md.Tensor",
     """Rotary position embedding over the last axis of x (b, h, s, hd).
 
     ``positions`` is an int Tensor of shape (s,) (or a scalar for one-token
-    decode steps) giving each slot's GLOBAL position — which is what makes
-    RoPE work unchanged for KV-cached decode and ring/sequence-parallel
-    chunks.  Pairs (x[2i], x[2i+1]) rotate by positions * base^(-2i/hd);
-    built from differentiable framework ops, so it backprops through the
-    tape like everything else.
+    decode steps, or (b, s) when rows sit at different global positions —
+    speculative verification, packed sequences) giving each slot's GLOBAL
+    position — which is what makes RoPE work unchanged for KV-cached decode
+    and ring/sequence-parallel chunks.  Pairs (x[2i], x[2i+1]) rotate by
+    positions * base^(-2i/hd); built from differentiable framework ops, so
+    it backprops through the tape like everything else.
     """
     b, h, s, hd = x.shape
     assert hd % 2 == 0, "RoPE needs an even head dim"
@@ -91,9 +92,13 @@ def apply_rope(x: "md.Tensor", positions: "md.Tensor",
     pos = positions.astype(x.dtype)
     if pos.ndim == 0:
         pos = pos.reshape((1,))
-    angles = md.expand_dims(pos, -1) * inv_freq  # (s, half)
-    cos = md.cos(angles).reshape((1, 1, s, half))
-    sin = md.sin(angles).reshape((1, 1, s, half))
+    angles = md.expand_dims(pos, -1) * inv_freq  # (s, half) or (b, s, half)
+    if angles.ndim == 3:
+        cos = md.cos(angles).reshape((b, 1, s, half))
+        sin = md.sin(angles).reshape((b, 1, s, half))
+    else:
+        cos = md.cos(angles).reshape((1, 1, s, half))
+        sin = md.sin(angles).reshape((1, 1, s, half))
     xr = x.reshape((b, h, s, half, 2))
     x1 = xr[..., 0]
     x2 = xr[..., 1]
