@@ -216,6 +216,14 @@ def _decode_throughput() -> dict:
                                  T.NEW)._data
 
     t_q, t_bf16, q_ratio = T.chain_time_pair(run_int8, run_fw, prompt_np)
+
+    # int8 weights + int8 KV cache (fused sdpa_int8_cache kernel): the
+    # remaining HBM stream is the quantized weights plus int8 cache lines
+    def run_int8kv(prompt_j):
+        return generate_compiled(model, qparams, md.Tensor(prompt_j),
+                                 T.NEW, kv_quant=True)._data
+
+    t_qkv, _, qkv_ratio = T.chain_time_pair(run_int8kv, run_int8, prompt_np)
     return {
         "decode_tok_per_s": round(T.BATCH * T.NEW / t_fw, 1),
         "decode_ms_per_token": round(t_fw / T.NEW * 1e3, 3),
@@ -224,6 +232,8 @@ def _decode_throughput() -> dict:
         "decode_int8_tok_per_s": round(T.BATCH * T.NEW / t_q, 1),
         # chain_time_pair ratio is B/A = bf16_time / int8_time
         "decode_int8_speedup_vs_bf16": round(q_ratio, 4),
+        "decode_int8kv_tok_per_s": round(T.BATCH * T.NEW / t_qkv, 1),
+        "decode_int8kv_speedup_vs_int8": round(qkv_ratio, 4),
     }
 
 

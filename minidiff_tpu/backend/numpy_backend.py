@@ -165,6 +165,42 @@ class NumpyBackend:
         acc = np.matmul(xd, np.asarray(q, xd.dtype))
         return (acc * np.asarray(s, xd.dtype)).astype(xd.dtype)
 
+    @staticmethod
+    def quantize_int8_rows(x: np.ndarray):
+        """(..., hd) float -> (q int8, s f32 (...,)) per-row symmetric."""
+        x32 = np.asarray(x, np.float32)
+        amax = np.max(np.abs(x32), axis=-1)
+        s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(x32 / s[..., None]), -127, 127).astype(np.int8)
+        return q, s
+
+    @staticmethod
+    def sdpa_int8_cache(q, k8, ks, v8, vs, pos, c: int = 1, scale=None):
+        """Masked attention over an int8 KV cache: the reference algebra
+        for the fused Pallas kernel (kernels/quant.py).  q (B, h, c, hd);
+        k8/v8 (B, kv, L, hd) int8; ks/vs (B, kv, L); pos (B,).  Key l is
+        visible to chunk position i iff l <= pos + i."""
+        qd = np.asarray(q)
+        b, h, cq, hd = qd.shape
+        kv, L = k8.shape[1], k8.shape[2]
+        c = cq
+        g = h // kv
+        sc = float(scale) if scale is not None else 1.0 / np.sqrt(hd)
+        qg = qd.reshape(b, kv, g * c, hd).astype(np.float32)
+        scores = np.einsum("bkqd,bkld->bkql", qg,
+                           np.asarray(k8, np.float32))
+        scores *= np.asarray(ks, np.float32)[:, :, None, :] * sc
+        row_i = (np.arange(g * c) % c)[None, None, :, None]
+        col_l = np.arange(L)[None, None, None, :]
+        visible = col_l <= np.asarray(pos)[:, None, None, None] + row_i
+        scores = np.where(visible, scores, -1e30)
+        scores -= scores.max(axis=-1, keepdims=True)
+        e = np.exp(scores)
+        p = e / e.sum(axis=-1, keepdims=True)
+        pv = p * np.asarray(vs, np.float32)[:, :, None, :]
+        out = np.einsum("bkql,bkld->bkqd", pv, np.asarray(v8, np.float32))
+        return out.reshape(b, h, c, hd).astype(qd.dtype)
+
     # -- conv2d family (NHWC inputs, HWIO kernels; the oracle for the XLA
     # backend's lax.conv_general_dilated path) -----------------------------
 

@@ -354,6 +354,39 @@ class TorchBackend:
         acc = torch.matmul(x, q.to(x.dtype))
         return (acc * s.to(x.dtype)).to(x.dtype)
 
+    @staticmethod
+    def quantize_int8_rows(x):
+        x32 = _t(x).to(torch.float32)
+        amax = torch.max(torch.abs(x32), dim=-1).values
+        s = torch.where(amax > 0, amax / 127.0, torch.ones_like(amax))
+        q = torch.clamp(torch.round(x32 / s.unsqueeze(-1)),
+                        -127, 127).to(torch.int8)
+        return q, s
+
+    @staticmethod
+    def sdpa_int8_cache(q, k8, ks, v8, vs, pos, c: int = 1, scale=None):
+        # same algebra as the numpy oracle (see numpy_backend)
+        import math
+
+        q, k8, ks, v8, vs, pos = (_t(a) for a in (q, k8, ks, v8, vs, pos))
+        b, h, cq, hd = q.shape
+        kv, L = k8.shape[1], k8.shape[2]
+        c = cq
+        g = h // kv
+        sc = float(scale) if scale is not None else 1.0 / math.sqrt(hd)
+        qg = q.reshape(b, kv, g * c, hd).to(torch.float32)
+        scores = torch.einsum("bkqd,bkld->bkql", qg, k8.to(torch.float32))
+        scores = scores * ks.to(torch.float32)[:, :, None, :] * sc
+        row_i = (torch.arange(g * c) % c)[None, None, :, None]
+        col_l = torch.arange(L)[None, None, None, :]
+        visible = col_l <= pos.to(torch.int64)[:, None, None, None] + row_i
+        scores = torch.where(visible, scores,
+                             torch.full_like(scores, -1e30))
+        p = torch.softmax(scores, dim=-1)
+        pv = p * vs.to(torch.float32)[:, :, None, :]
+        out = torch.einsum("bkql,bkld->bkqd", pv, v8.to(torch.float32))
+        return out.reshape(b, h, c, hd).to(q.dtype)
+
     # ---- conv2d family: NHWC/HWIO contract onto torch NCHW/OIHW ----
     @staticmethod
     def conv2d(x, w, stride: int = 1, padding: int = 0):

@@ -198,6 +198,22 @@ class XlaBackend:
 
         return _q.dequant_matmul(x, q, s)
 
+    @staticmethod
+    def quantize_int8_rows(x: jax.Array):
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.quantize_int8_rows(x)
+
+    @staticmethod
+    def sdpa_int8_cache(q: jax.Array, k8: jax.Array, ks: jax.Array,
+                        v8: jax.Array, vs: jax.Array, pos: jax.Array,
+                        c: int = 1, scale=None) -> jax.Array:
+        # fused masked decode attention over int8 cache lines (Pallas on
+        # TPU; same-algebra jnp fallback elsewhere) — kernels/quant.py
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.sdpa_int8_cache(q, k8, ks, v8, vs, pos, c=c, scale=scale)
+
     # -- conv2d family (NHWC x HWIO -> NHWC via XLA's native convolution;
     # the grads are the exact conv-transpose programs jax derives, obtained
     # through jax.vjp of the same forward so they lower to XLA's fused

@@ -113,6 +113,131 @@ def _pallas_eligible(m: int, k: int, n: int, dtype) -> bool:
     return k <= _MAX_K and k % 128 == 0 and n % _BN == 0
 
 
+# ---------------------------------------------------------------------------
+# int8 KV cache: fused masked decode attention
+# ---------------------------------------------------------------------------
+#
+# Cache rows are quantized per (batch, kv-head, position) over head_dim, so
+# both attention contractions absorb the scales outside the int8 dots:
+#     scores[i, l] = (q_i . K8_l) * sK_l * scale   (scale per KEY row)
+#     out[i, d]    = ((p_i * sV) . V8)[d]          (scales folded into probs)
+# HBM sees int8 cache lines only; dequantization happens on VMEM tiles.
+# The jnp fallback computes the same algebra (used off-TPU and as the
+# oracle for the kernel's interpret-mode tests).
+
+
+def quantize_int8_rows(x: jax.Array):
+    """(..., hd) float -> (q int8 same shape, s f32 (...,)) per-row."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x32 / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _make_sdpa_int8_kernel(c: int, scale: float):
+    def kernel(pos_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref, o_ref):
+        gc, hd = q_ref.shape[2], q_ref.shape[3]
+        L = k8_ref.shape[2]
+        b = pl.program_id(0)
+        q = q_ref[0, 0]                                # (gc, hd)
+        k = k8_ref[0, 0].astype(q.dtype)               # (L, hd) exact
+        sk = ks_ref[0, 0].astype(jnp.float32)          # (L,)
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (sk[None, :] * scale)                      # (gc, L)
+        # q rows are (head-in-group, chunk) pairs laid out gi*c + i: key l
+        # is visible to chunk position i iff l <= pos_b + i
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (gc, L), 0) % c
+        col_l = jax.lax.broadcasted_iota(jnp.int32, (gc, L), 1)
+        visible = col_l <= pos_ref[b] + row_i
+        scores = jnp.where(visible, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)     # (gc, L) f32
+        sv = vs_ref[0, 0].astype(jnp.float32)          # (L,)
+        pv = (p * sv[None, :]).astype(q.dtype)
+        v = v8_ref[0, 0].astype(q.dtype)               # (L, hd)
+        o_ref[0, 0] = jnp.dot(
+            pv, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _pallas_sdpa_int8(q, k8, ks, v8, vs, pos, c: int, scale: float,
+                      interpret: bool = False):
+    """q (B, kv, g*c, hd); k8/v8 (B, kv, L, hd) int8; ks/vs (B, kv, L) f32;
+    pos (B,) int32.  One grid cell per (batch, kv-head)."""
+    bq, kv, gc, hd = q.shape
+    L = k8.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bq, kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, gc, hd), lambda b, h, pos: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L, hd), lambda b, h, pos: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b, h, pos: (b, h, 0)),
+            pl.BlockSpec((1, 1, L, hd), lambda b, h, pos: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b, h, pos: (b, h, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, gc, hd), lambda b, h, pos: (b, h, 0, 0)),
+    )
+    return pl.pallas_call(
+        _make_sdpa_int8_kernel(c, scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bq, kv, gc, hd), q.dtype),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), q, k8, ks, v8, vs)
+
+
+def _jnp_sdpa_int8(q, k8, ks, v8, vs, pos, c: int, scale: float):
+    """Reference algebra on jnp arrays; same shapes as _pallas_sdpa_int8."""
+    bq, kv, gc, hd = q.shape
+    L = k8.shape[2]
+    scores = jax.lax.dot_general(
+        q, k8.astype(q.dtype),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    ) * (ks[:, :, None, :].astype(jnp.float32) * scale)  # (B, kv, gc, L)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (gc, L), 0) % c
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (gc, L), 1)
+    visible = (col_l[None, None] <=
+               pos.astype(jnp.int32)[:, None, None, None] + row_i[None, None])
+    scores = jnp.where(visible, scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    pv = (p * vs[:, :, None, :].astype(jnp.float32)).astype(q.dtype)
+    return jax.lax.dot_general(
+        pv, v8.astype(q.dtype),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+def sdpa_int8_cache(q, k8, ks, v8, vs, pos, c: int = 1,
+                    scale=None):
+    """Masked attention over an int8-quantized KV cache (serving path).
+
+    q (B, h, c, hd) with h a multiple of the cache's kv heads; k8/v8
+    (B, kv, L, hd) int8; ks/vs (B, kv, L) f32 per-row scales; pos (B,)
+    int32 — key l is visible to chunk position i iff l <= pos + i.
+    Returns (B, h, c, hd) in q.dtype.
+    """
+    bq, h, cq, hd = q.shape
+    kv = k8.shape[1]
+    if cq != c:
+        c = cq
+    g = h // kv
+    scale = float(scale) if scale is not None else 1.0 / (hd ** 0.5)
+    qg = q.reshape(bq, kv, g * c, hd)
+    if _pallas_enabled() and q.dtype in _SUPPORTED_X_DTYPES             and k8.shape[2] % 128 == 0 and hd % 128 == 0:
+        out = _pallas_sdpa_int8(qg, k8, ks, v8, vs, pos, c, scale)
+    else:
+        out = _jnp_sdpa_int8(qg, k8, ks, v8, vs, pos, c, scale)
+    return out.reshape(bq, h, c, hd)
+
+
 def dequant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     """x (..., K) float @ q (K, N) int8 scaled by s (N,) -> (..., N)."""
     if q.ndim != 2:

@@ -78,18 +78,39 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
         q = _F.apply_rope(q, pos_t, attn.rope_base)
         k = _F.apply_rope(k, pos_t, attn.rope_base)
 
-    cache["k"][:, :, pos_t, :] = md.squeeze(k, axis=2).astype(cache["k"].dtype)
-    cache["v"][:, :, pos_t, :] = md.squeeze(v, axis=2).astype(cache["v"].dtype)
+    if "k8" in cache:
+        # int8 KV cache: quantize the fresh row per (batch, head) over hd,
+        # store int8 line + f32 scale; attention reads int8 cache lines
+        # through the fused kernel (HBM never sees a dequantized cache)
+        import minidiff_tpu.backend as _backend
 
-    keys = attn.expand_kv(cache["k"].astype(q.dtype))  # (b, h, W, hd)
-    vals = attn.expand_kv(cache["v"].astype(q.dtype))
-    scores = md.matmul_nt(q, keys) * (1.0 / math.sqrt(hd))  # (b, h, 1, W)
-    # scores/softmax in f32 regardless of model dtype (matching md.sdpa's
-    # internal precision, so bf16 decode agrees with the eager paths)
-    scores = scores.astype(md.float32)
-    scores = md.where(mask, scores, md.full_like(scores, -1e30))
-    attn_w = F.softmax(scores, axis=-1).astype(q.dtype)
-    o = md.matmul(attn_w, vals)  # (b, h, 1, hd)
+        be = _backend.get_backend()
+        k8r, ksr = be.quantize_int8_rows(md.squeeze(k, axis=2)._data)
+        v8r, vsr = be.quantize_int8_rows(md.squeeze(v, axis=2)._data)
+        cache["k8"][:, :, pos_t, :] = md.Tensor(k8r)
+        cache["ks"][:, :, pos_t] = md.Tensor(ksr)
+        cache["v8"][:, :, pos_t, :] = md.Tensor(v8r)
+        cache["vs"][:, :, pos_t] = md.Tensor(vsr)
+        posb = md.broadcast_to(
+            pos_t.astype(md.int32).reshape((1,)), (b,))
+        o = md.sdpa_int8_cache(
+            q, cache["k8"], cache["ks"], cache["v8"], cache["vs"], posb)
+    else:
+        cache["k"][:, :, pos_t, :] = md.squeeze(k, axis=2).astype(
+            cache["k"].dtype)
+        cache["v"][:, :, pos_t, :] = md.squeeze(v, axis=2).astype(
+            cache["v"].dtype)
+
+        keys = attn.expand_kv(cache["k"].astype(q.dtype))  # (b, h, W, hd)
+        vals = attn.expand_kv(cache["v"].astype(q.dtype))
+        scores = md.matmul_nt(q, keys) * (1.0 / math.sqrt(hd))  # (b,h,1,W)
+        # scores/softmax in f32 regardless of model dtype (matching
+        # md.sdpa's internal precision, so bf16 decode agrees with the
+        # eager paths)
+        scores = scores.astype(md.float32)
+        scores = md.where(mask, scores, md.full_like(scores, -1e30))
+        attn_w = F.softmax(scores, axis=-1).astype(q.dtype)
+        o = md.matmul(attn_w, vals)  # (b, h, 1, hd)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, 1, d))
     x = x + attn.out.apply(params["attn"]["out"], o)
 
@@ -100,7 +121,7 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
 def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
                       max_new_tokens: int, greedy: bool = True,
                       temperature: float = 1.0, top_k: "Any" = None,
-                      seed: int = 0) -> "md.Tensor":
+                      seed: int = 0, kv_quant: bool = False) -> "md.Tensor":
     """KV-cached decoding, the whole loop as one lax.scan program.
 
     Greedy mode is token-for-token identical to
@@ -110,6 +131,12 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     from a per-step key folded out of ``seed`` — deterministic per seed,
     still ONE compiled program.  prompt (B, S0) int ->
     (B, S0 + max_new_tokens).
+
+    ``kv_quant=True`` stores the KV cache as int8 lines with per-row f32
+    scales and reads it through the fused ``md.sdpa_int8_cache`` kernel —
+    halves the cache's HBM stream (decode's second-largest read after the
+    weights) at the cost of quantization error in the attention inputs
+    (tokens may differ from the full-precision decode near logit ties).
     """
     b, s0 = prompt.shape
     assert s0 >= 1, "generate_compiled needs a non-empty prompt to prefill"
@@ -135,7 +162,8 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     # loop varying seeds reuses one compiled program instead of paying a
     # fresh trace+compile per request
     key = (id(model), b, s0, max_new_tokens, str(p_dtype),
-           str(prompt_raw.dtype), greedy, float(temperature), top_k)
+           str(prompt_raw.dtype), greedy, float(temperature), top_k,
+           kv_quant)
     # mask into uint32 range: PRNGKey folding only uses 32 bits, and
     # negative / 64-bit seeds (request hashes) must not crash
     seed_raw = jnp.asarray(int(seed) & 0xFFFFFFFF, jnp.uint32)
@@ -165,13 +193,30 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
             if attn.rope:
                 qq = F.apply_rope(qq, pos, attn.rope_base)
                 kk = F.apply_rope(kk, pos, attn.rope_base)
-            ck = md.zeros((bb, attn.num_kv_heads, L, attn.head_dim)).astype(
-                p_dtype)
-            cv = md.zeros((bb, attn.num_kv_heads, L, attn.head_dim)).astype(
-                p_dtype)
-            ck[:, :, :ss, :] = kk.astype(p_dtype)
-            cv[:, :, :ss, :] = vv.astype(p_dtype)
-            caches.append({"k": ck, "v": cv})
+            if kv_quant:
+                import minidiff_tpu.backend as _backend
+
+                be = _backend.get_backend()
+                kvh, hdim = attn.num_kv_heads, attn.head_dim
+                k8p, ksp = be.quantize_int8_rows(kk._data)
+                v8p, vsp = be.quantize_int8_rows(vv._data)
+                k8 = md.zeros((bb, kvh, L, hdim)).astype(md.int8)
+                v8 = md.zeros_like(k8)
+                ks = md.ones((bb, kvh, L)).astype(md.float32)
+                vs = md.ones_like(ks)
+                k8[:, :, :ss, :] = md.Tensor(k8p)
+                v8[:, :, :ss, :] = md.Tensor(v8p)
+                ks[:, :, :ss] = md.Tensor(ksp)
+                vs[:, :, :ss] = md.Tensor(vsp)
+                caches.append({"k8": k8, "ks": ks, "v8": v8, "vs": vs})
+            else:
+                ck = md.zeros(
+                    (bb, attn.num_kv_heads, L, attn.head_dim)).astype(p_dtype)
+                cv = md.zeros(
+                    (bb, attn.num_kv_heads, L, attn.head_dim)).astype(p_dtype)
+                ck[:, :, :ss, :] = kk.astype(p_dtype)
+                cv[:, :, :ss, :] = vv.astype(p_dtype)
+                caches.append({"k": ck, "v": cv})
             o = md.sdpa(qq, attn.expand_kv(kk), attn.expand_kv(vv),
                         causal=True)
             o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((bb, ss, -1))

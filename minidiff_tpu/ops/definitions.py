@@ -1104,6 +1104,16 @@ sdpa = wrapping.create_ternary_op_func(
     propagate_kwargs=True,
 )
 
+# Serving-only attention over an int8-quantized KV cache (q, k8, ks, v8, vs,
+# pos; kwargs c/scale).  Non-differentiable by design: the decode path never
+# backprops, and training keeps full-precision K/V.
+sdpa_int8_cache = wrapping.create_op_func(
+    forward_func=as_tensor_func(backend_fn("sdpa_int8_cache")),
+    grad_funcs=[None] * 6,
+    is_differentiable=False,
+    tensor_only=True,
+)
+
 
 # ---------------------------------------------------------------------------
 # concat — differentiable concatenation (extension op).  The reference's
@@ -1294,6 +1304,7 @@ __all__ = [
     "matmul_nt",
     "matmul_tn",
     "dequant_matmul",
+    "sdpa_int8_cache",
     "maximum",
     "minimum",
     "mod",

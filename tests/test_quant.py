@@ -266,3 +266,116 @@ def test_quantized_lm_cached_and_beam_paths():
     assert (a == b).all()
     seqs, scores = beam_search(model, qp, prompt, 6, beam_width=2)
     assert _np(seqs).shape == (2, 11)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache: quantize_int8_rows, sdpa_int8_cache, kv_quant decode
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_rows_roundtrip(backend):
+    import minidiff_tpu.backend as be_mod
+
+    be = be_mod.get_backend()
+    x = np.random.randn(2, 3, 5, 64)
+    q, s = be.quantize_int8_rows(md.Tensor(x)._data)
+    q_np = np.asarray(be.as_numpy(q), np.float64)
+    s_np = np.asarray(be.as_numpy(s), np.float64)
+    deq = q_np * s_np[..., None]
+    amax = np.max(np.abs(x), axis=-1, keepdims=True)
+    assert (np.abs(deq - x) <= amax / 254 + 1e-12).all()
+
+
+def _int8_cache_case(rng, b=2, h=4, kv=2, c=3, L=128, hd=64):
+    q = rng.randn(b, h, c, hd).astype(np.float32)
+    k = rng.randn(b, kv, L, hd).astype(np.float32)
+    v = rng.randn(b, kv, L, hd).astype(np.float32)
+    pos = rng.randint(c, L - c, size=(b,)).astype(np.int32)
+    return q, k, v, pos
+
+
+def test_sdpa_int8_cache_matches_dequant_reference(backend):
+    import minidiff_tpu.backend as be_mod
+
+    be = be_mod.get_backend()
+    rng = np.random.RandomState(0)
+    q, k, v, pos = _int8_cache_case(rng)
+    k8, ks = be.quantize_int8_rows(md.Tensor(k)._data)
+    v8, vs = be.quantize_int8_rows(md.Tensor(v)._data)
+    got = md.sdpa_int8_cache(
+        md.Tensor(q), md.Tensor(k8), md.Tensor(ks), md.Tensor(v8),
+        md.Tensor(vs), md.Tensor(pos))
+    # reference: dequantize, expand kv groups, masked softmax attention
+    k_dq = np.asarray(be.as_numpy(k8), np.float64) * \
+        np.asarray(be.as_numpy(ks), np.float64)[..., None]
+    v_dq = np.asarray(be.as_numpy(v8), np.float64) * \
+        np.asarray(be.as_numpy(vs), np.float64)[..., None]
+    b, h, c, hd = q.shape
+    kv, L = k_dq.shape[1], k_dq.shape[2]
+    g = h // kv
+    k_e = np.repeat(k_dq, g, axis=1)
+    v_e = np.repeat(v_dq, g, axis=1)
+    scores = np.einsum("bhqd,bhld->bhql", q.astype(np.float64), k_e)
+    scores /= np.sqrt(hd)
+    i_idx = np.arange(c)[None, None, :, None]
+    l_idx = np.arange(L)[None, None, None, :]
+    vis = l_idx <= pos[:, None, None, None] + i_idx
+    scores = np.where(vis, scores, -1e30)
+    scores -= scores.max(-1, keepdims=True)
+    e = np.exp(scores)
+    p = e / e.sum(-1, keepdims=True)
+    want = np.einsum("bhql,bhld->bhqd", p, v_e)
+    np.testing.assert_allclose(_np(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_sdpa_int8_pallas_matches_jnp(monkeypatch):
+    md.set_backend("xla")
+    from minidiff_tpu.kernels import quant as Q
+
+    rng = np.random.RandomState(1)
+    # hd=128: the kernel's lane-width requirement; GQA grouping g=2; c=3
+    q, k, v, pos = _int8_cache_case(rng, b=2, h=4, kv=2, c=3, L=128, hd=128)
+    import jax.numpy as jnp
+
+    qj = jnp.asarray(q)
+    k8, ks = Q.quantize_int8_rows(jnp.asarray(k))
+    v8, vs = Q.quantize_int8_rows(jnp.asarray(v))
+    posj = jnp.asarray(pos)
+    c = 3
+    scale = 1.0 / np.sqrt(128)
+    qg = qj.reshape(2, 2, 2 * c, 128)
+    want = np.asarray(Q._jnp_sdpa_int8(qg, k8, ks, v8, vs, posj, c, scale))
+    got = np.asarray(Q._pallas_sdpa_int8(qg, k8, ks, v8, vs, posj, c, scale,
+                                         interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_kv_quant_decode_end_to_end():
+    md.set_backend("xla")
+    from minidiff_tpu.models import TransformerLM, generate_compiled
+
+    np.random.seed(0)
+    model = TransformerLM(vocab_size=64, dim=128, num_heads=4, num_layers=2,
+                          max_seq_len=256, dtype=md.float32)
+    params = model.init()
+    prompt = md.Tensor(np.random.RandomState(1).randint(1, 64, (2, 5)))
+    full = _np(generate_compiled(model, params, prompt, 12))
+    q1 = _np(generate_compiled(model, params, prompt, 12, kv_quant=True))
+    q2 = _np(generate_compiled(model, params, prompt, 12, kv_quant=True))
+    np.testing.assert_array_equal(q1, q2)  # deterministic
+    # int8 cache perturbs logits slightly; token stream stays mostly intact
+    assert (full == q1).mean() > 0.75, (full, q1)
+
+
+def test_kv_quant_composes_with_weight_quant():
+    md.set_backend("xla")
+    from minidiff_tpu.models import (TransformerLM, generate_compiled,
+                                     quantize_for_serving)
+
+    np.random.seed(0)
+    model = TransformerLM(vocab_size=64, dim=128, num_heads=4, num_layers=2,
+                          max_seq_len=256, dtype=md.float32)
+    qp = quantize_for_serving(model.init(), min_elements=128 * 128)
+    prompt = md.Tensor(np.random.RandomState(1).randint(1, 64, (2, 5)))
+    out = generate_compiled(model, qp, prompt, 8, kv_quant=True)
+    assert _np(out).shape == (2, 13)
