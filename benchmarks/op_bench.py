@@ -34,8 +34,11 @@ UNROLL = 64  # base in-trace reps per dispatch; scaled up per case (below)
 # dispatch; the md-vs-jax host dispatch gap itself is ~15us).  After a probe
 # timing at the base UNROLL, each case is rebuilt with enough reps that one
 # dispatch takes at least this long:
-MIN_STEP_S = 4e-3
-MAX_UNROLL = 1024
+MIN_STEP_S = 2e-3
+# cap: an 8x unroll already drops dispatch jitter under ~5% of a step, and
+# tape-tracing + compiling chains much longer than this takes minutes per
+# case on the tunnel's compile server
+MAX_UNROLL = 256
 
 SHAPES = [(1024, 1024), (4096, 4096), (512, 8192)]
 DTYPES = [jnp.float32, jnp.bfloat16]
@@ -232,8 +235,14 @@ def _write_table(rows) -> None:
         "tunnel's 20-40% throughput drift).",
         "",
         "Reading the table: every op here lowers through the SAME XLA "
-        "fusion machinery jax.grad uses — the tape's VJPs emit identical "
-        "HLO — so parity (0.95-1.05, run-to-run tunnel noise) IS the "
+        "fusion machinery jax.grad uses.  tests/test_hlo_parity.py pins "
+        "the optimized-HLO relationship per case: 12/20 are byte-identical "
+        "to jax.grad's program modulo value names, and the 8 divergent "
+        "cases (tanh, max_axis, matmul's tanh epilogue, bf16 mean/"
+        "broadcast) differ because the tape's VJP emits a CHEAPER "
+        "formulation (1-t^2 tanh grad, tie-splitting max grad, "
+        "slice-shaped broadcast cotangent) — visible as the >=1.05 ratios "
+        "below.  So parity (0.95-1.05, run-to-run tunnel noise) IS the "
         "roofline argument: XLA already fuses elementwise chains, "
         "reductions, and broadcasts into single kernels, and a Pallas "
         "rewrite could only re-derive the same memory-bound kernel.  The "
@@ -256,11 +265,11 @@ def _write_table(rows) -> None:
     if low:
         lines += [
             "",
-            "Rows below 0.9.  The single-rep HLO of every case here is "
-            "byte-identical between the tape engine and jax.grad (verified "
-            "by diffing `compile().as_text()`), so a low ratio is residual "
-            "measurement noise, not a slower program — re-run these rows "
-            "before believing them:",
+            "Rows below 0.9.  tests/test_hlo_parity.py proves each case's "
+            "compiled program is identical to jax.grad's (or cheaper — see "
+            "KNOWN_DIVERGENT), so a low ratio is residual measurement "
+            "noise, not a slower program — re-run these rows before "
+            "believing them:",
             *[f"- {r['op']} {r['dtype']} {r['shape']}: "
               f"{r['ratio_jax_over_md']}" for r in low]]
     with open(path, "w") as f:
