@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import minidiff_tpu as md
-from minidiff_tpu.models import SGD, TransformerLM, lm_loss, make_train_step
+from minidiff_tpu.models import TransformerLM, lm_loss
 from minidiff_tpu.models import functional as F
 from minidiff_tpu.models import transformer as T
 
@@ -57,17 +57,6 @@ def _time_step(step, params0, lat) -> float:
         dt = max(time.perf_counter() - t0 - lat, 1e-9) / CHAIN
         best = dt if best is None else min(best, dt)
     return best
-
-
-def _build_step(model, toks):
-    opt = SGD(1e-3)
-    step_fn = make_train_step(model, opt, loss_fn=lm_loss)
-
-    def md_step(params):
-        params, _, loss = step_fn(params, None, toks, toks)
-        return params, loss._data
-
-    return md_step
 
 
 def main() -> None:

@@ -175,15 +175,14 @@ class NumpyBackend:
         return q, s
 
     @staticmethod
-    def sdpa_int8_cache(q, k8, ks, v8, vs, pos, c: int = 1, scale=None):
+    def sdpa_int8_cache(q, k8, ks, v8, vs, pos, scale=None):
         """Masked attention over an int8 KV cache: the reference algebra
         for the fused Pallas kernel (kernels/quant.py).  q (B, h, c, hd);
         k8/v8 (B, kv, L, hd) int8; ks/vs (B, kv, L); pos (B,).  Key l is
         visible to chunk position i iff l <= pos + i."""
         qd = np.asarray(q)
-        b, h, cq, hd = qd.shape
+        b, h, c, hd = qd.shape
         kv, L = k8.shape[1], k8.shape[2]
-        c = cq
         g = h // kv
         sc = float(scale) if scale is not None else 1.0 / np.sqrt(hd)
         qg = qd.reshape(b, kv, g * c, hd).astype(np.float32)

@@ -364,14 +364,13 @@ class TorchBackend:
         return q, s
 
     @staticmethod
-    def sdpa_int8_cache(q, k8, ks, v8, vs, pos, c: int = 1, scale=None):
+    def sdpa_int8_cache(q, k8, ks, v8, vs, pos, scale=None):
         # same algebra as the numpy oracle (see numpy_backend)
         import math
 
         q, k8, ks, v8, vs, pos = (_t(a) for a in (q, k8, ks, v8, vs, pos))
-        b, h, cq, hd = q.shape
+        b, h, c, hd = q.shape
         kv, L = k8.shape[1], k8.shape[2]
-        c = cq
         g = h // kv
         sc = float(scale) if scale is not None else 1.0 / math.sqrt(hd)
         qg = q.reshape(b, kv, g * c, hd).to(torch.float32)

@@ -207,12 +207,12 @@ class XlaBackend:
     @staticmethod
     def sdpa_int8_cache(q: jax.Array, k8: jax.Array, ks: jax.Array,
                         v8: jax.Array, vs: jax.Array, pos: jax.Array,
-                        c: int = 1, scale=None) -> jax.Array:
+                        scale=None) -> jax.Array:
         # fused masked decode attention over int8 cache lines (Pallas on
         # TPU; same-algebra jnp fallback elsewhere) — kernels/quant.py
         from minidiff_tpu.kernels import quant as _q
 
-        return _q.sdpa_int8_cache(q, k8, ks, v8, vs, pos, c=c, scale=scale)
+        return _q.sdpa_int8_cache(q, k8, ks, v8, vs, pos, scale=scale)
 
     # -- conv2d family (NHWC x HWIO -> NHWC via XLA's native convolution;
     # the grads are the exact conv-transpose programs jax derives, obtained

@@ -215,23 +215,21 @@ def _jnp_sdpa_int8(q, k8, ks, v8, vs, pos, c: int, scale: float):
     ).astype(q.dtype)
 
 
-def sdpa_int8_cache(q, k8, ks, v8, vs, pos, c: int = 1,
-                    scale=None):
+def sdpa_int8_cache(q, k8, ks, v8, vs, pos, scale=None):
     """Masked attention over an int8-quantized KV cache (serving path).
 
     q (B, h, c, hd) with h a multiple of the cache's kv heads; k8/v8
     (B, kv, L, hd) int8; ks/vs (B, kv, L) f32 per-row scales; pos (B,)
     int32 — key l is visible to chunk position i iff l <= pos + i.
-    Returns (B, h, c, hd) in q.dtype.
+    The chunk size c is q.shape[2].  Returns (B, h, c, hd) in q.dtype.
     """
-    bq, h, cq, hd = q.shape
+    bq, h, c, hd = q.shape
     kv = k8.shape[1]
-    if cq != c:
-        c = cq
     g = h // kv
     scale = float(scale) if scale is not None else 1.0 / (hd ** 0.5)
     qg = q.reshape(bq, kv, g * c, hd)
-    if _pallas_enabled() and q.dtype in _SUPPORTED_X_DTYPES             and k8.shape[2] % 128 == 0 and hd % 128 == 0:
+    if (_pallas_enabled() and q.dtype in _SUPPORTED_X_DTYPES
+            and k8.shape[2] % 128 == 0 and hd % 128 == 0):
         out = _pallas_sdpa_int8(qg, k8, ks, v8, vs, pos, c, scale)
     else:
         out = _jnp_sdpa_int8(qg, k8, ks, v8, vs, pos, c, scale)

@@ -67,16 +67,10 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
     through HBM.
     """
     attn = blk.attn
-    b, _, d = x.shape
+    b = x.shape[0]
     hd = attn.head_dim
 
-    xa = blk.ln1.apply(params["ln1"], x)
-    q, k, v = attn.project_qkv(params["attn"], xa)  # (b,h,1,hd)/(b,kv,1,hd)
-    if attn.rope:
-        from minidiff_tpu.models import functional as _F
-
-        q = _F.apply_rope(q, pos_t, attn.rope_base)
-        k = _F.apply_rope(k, pos_t, attn.rope_base)
+    q, k, v = F.block_qkv(blk, params, x, pos_t)  # (b,h,1,hd)/(b,kv,1,hd)
 
     if "k8" in cache:
         # int8 KV cache: quantize the fresh row per (batch, head) over hd,
@@ -111,11 +105,7 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
         scores = md.where(mask, scores, md.full_like(scores, -1e30))
         attn_w = F.softmax(scores, axis=-1).astype(q.dtype)
         o = md.matmul(attn_w, vals)  # (b, h, 1, hd)
-    o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, 1, d))
-    x = x + attn.out.apply(params["attn"]["out"], o)
-
-    hdn = F.gelu(blk.fc1.apply(params["fc1"], blk.ln2.apply(params["ln2"], x)))
-    return x + blk.fc2.apply(params["fc2"], hdn)
+    return F.block_finish(blk, params, x, o)
 
 
 def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
@@ -188,11 +178,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
         caches = []
         for blk, bp in zip(model.blocks, p["blocks"]):
             attn = blk.attn
-            xa = blk.ln1.apply(bp["ln1"], xh)
-            qq, kk, vv = attn.project_qkv(bp["attn"], xa)
-            if attn.rope:
-                qq = F.apply_rope(qq, pos, attn.rope_base)
-                kk = F.apply_rope(kk, pos, attn.rope_base)
+            qq, kk, vv = F.block_qkv(blk, bp, xh, pos)
             if kv_quant:
                 import minidiff_tpu.backend as _backend
 
@@ -219,11 +205,7 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
                 caches.append({"k": ck, "v": cv})
             o = md.sdpa(qq, attn.expand_kv(kk), attn.expand_kv(vv),
                         causal=True)
-            o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((bb, ss, -1))
-            xh = xh + attn.out.apply(bp["attn"]["out"], o)
-            hdn = F.gelu(blk.fc1.apply(bp["fc1"],
-                                       blk.ln2.apply(bp["ln2"], xh)))
-            xh = xh + blk.fc2.apply(bp["fc2"], hdn)
+            xh = F.block_finish(blk, bp, xh, o)
         xh = model.ln_f.apply(p["ln_f"], xh)
         logits = model.lm_head(p, xh[:, -1:, :])[:, 0, :]  # (B, V)
         return caches, logits

@@ -170,3 +170,34 @@ def dropout(x: "md.Tensor", rate: float,
             bits = _np.random.RandomState(key).random_sample(x.shape)
             mask = md.Tensor(bits) >= rate
     return x * mask.astype(x.dtype) / (1.0 - rate)
+
+
+def block_qkv(blk, params, x, positions=None):
+    """Pre-LN QKV projection for one TransformerBlock: ln1 -> fused qkv
+    projection (+RoPE at ``positions``).  The one home for this math —
+    shared by the eager KV-cache step, compiled decode, and speculative
+    chunk forwards, which differ only in how they store/read the cache.
+
+    ``positions``: None (parallel forward over ``arange(s)``), a scalar or
+    1-D position Tensor, or a (b, s) per-row table — whatever
+    ``apply_rope`` accepts.  Returns q (b, h, s, hd), k/v (b, kv, s, hd).
+    """
+    attn = blk.attn
+    xa = blk.ln1.apply(params["ln1"], x)
+    q, k, v = attn.project_qkv(params["attn"], xa)
+    if attn.rope:
+        pos = positions if positions is not None else md.arange(x.shape[1])
+        q = apply_rope(q, pos, attn.rope_base)
+        k = apply_rope(k, pos, attn.rope_base)
+    return q, k, v
+
+
+def block_finish(blk, params, x, o):
+    """Close a TransformerBlock around attention output ``o`` (b, h, s, hd):
+    merge heads, out-projection residual, then the pre-LN GELU MLP
+    residual.  Counterpart of ``block_qkv`` for the cached forwards."""
+    b, h, s, hd = o.shape
+    o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, h * hd))
+    x = x + blk.attn.out.apply(params["attn"]["out"], o)
+    hdn = gelu(blk.fc1.apply(params["fc1"], blk.ln2.apply(params["ln2"], x)))
+    return x + blk.fc2.apply(params["fc2"], hdn)

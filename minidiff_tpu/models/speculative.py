@@ -70,14 +70,20 @@ def generate_speculative(target: "TransformerLM", target_params,
     be = backend.get_backend()
     prompt_np = np.asarray(be.as_numpy(prompt._data))
     b, s0 = prompt_np.shape
+    # non-RoPE models index a fixed pos_emb table, so no forward (draft
+    # chain or verification chunk) may exceed it; near the budget the draft
+    # shrinks (k_r < k) and at the edge degenerates to plain greedy (k_r=0)
+    limit = min((m.max_seq_len for m in (target, draft) if not m.rope),
+                default=None)
     rows = []
     with md.no_grad():
         for r in range(b):
             seq = [int(t) for t in prompt_np[r]]
             new = 0
             while new < max_new_tokens:
+                k_r = k if limit is None else max(0, min(k, limit - len(seq)))
                 dseq = list(seq)
-                for _ in range(k):
+                for _ in range(k_r):
                     dl = draft.apply(draft_params, md.Tensor([dseq]))
                     dseq.append(int(np.asarray(
                         be.as_numpy(md.argmax(dl[0, -1])._data))))
@@ -86,7 +92,7 @@ def generate_speculative(target: "TransformerLM", target_params,
                 g_np = np.asarray(be.as_numpy(
                     md.argmax(tl[0, len(seq) - 1:], axis=-1)._data))
                 acc = 0
-                while acc < k and d_toks[acc] == int(g_np[acc]):
+                while acc < k_r and d_toks[acc] == int(g_np[acc]):
                     acc += 1
                 seq += d_toks[:acc] + [int(g_np[acc])]
                 new += acc + 1
@@ -135,11 +141,7 @@ def _chunk_step(model: "TransformerLM", p, caches, chunk: "md.Tensor",
     new_caches = []
     for blk, bp, cache in zip(model.blocks, p["blocks"], caches):
         attn = blk.attn
-        xa = blk.ln1.apply(bp["ln1"], x)
-        q, kk, vv = attn.project_qkv(bp["attn"], xa)
-        if attn.rope:
-            q = F.apply_rope(q, pos2d, attn.rope_base)
-            kk = F.apply_rope(kk, pos2d, attn.rope_base)
+        q, kk, vv = F.block_qkv(blk, bp, x, pos2d)
         ck = _write_rows(cache["k"], kk, pos, L)
         cv = _write_rows(cache["v"], vv, pos, L)
         new_caches.append({"k": ck, "v": cv})
@@ -149,10 +151,7 @@ def _chunk_step(model: "TransformerLM", p, caches, chunk: "md.Tensor",
         scores = scores.astype(md.float32)
         scores = md.where(mask, scores, md.full_like(scores, -1e30))
         o = md.matmul(F.softmax(scores, axis=-1).astype(q.dtype), vals)
-        o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, c, -1))
-        x = x + attn.out.apply(bp["attn"]["out"], o)
-        hdn = F.gelu(blk.fc1.apply(bp["fc1"], blk.ln2.apply(bp["ln2"], x)))
-        x = x + blk.fc2.apply(bp["fc2"], hdn)
+        x = F.block_finish(blk, bp, x, o)
     x = model.ln_f.apply(p["ln_f"], x)
     return new_caches, model.lm_head(p, x)
 
@@ -169,11 +168,7 @@ def _prefill(model: "TransformerLM", p, toks: "md.Tensor", L: int,
     caches = []
     for blk, bp in zip(model.blocks, p["blocks"]):
         attn = blk.attn
-        xa = blk.ln1.apply(bp["ln1"], x)
-        q, kk, vv = attn.project_qkv(bp["attn"], xa)
-        if attn.rope:
-            q = F.apply_rope(q, pos, attn.rope_base)
-            kk = F.apply_rope(kk, pos, attn.rope_base)
+        q, kk, vv = F.block_qkv(blk, bp, x, pos)
         ck = md.zeros((b, attn.num_kv_heads, L, attn.head_dim)).astype(
             cache_dtype)
         cv = md.zeros_like(ck)
@@ -181,10 +176,7 @@ def _prefill(model: "TransformerLM", p, toks: "md.Tensor", L: int,
         cv[:, :, :s, :] = vv.astype(cache_dtype)
         caches.append({"k": ck, "v": cv})
         o = md.sdpa(q, attn.expand_kv(kk), attn.expand_kv(vv), causal=True)
-        o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, -1))
-        x = x + attn.out.apply(bp["attn"]["out"], o)
-        hdn = F.gelu(blk.fc1.apply(bp["fc1"], blk.ln2.apply(bp["ln2"], x)))
-        x = x + blk.fc2.apply(bp["fc2"], hdn)
+        x = F.block_finish(blk, bp, x, o)
     x = model.ln_f.apply(p["ln_f"], x)
     return caches, model.lm_head(p, x[:, -1:, :])[:, 0, :]
 

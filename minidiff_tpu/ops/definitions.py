@@ -923,9 +923,18 @@ matmul_tn = wrapping.create_binary_op_func(
 # framework ops (astype + matmul_nt), so it is higher-order capable; it
 # dequantizes the weight for the backward contraction — acceptable because
 # the op's HBM-bound win is the forward serving path, which never runs it.
+def _dequant_matmul_grad_x(x, q, s, grad):
+    # Accumulate the backward contraction in the (grad * s) promoted dtype
+    # (scales are f32, so bf16 grads promote — that is the precise path),
+    # then hand back the cotangent in x's own dtype: bf16 params must get
+    # bf16 grads, and backends like torch reject mixed-dtype matmuls.
+    gs = grad * s
+    return matmul_nt(gs, q.astype(gs.dtype)).astype(x.dtype)
+
+
 dequant_matmul = wrapping.create_ternary_op_func(
     forward_func=as_tensor_func(backend_fn("dequant_matmul")),
-    grad_x=lambda x, q, s, grad: matmul_nt(grad * s, q.astype(grad.dtype)),
+    grad_x=_dequant_matmul_grad_x,
     grad_y=None,
     grad_z=None,
     tensor_only=True,

@@ -103,6 +103,27 @@ def test_dequant_matmul_grad_x_vs_oracle(backend):
         _np(manual[0]), _np(auto[0]), rtol=1e-4, atol=1e-6)
 
 
+def test_dequant_matmul_bf16_grad_dtype(backend):
+    # regression: the VJP used to compute grad*s in promoted f32 and cast q
+    # to grad.dtype — torch rejected the mixed-dtype matmul outright, and
+    # numpy/xla silently handed an f32 cotangent to a bf16 parameter.  The
+    # cotangent must come back in x's own dtype on every backend.
+    x = md.Tensor(np.random.randn(4, 128)).astype(md.bfloat16)
+    x = x.detach(allow_grad=True)
+    w = md.Tensor(np.random.randn(128, 256))
+    q, s = quantize_int8_t(w)
+    out = md.sum(md.dequant_matmul(x, q, s).astype(md.float32))
+    out.backward(retain_grads=True)
+    assert x.grad is not None
+    assert x.grad.dtype == x.dtype
+    # and the values agree with the explicit dequantized matmul's grad
+    want = _np(s).astype(np.float64) * _np(q).astype(np.float64)
+    want = want.sum(axis=1)  # d sum(x@W)/dx row = col-sums of W^T… = (K,)
+    got = _np(x.grad).astype(np.float64)
+    np.testing.assert_allclose(got, np.broadcast_to(want, got.shape),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_dequant_matmul_no_grad_to_weights(backend):
     x = md.Tensor(np.random.randn(4, 128), allow_grad=True)
     w = md.Tensor(np.random.randn(128, 256))

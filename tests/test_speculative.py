@@ -45,6 +45,20 @@ def test_eager_speculative_equals_greedy(backend):
     assert (want == got).all()
 
 
+def test_eager_speculative_full_budget_non_rope(backend):
+    # regression: the k-token draft overhang used to run past max_seq_len
+    # for non-RoPE models (pos_emb indexing error) on requests that plain
+    # generate accepts; the draft must shrink near the budget and degrade
+    # to plain greedy at the edge — output still exactly greedy
+    target, tp, draft, dp = _models()
+    prompt = md.Tensor(np.random.RandomState(3).randint(1, 48, (1, 5)))
+    max_new = target.max_seq_len - 5  # fills the pos_emb table exactly
+    want = _np(generate(target, tp, prompt, max_new, greedy=True))
+    got = _np(generate_speculative(target, tp, draft, dp, prompt,
+                                   max_new, k=3))
+    assert (want == got).all()
+
+
 def test_compiled_speculative_equals_greedy():
     md.set_backend("xla")
     target, tp, draft, dp = _models()
