@@ -249,6 +249,22 @@ class NumpyBackend:
         return dx
 
     @staticmethod
+    def layernorm(x, g, b, eps: float = 1e-5):
+        """Last-axis LayerNorm, the oracle for the fused TPU kernel
+        (kernels/layernorm.py).  Statistics accumulate in f32 for sub-f32
+        inputs and in the input dtype for f32/f64 (so f64 gradchecks keep
+        f64 precision); biased variance; output in x.dtype."""
+        xd = np.asarray(x)
+        acc = xd.dtype if xd.dtype in (np.float64, np.float32) else np.float32
+        xa = xd.astype(acc)
+        mu = xa.mean(axis=-1, keepdims=True)
+        xc = xa - mu
+        var = (xc * xc).mean(axis=-1, keepdims=True)
+        y = xc / np.sqrt(var + np.asarray(eps, acc))
+        y = y * np.asarray(g, acc) + np.asarray(b, acc)
+        return y.astype(xd.dtype)
+
+    @staticmethod
     def sdpa(q: np.ndarray, k: np.ndarray, v: np.ndarray,
              causal: bool = False, scale=None, mask=None) -> np.ndarray:
         # composed reference softmax attention (the oracle for the TPU flash

@@ -421,6 +421,19 @@ class TorchBackend:
         return xt.permute(0, 2, 3, 1)
 
     @staticmethod
+    def layernorm(x, g, b, eps: float = 1e-5):
+        # same accumulation rule as the numpy oracle (see numpy_backend)
+        x, g, b = _t(x), _t(g), _t(b)
+        acc = x.dtype if x.dtype in (torch.float64, torch.float32) \
+            else torch.float32
+        xa = x.to(acc)
+        mu = xa.mean(dim=-1, keepdim=True)
+        xc = xa - mu
+        var = (xc * xc).mean(dim=-1, keepdim=True)
+        y = xc * torch.rsqrt(var + eps) * g.to(acc) + b.to(acc)
+        return y.to(x.dtype)
+
+    @staticmethod
     def sdpa(q, k, v, causal: py_bool = False, scale=None, mask=None):
         q, k, v = _t(q), _t(k), _t(v)
         if scale is None:

@@ -266,6 +266,16 @@ class XlaBackend:
 
         return _att.sdpa(q, k, v, causal=causal, scale=scale, mask=mask)
 
+    @staticmethod
+    def layernorm(x: jax.Array, g: jax.Array, b: jax.Array,
+                  eps: float = 1e-5) -> jax.Array:
+        # one-pass fused Pallas kernel on TPU when the autotune race says
+        # so; composed jnp (same accumulation rule) otherwise —
+        # kernels/layernorm.py
+        from minidiff_tpu.kernels import layernorm as _ln
+
+        return _ln.layernorm(x, g, b, eps=eps)
+
     mod = staticmethod(jnp.mod)
     multiply = staticmethod(jnp.multiply)
     not_equal = staticmethod(jnp.not_equal)

@@ -1,0 +1,302 @@
+"""Fused LayerNorm Pallas kernels (forward + first-order backward).
+
+LayerNorm is the train step's non-matmul HBM hotspot (VERDICT r1 item 1:
+"fuse the non-attention residual").  Composed under XLA, the forward is a
+reduce fusion plus an elementwise fusion — x crosses HBM at least twice —
+and the backward re-reads x/dy across several fusions.  Each kernel here
+makes exactly ONE pass: a row block of x (and dy) loads into VMEM, the
+row statistics are computed in registers, and the output leaves — x is
+read once per pass, period.
+
+Semantics (shared by the jnp fallback, the numpy/torch backends, and the
+composed framework-ops VJP in ops/definitions.py):
+
+    acc = f32 if x is sub-f32 (bf16/f16) else x.dtype
+    mu  = mean(x, -1);  var = mean((x-mu)^2, -1)      # biased, in acc
+    y   = (x-mu) * rsqrt(var+eps) * g + b             # cast back to x.dtype
+
+Backward (dy, same shape as x) closed form with xhat=(x-mu)*rsqrt(var+eps),
+w = dy*g:
+    dx = (w - mean(w) - xhat * mean(w*xhat)) * rsqrt(var+eps)
+    dg = sum_rows(dy * xhat);  db = sum_rows(dy)
+
+Dispatch policy mirrors kernels/attention.py: on TPU an autotuned race
+(chained in-trace unrolls, >=8% win margin — see matmul._autotune_eager
+for why) decides fused-vs-composed per (rows, dim, dtype); everywhere
+else the jnp fallback runs.  No reference counterpart (/root/reference
+has no kernels); extends SURVEY §7 step 8's "elementwise chains" row.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from minidiff_tpu.kernels.matmul import _pallas_enabled
+
+_SUPPORTED_DTYPES = (jnp.float32, jnp.bfloat16)
+# widest row block whose f32 working set (x, dy, dx ~ 3 tiles) stays a
+# small slice of VMEM; actual block = largest divisor of R under this
+_MAX_BLOCK_BYTES = 2 * 1024 * 1024
+_MAX_D = 8192
+
+
+def _acc_dtype(dt):
+    dt = jnp.dtype(dt)
+    return dt if dt in (jnp.float64, jnp.float32) else jnp.float32
+
+
+def _row_block(r: int, d: int) -> int:
+    cap = max(8, _MAX_BLOCK_BYTES // (4 * d))
+    br = 8
+    for cand in (16, 32, 64, 128, 256, 512, 1024):
+        if cand > cap or r % cand:
+            break
+        br = cand
+    return br
+
+
+def _eligible(r: int, d: int, dtype) -> bool:
+    return (jnp.dtype(dtype) in _SUPPORTED_DTYPES
+            and d % 128 == 0 and d <= _MAX_D and r % 8 == 0)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _stats(x, eps):
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    return xc, jax.lax.rsqrt(var + eps)
+
+
+def _fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, eps):
+    x = x_ref[:].astype(jnp.float32)
+    xc, rsig = _stats(x, eps)
+    y = xc * rsig * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps, nd):
+    x = x_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
+    xc, rsig = _stats(x, eps)
+    xhat = xc * rsig
+    w = dy * g_ref[:].astype(jnp.float32)
+    m1 = jnp.sum(w, axis=1, keepdims=True) * nd
+    m2 = jnp.sum(w * xhat, axis=1, keepdims=True) * nd
+    dx_ref[:] = ((w - m1 - xhat * m2) * rsig).astype(dx_ref.dtype)
+    # per-row-block partials; the caller sums the (grid, D) strips
+    dg_ref[:] = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db_ref[:] = jnp.sum(dy, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "br", "interpret"))
+def _pallas_ln_fwd(x2, g, b, eps: float, br: int, interpret: bool = False):
+    r, d = x2.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((r, d), x2.dtype),
+        grid=(r // br,),
+        in_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, d), lambda i: (i, 0)),
+        interpret=interpret,
+    )(x2, g.reshape(1, d), b.reshape(1, d))
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "br", "interpret"))
+def _pallas_ln_bwd(x2, g, dy2, eps: float, br: int, interpret: bool = False):
+    r, d = x2.shape
+    grid = r // br
+    dx, dgp, dbp = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, nd=1.0 / d),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, d), x2.dtype),
+            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (i, 0)),
+        ),
+        interpret=interpret,
+    )(x2, g.reshape(1, d), dy2)
+    return dx, jnp.sum(dgp, axis=0), jnp.sum(dbp, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# jnp fallback (the semantics contract; also the composed race baseline)
+# ---------------------------------------------------------------------------
+
+
+def _jnp_layernorm(x, g, b, eps: float):
+    acc = _acc_dtype(x.dtype)
+    xa = x.astype(acc)
+    mu = jnp.mean(xa, axis=-1, keepdims=True)
+    xc = xa - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + jnp.asarray(eps, acc))
+    return (y * g.astype(acc) + b.astype(acc)).astype(x.dtype)
+
+
+def _jnp_ln_grads(x, g, dy, eps: float):
+    acc = _acc_dtype(x.dtype)
+    xa = x.astype(acc)
+    mu = jnp.mean(xa, axis=-1, keepdims=True)
+    xc = xa - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rsig = jax.lax.rsqrt(var + jnp.asarray(eps, acc))
+    xhat = xc * rsig
+    w = dy.astype(acc) * g.astype(acc)
+    m1 = jnp.mean(w, axis=-1, keepdims=True)
+    m2 = jnp.mean(w * xhat, axis=-1, keepdims=True)
+    dx = ((w - m1 - xhat * m2) * rsig).astype(x.dtype)
+    red = tuple(range(x.ndim - 1))
+    dg = jnp.sum(dy.astype(acc) * xhat, axis=red).astype(g.dtype)
+    db = jnp.sum(dy.astype(acc), axis=red).astype(g.dtype)
+    return dx, dg, db
+
+
+# ---------------------------------------------------------------------------
+# autotuned dispatch
+# ---------------------------------------------------------------------------
+
+_ln_cache: dict = {}
+
+
+def _ln_autotune(r: int, d: int, dtype, eps: float) -> bool:
+    """True iff the fused kernels beat the composed XLA fwd+bwd by >8%."""
+    import numpy as np
+
+    from minidiff_tpu.kernels.matmul import (
+        _measure_pull_latency,
+        time_device_chain,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.standard_normal((r, d)), dtype)
+    dy = jnp.asarray(rng.standard_normal((r, d)), dtype)
+    g = jnp.asarray(rng.standard_normal((d,)), dtype)
+    b = jnp.asarray(rng.standard_normal((d,)), dtype)
+    br = _row_block(r, d)
+    lat = _measure_pull_latency(x)
+
+    def _chain(core, unroll):
+        @jax.jit
+        def step(carry):
+            xx, fb = carry
+            for _ in range(unroll):
+                xp = xx * (jnp.asarray(1.0, jnp.float32) + fb).astype(xx.dtype)
+                out = core(xp)
+                fb = sum(
+                    jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree.leaves(out)
+                ) * jnp.asarray(1e-30, jnp.float32)
+            return xx, fb
+
+        return step
+
+    import time as _time
+
+    def _race(core):
+        step1 = _chain(core, 1)
+        carry0 = (x, jnp.zeros((), jnp.float32))
+        out = step1(carry0)
+        float(out[-1])
+        t0 = _time.perf_counter()
+        out = carry0
+        for _ in range(4):
+            out = step1(out)
+        float(out[-1])
+        per_est = max((_time.perf_counter() - t0 - lat) / 4, 1e-6)
+        unroll = max(1, min(64, int(4e-3 / per_est) + 1))
+        step = step1 if unroll == 1 else _chain(core, unroll)
+        if unroll > 1:
+            out = step(carry0)
+            float(out[-1])
+        return time_device_chain(step, carry0, lat) / unroll
+
+    # composed: ONE value_and_grad executable (fwd+bwd), same as real use
+    comp = jax.value_and_grad(
+        lambda xx, gg, bb: jnp.sum(
+            _jnp_layernorm(xx, gg, bb, eps).astype(jnp.float32)
+            * dy.astype(jnp.float32)),
+        argnums=(0, 1, 2),
+    )
+    t_comp = _race(lambda xp: comp(xp, g, b))
+
+    def fused(xp):
+        y = _pallas_ln_fwd(xp, g, b, eps, br)
+        return (y,) + _pallas_ln_bwd(xp, g, dy, eps, br)
+
+    try:
+        t_fused = _race(fused)
+    except Exception:
+        return False
+    return t_fused < 0.92 * t_comp
+
+
+def _ln_decision(r: int, d: int, dtype, eps: float) -> bool:
+    if not (_pallas_enabled() and _eligible(r, d, dtype)):
+        return False
+    key = (r, d, str(jnp.dtype(dtype)), float(eps))
+    if key not in _ln_cache:
+        if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
+            _ln_cache[key] = True
+        else:
+            from minidiff_tpu.kernels.matmul import run_outside_trace
+
+            try:
+                _ln_cache[key] = run_outside_trace(
+                    lambda: _ln_autotune(r, d, dtype, eps))
+            except Exception:
+                _ln_cache[key] = False
+    return _ln_cache[key]
+
+
+def _rows(shape) -> int:
+    r = 1
+    for s in shape[:-1]:
+        r *= int(s)
+    return r
+
+
+def layernorm(x, g, b, eps: float = 1e-5):
+    """Last-axis LayerNorm; fused Pallas on TPU when the race says so."""
+    d = x.shape[-1]
+    r = _rows(x.shape)
+    if _ln_decision(r, d, x.dtype, float(eps)):
+        y = _pallas_ln_fwd(x.reshape(r, d), g, b, float(eps),
+                           _row_block(r, d))
+        return y.reshape(x.shape)
+    return _jnp_layernorm(x, g, b, float(eps))
+
+
+def ln_grads(x, g, dy, eps: float = 1e-5):
+    """(dx, dg, db) in one fused pass on TPU when the race says so."""
+    d = x.shape[-1]
+    r = _rows(x.shape)
+    if _ln_decision(r, d, x.dtype, float(eps)):
+        dx, dg, db = _pallas_ln_bwd(
+            x.reshape(r, d), g, dy.reshape(r, d), float(eps),
+            _row_block(r, d))
+        return dx.reshape(x.shape), dg.astype(g.dtype), db.astype(g.dtype)
+    return _jnp_ln_grads(x, g, dy, float(eps))

@@ -40,10 +40,9 @@ class LayerNorm(Module):
         }
 
     def apply(self, params, x):
-        mu = md.mean(x, axis=-1, keepdims=True)
-        xc = x - mu
-        var = md.mean(xc * xc, axis=-1, keepdims=True)
-        return xc / md.sqrt(var + self.eps) * params["g"] + params["b"]
+        # md.layernorm: fused one-pass Pallas kernel on TPU when the
+        # autotune race picks it; composed (f32-stat for bf16) elsewhere
+        return md.layernorm(x, params["g"], params["b"], eps=self.eps)
 
 
 class MultiHeadAttention(Module):

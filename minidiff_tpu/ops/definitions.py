@@ -1113,9 +1113,106 @@ sdpa = wrapping.create_ternary_op_func(
     propagate_kwargs=True,
 )
 
+
+# ---------------------------------------------------------------------------
+# layernorm — last-axis normalization (extension op; the reference has no
+# models layer).  Forward dispatches to the one-pass fused Pallas kernel on
+# TPU (kernels/layernorm.py); these VJPs are the composed closed form in
+# framework ops, so the oracle gradchecks the kernel and higher-order
+# gradients re-tape.  Statistics accumulate in f32 for sub-f32 inputs (the
+# kernel contract), in the input dtype for f32/f64.
+# ---------------------------------------------------------------------------
+
+
+def _ln_xhat(x, eps):
+    acc = (x.dtype if str(x.dtype).endswith(("float64", "float32"))
+           else md.float32)
+    xa = x.astype(acc)
+    mu = md.mean(xa, axis=-1, keepdims=True)
+    xc = xa - mu
+    var = md.mean(xc * xc, axis=-1, keepdims=True)
+    rsig = 1.0 / md.sqrt(var + eps)
+    return xc * rsig, rsig, acc
+
+
+# First-order layernorm backward on the XLA backend dispatches to the fused
+# one-pass kernel (kernels/layernorm.py ln_grads) when the autotune race
+# picked the fused path for this shape; the engine calls the three grad
+# functions back-to-back with the same operand objects, so a single-entry
+# memo computes (dx, dg, db) once (same protocol as _sdpa_fused above).
+_ln_fused_memo: dict = {}
+
+
+def _ln_fused(x, g, b, grad, eps):
+    if md.grad_allowed_():
+        return None  # higher-order backward must re-tape the composed form
+    import minidiff_tpu.backend as _backend
+
+    if _backend.backend_name() != "xla":
+        return None
+    key = (id(x), id(g), id(b), id(grad), float(eps))
+    if _ln_fused_memo.get("key") != key:
+        from minidiff_tpu.kernels import layernorm as _ln
+
+        xr = x._data
+        r = _ln._rows(xr.shape)
+        if not _ln._ln_decision(r, xr.shape[-1], xr.dtype, float(eps)):
+            return None  # composed VJPs fuse with neighbors inside md.jit
+        _ln_fused_memo["key"] = key
+        _ln_fused_memo["refs"] = (x, g, b, grad)
+        _ln_fused_memo["val"] = _ln.ln_grads(
+            xr, g._data, grad._data, float(eps))
+    return _ln_fused_memo["val"]
+
+
+def layernorm_grad_x(x, g, b, grad, eps=1e-5):
+    fused = _ln_fused(x, g, b, grad, eps)
+    if fused is not None:
+        return md.Tensor(fused[0])
+    xhat, rsig, acc = _ln_xhat(x, eps)
+    w = grad.astype(acc) * g.astype(acc)
+    m1 = md.mean(w, axis=-1, keepdims=True)
+    m2 = md.mean(w * xhat, axis=-1, keepdims=True)
+    return ((w - m1 - xhat * m2) * rsig).astype(x.dtype)
+
+
+def layernorm_grad_g(x, g, b, grad, eps=1e-5):
+    fused = _ln_fused(x, g, b, grad, eps)
+    if fused is not None:
+        return md.Tensor(fused[1])
+    xhat, _, acc = _ln_xhat(x, eps)
+    s = grad.astype(acc) * xhat
+    red = tuple(range(len(x.shape) - 1))
+    if red:  # 1-D input has no leading axes to reduce
+        s = md.sum(s, axis=red)
+    return s.astype(g.dtype)
+
+
+def layernorm_grad_b(x, g, b, grad, eps=1e-5):
+    fused = _ln_fused(x, g, b, grad, eps)
+    if fused is not None:
+        return md.Tensor(fused[2])
+    acc = (grad.dtype if str(grad.dtype).endswith(("float64", "float32"))
+           else md.float32)
+    s = grad.astype(acc)
+    red = tuple(range(len(grad.shape) - 1))
+    if red:
+        s = md.sum(s, axis=red)
+    return s.astype(b.dtype)
+
+
+layernorm = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("layernorm")),
+    grad_x=layernorm_grad_x,
+    grad_y=layernorm_grad_g,
+    grad_z=layernorm_grad_b,
+    propagate_kwargs=True,
+)
+
 # Serving-only attention over an int8-quantized KV cache (q, k8, ks, v8, vs,
-# pos; kwargs c/scale).  Non-differentiable by design: the decode path never
-# backprops, and training keeps full-precision K/V.
+# pos; kwarg scale; chunk size comes from q.shape[2]).  Non-differentiable by
+# design: the decode path never backprops, and training keeps full-precision
+# K/V.
 sdpa_int8_cache = wrapping.create_op_func(
     forward_func=as_tensor_func(backend_fn("sdpa_int8_cache")),
     grad_funcs=[None] * 6,
@@ -1327,6 +1424,7 @@ __all__ = [
     "unbroadcast",
     "scatter_add",
     "sdpa",
+    "layernorm",
     "concat",
     "conv2d",
     "conv2d_input_grad",
