@@ -265,6 +265,17 @@ class NumpyBackend:
         return y.astype(xd.dtype)
 
     @staticmethod
+    def rmsnorm(x, g, eps: float = 1e-6):
+        """Last-axis RMSNorm (LLaMA-style, no centering/bias); same
+        accumulation-dtype rule as layernorm."""
+        xd = np.asarray(x)
+        acc = xd.dtype if xd.dtype in (np.float64, np.float32) else np.float32
+        xa = xd.astype(acc)
+        rms = np.sqrt((xa * xa).mean(axis=-1, keepdims=True)
+                      + np.asarray(eps, acc))
+        return (xa / rms * np.asarray(g, acc)).astype(xd.dtype)
+
+    @staticmethod
     def sdpa(q: np.ndarray, k: np.ndarray, v: np.ndarray,
              causal: bool = False, scale=None, mask=None) -> np.ndarray:
         # composed reference softmax attention (the oracle for the TPU flash

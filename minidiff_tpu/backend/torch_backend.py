@@ -434,6 +434,16 @@ class TorchBackend:
         return y.to(x.dtype)
 
     @staticmethod
+    def rmsnorm(x, g, eps: float = 1e-6):
+        # same accumulation rule as the numpy oracle
+        x, g = _t(x), _t(g)
+        acc = x.dtype if x.dtype in (torch.float64, torch.float32) \
+            else torch.float32
+        xa = x.to(acc)
+        rsig = torch.rsqrt((xa * xa).mean(dim=-1, keepdim=True) + eps)
+        return (xa * rsig * g.to(acc)).to(x.dtype)
+
+    @staticmethod
     def sdpa(q, k, v, causal: py_bool = False, scale=None, mask=None):
         q, k, v = _t(q), _t(k), _t(v)
         if scale is None:

@@ -276,6 +276,13 @@ class XlaBackend:
 
         return _ln.layernorm(x, g, b, eps=eps)
 
+    @staticmethod
+    def rmsnorm(x: jax.Array, g: jax.Array, eps: float = 1e-6) -> jax.Array:
+        # same dispatch policy as layernorm — kernels/layernorm.py
+        from minidiff_tpu.kernels import layernorm as _ln
+
+        return _ln.rmsnorm(x, g, eps=eps)
+
     mod = staticmethod(jnp.mod)
     multiply = staticmethod(jnp.multiply)
     not_equal = staticmethod(jnp.not_equal)

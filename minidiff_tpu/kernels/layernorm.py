@@ -84,6 +84,23 @@ def _fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, eps):
     o_ref[:] = y.astype(o_ref.dtype)
 
 
+def _rms_fwd_kernel(x_ref, g_ref, o_ref, *, eps):
+    x = x_ref[:].astype(jnp.float32)
+    rsig = jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True) + eps)
+    o_ref[:] = (x * rsig * g_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _rms_bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, *, eps):
+    x = x_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
+    rsig = jax.lax.rsqrt(jnp.mean(x * x, axis=1, keepdims=True) + eps)
+    xhat = x * rsig
+    w = dy * g_ref[:].astype(jnp.float32)
+    m = jnp.mean(w * xhat, axis=1, keepdims=True)
+    dx_ref[:] = ((w - xhat * m) * rsig).astype(dx_ref.dtype)
+    dg_ref[:] = jnp.sum(dy * xhat, axis=0, keepdims=True)
+
+
 def _bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps, nd):
     x = x_ref[:].astype(jnp.float32)
     dy = dy_ref[:].astype(jnp.float32)
@@ -142,6 +159,47 @@ def _pallas_ln_bwd(x2, g, dy2, eps: float, br: int, interpret: bool = False):
     return dx, jnp.sum(dgp, axis=0), jnp.sum(dbp, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("eps", "br", "interpret"))
+def _pallas_rms_fwd(x2, g, eps: float, br: int, interpret: bool = False):
+    r, d = x2.shape
+    return pl.pallas_call(
+        functools.partial(_rms_fwd_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((r, d), x2.dtype),
+        grid=(r // br,),
+        in_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, d), lambda i: (i, 0)),
+        interpret=interpret,
+    )(x2, g.reshape(1, d))
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "br", "interpret"))
+def _pallas_rms_bwd(x2, g, dy2, eps: float, br: int, interpret: bool = False):
+    r, d = x2.shape
+    grid = r // br
+    dx, dgp = pl.pallas_call(
+        functools.partial(_rms_bwd_kernel, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, d), x2.dtype),
+            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (i, 0)),
+        ),
+        interpret=interpret,
+    )(x2, g.reshape(1, d), dy2)
+    return dx, jnp.sum(dgp, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # jnp fallback (the semantics contract; also the composed race baseline)
 # ---------------------------------------------------------------------------
@@ -155,6 +213,28 @@ def _jnp_layernorm(x, g, b, eps: float):
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     y = xc * jax.lax.rsqrt(var + jnp.asarray(eps, acc))
     return (y * g.astype(acc) + b.astype(acc)).astype(x.dtype)
+
+
+def _jnp_rmsnorm(x, g, eps: float):
+    acc = _acc_dtype(x.dtype)
+    xa = x.astype(acc)
+    rsig = jax.lax.rsqrt(
+        jnp.mean(xa * xa, axis=-1, keepdims=True) + jnp.asarray(eps, acc))
+    return (xa * rsig * g.astype(acc)).astype(x.dtype)
+
+
+def _jnp_rms_grads(x, g, dy, eps: float):
+    acc = _acc_dtype(x.dtype)
+    xa = x.astype(acc)
+    rsig = jax.lax.rsqrt(
+        jnp.mean(xa * xa, axis=-1, keepdims=True) + jnp.asarray(eps, acc))
+    xhat = xa * rsig
+    w = dy.astype(acc) * g.astype(acc)
+    m = jnp.mean(w * xhat, axis=-1, keepdims=True)
+    dx = ((w - xhat * m) * rsig).astype(x.dtype)
+    red = tuple(range(x.ndim - 1))
+    dg = jnp.sum(dy.astype(acc) * xhat, axis=red).astype(g.dtype)
+    return dx, dg
 
 
 def _jnp_ln_grads(x, g, dy, eps: float):
@@ -182,7 +262,8 @@ def _jnp_ln_grads(x, g, dy, eps: float):
 _ln_cache: dict = {}
 
 
-def _ln_autotune(r: int, d: int, dtype, eps: float) -> bool:
+def _ln_autotune(r: int, d: int, dtype, eps: float,
+                 kind: str = "ln") -> bool:
     """True iff the fused kernels beat the composed XLA fwd+bwd by >8%."""
     import numpy as np
 
@@ -235,17 +316,30 @@ def _ln_autotune(r: int, d: int, dtype, eps: float) -> bool:
         return time_device_chain(step, carry0, lat) / unroll
 
     # composed: ONE value_and_grad executable (fwd+bwd), same as real use
-    comp = jax.value_and_grad(
-        lambda xx, gg, bb: jnp.sum(
-            _jnp_layernorm(xx, gg, bb, eps).astype(jnp.float32)
-            * dy.astype(jnp.float32)),
-        argnums=(0, 1, 2),
-    )
-    t_comp = _race(lambda xp: comp(xp, g, b))
+    if kind == "ln":
+        comp = jax.value_and_grad(
+            lambda xx, gg, bb: jnp.sum(
+                _jnp_layernorm(xx, gg, bb, eps).astype(jnp.float32)
+                * dy.astype(jnp.float32)),
+            argnums=(0, 1, 2),
+        )
+        t_comp = _race(lambda xp: comp(xp, g, b))
 
-    def fused(xp):
-        y = _pallas_ln_fwd(xp, g, b, eps, br)
-        return (y,) + _pallas_ln_bwd(xp, g, dy, eps, br)
+        def fused(xp):
+            y = _pallas_ln_fwd(xp, g, b, eps, br)
+            return (y,) + _pallas_ln_bwd(xp, g, dy, eps, br)
+    else:
+        comp = jax.value_and_grad(
+            lambda xx, gg: jnp.sum(
+                _jnp_rmsnorm(xx, gg, eps).astype(jnp.float32)
+                * dy.astype(jnp.float32)),
+            argnums=(0, 1),
+        )
+        t_comp = _race(lambda xp: comp(xp, g))
+
+        def fused(xp):
+            y = _pallas_rms_fwd(xp, g, eps, br)
+            return (y,) + _pallas_rms_bwd(xp, g, dy, eps, br)
 
     try:
         t_fused = _race(fused)
@@ -254,10 +348,11 @@ def _ln_autotune(r: int, d: int, dtype, eps: float) -> bool:
     return t_fused < 0.92 * t_comp
 
 
-def _ln_decision(r: int, d: int, dtype, eps: float) -> bool:
+def _ln_decision(r: int, d: int, dtype, eps: float,
+                 kind: str = "ln") -> bool:
     if not (_pallas_enabled() and _eligible(r, d, dtype)):
         return False
-    key = (r, d, str(jnp.dtype(dtype)), float(eps))
+    key = (kind, r, d, str(jnp.dtype(dtype)), float(eps))
     if key not in _ln_cache:
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _ln_cache[key] = True
@@ -266,7 +361,7 @@ def _ln_decision(r: int, d: int, dtype, eps: float) -> bool:
 
             try:
                 _ln_cache[key] = run_outside_trace(
-                    lambda: _ln_autotune(r, d, dtype, eps))
+                    lambda: _ln_autotune(r, d, dtype, eps, kind))
             except Exception:
                 _ln_cache[key] = False
     return _ln_cache[key]
@@ -300,3 +395,26 @@ def ln_grads(x, g, dy, eps: float = 1e-5):
             _row_block(r, d))
         return dx.reshape(x.shape), dg.astype(g.dtype), db.astype(g.dtype)
     return _jnp_ln_grads(x, g, dy, float(eps))
+
+
+def rmsnorm(x, g, eps: float = 1e-6):
+    """Last-axis RMSNorm; fused Pallas on TPU when the race says so."""
+    d = x.shape[-1]
+    r = _rows(x.shape)
+    if _ln_decision(r, d, x.dtype, float(eps), kind="rms"):
+        y = _pallas_rms_fwd(x.reshape(r, d), g, float(eps),
+                            _row_block(r, d))
+        return y.reshape(x.shape)
+    return _jnp_rmsnorm(x, g, float(eps))
+
+
+def rms_grads(x, g, dy, eps: float = 1e-6):
+    """(dx, dg) in one fused pass on TPU when the race says so."""
+    d = x.shape[-1]
+    r = _rows(x.shape)
+    if _ln_decision(r, d, x.dtype, float(eps), kind="rms"):
+        dx, dg = _pallas_rms_bwd(
+            x.reshape(r, d), g, dy.reshape(r, d), float(eps),
+            _row_block(r, d))
+        return dx.reshape(x.shape), dg.astype(g.dtype)
+    return _jnp_rms_grads(x, g, dy, float(eps))

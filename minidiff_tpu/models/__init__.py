@@ -24,6 +24,7 @@ from minidiff_tpu.models.optim import (  # noqa: F401
 from minidiff_tpu.models.data import synthetic_classification, mnist_like_batches  # noqa: F401
 from minidiff_tpu.models.transformer import (  # noqa: F401
     LayerNorm,
+    RMSNorm,
     MultiHeadAttention,
     TransformerBlock,
     TransformerLM,

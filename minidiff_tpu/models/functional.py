@@ -25,6 +25,11 @@ def sigmoid(x: "md.Tensor") -> "md.Tensor":
     return 0.5 * (md.tanh(x * 0.5) + 1.0)
 
 
+def silu(x: "md.Tensor") -> "md.Tensor":
+    """x * sigmoid(x) (a.k.a. swish) — the SwiGLU gate activation."""
+    return x * sigmoid(x)
+
+
 def gelu(x: "md.Tensor") -> "md.Tensor":
     # tanh approximation (no erf op in the registry)
     c = 0.7978845608028654  # sqrt(2/pi)
@@ -194,10 +199,10 @@ def block_qkv(blk, params, x, positions=None):
 
 def block_finish(blk, params, x, o):
     """Close a TransformerBlock around attention output ``o`` (b, h, s, hd):
-    merge heads, out-projection residual, then the pre-LN GELU MLP
-    residual.  Counterpart of ``block_qkv`` for the cached forwards."""
+    merge heads, out-projection residual, then the block's MLP residual
+    (GELU or SwiGLU — ``blk.apply_mlp`` owns that choice).  Counterpart of
+    ``block_qkv`` for the cached forwards."""
     b, h, s, hd = o.shape
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, h * hd))
     x = x + blk.attn.out.apply(params["attn"]["out"], o)
-    hdn = gelu(blk.fc1.apply(params["fc1"], blk.ln2.apply(params["ln2"], x)))
-    return x + blk.fc2.apply(params["fc2"], hdn)
+    return x + blk.apply_mlp(params, x)

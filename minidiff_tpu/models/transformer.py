@@ -45,6 +45,35 @@ class LayerNorm(Module):
         return md.layernorm(x, params["g"], params["b"], eps=self.eps)
 
 
+class RMSNorm(Module):
+    """y = x / sqrt(mean(x^2) + eps) * g over the last axis (LLaMA-style:
+    no centering, no bias — one fewer reduction and parameter vector than
+    LayerNorm)."""
+
+    def __init__(self, dim: int, eps: float = 1e-6,
+                 dtype: "Optional[Any]" = None):
+        self.dim = dim
+        self.eps = eps
+        self.dtype = dtype
+
+    def init(self) -> "Dict[str, md.Tensor]":
+        return {
+            "g": md.Tensor(np.ones(self.dim), allow_grad=True,
+                           dtype=self.dtype),
+        }
+
+    def apply(self, params, x):
+        return md.rmsnorm(x, params["g"], eps=self.eps)
+
+
+def _make_norm(kind: str, dim: int, dtype):
+    if kind == "layer":
+        return LayerNorm(dim, dtype=dtype)
+    if kind == "rms":
+        return RMSNorm(dim, dtype=dtype)
+    raise ValueError(f"unknown norm kind {kind!r} (expected 'layer'/'rms')")
+
+
 class MultiHeadAttention(Module):
     """Self-attention: fused QKV projection, md.sdpa core, output projection.
 
@@ -135,14 +164,24 @@ class TransformerBlock(Module):
     def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4,
                  causal: bool = True, dtype: "Optional[Any]" = None,
                  num_kv_heads: "Optional[int]" = None, rope: bool = False,
-                 dropout: float = 0.0):
-        self.ln1 = LayerNorm(dim, dtype=dtype)
+                 dropout: float = 0.0, norm: str = "layer",
+                 mlp: str = "gelu"):
+        self.ln1 = _make_norm(norm, dim, dtype)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        dtype=dtype, num_kv_heads=num_kv_heads,
                                        rope=rope)
-        self.ln2 = LayerNorm(dim, dtype=dtype)
-        self.fc1 = Linear(dim, mlp_ratio * dim, dtype=dtype)
-        self.fc2 = Linear(mlp_ratio * dim, dim, dtype=dtype)
+        self.ln2 = _make_norm(norm, dim, dtype)
+        if mlp not in ("gelu", "swiglu"):
+            raise ValueError(
+                f"unknown mlp kind {mlp!r} (expected 'gelu'/'swiglu')")
+        self.mlp = mlp
+        hidden = mlp_ratio * dim
+        # SwiGLU: fc1 projects to gate+value (2*hidden, fused column-wise so
+        # a tp shard holds matching gate/value columns), h = silu(a) * b
+        self.fc1 = Linear(dim, (2 if mlp == "swiglu" else 1) * hidden,
+                          dtype=dtype)
+        self.fc2 = Linear(hidden, dim, dtype=dtype)
+        self.hidden = hidden
         self.dropout = float(dropout)
 
     def init(self):
@@ -154,6 +193,23 @@ class TransformerBlock(Module):
             "fc2": self.fc2.init(),
         }
 
+    def apply_mlp(self, params, x):
+        """The MLP residual BRANCH (callers add it to x): norm -> fc1 ->
+        activation -> fc2.  The one home for this math — the eager step,
+        compiled decode, speculative, and ring paths all call it.
+
+        SwiGLU keeps fc1's columns PAIR-major ((hidden, 2): gate and value
+        for the same hidden unit adjacent), so a tp column shard holds
+        matching gate/value pairs and the elementwise silu(a)*b needs no
+        collective (same trick as the qkv head-major layout)."""
+        h = self.fc1.apply(params["fc1"], self.ln2.apply(params["ln2"], x))
+        if self.mlp == "swiglu":
+            hp = h.reshape(h.shape[:-1] + (self.hidden, 2))
+            h = F.silu(hp[..., 0]) * hp[..., 1]
+        else:
+            h = F.gelu(h)
+        return self.fc2.apply(params["fc2"], h)
+
     def apply(self, params, x, rng: "Optional[md.Tensor]" = None):
         """``rng``: a PRNG key Tensor (md.random_key / md.fold_in).  When
         given and ``dropout > 0``, residual-branch dropout is applied with
@@ -164,8 +220,7 @@ class TransformerBlock(Module):
         if self.dropout > 0.0 and rng is not None:
             a = F.dropout(a, self.dropout, key=md.fold_in(rng, 1))
         x = x + a
-        hdn = F.gelu(self.fc1.apply(params["fc1"], self.ln2.apply(params["ln2"], x)))
-        h = self.fc2.apply(params["fc2"], hdn)
+        h = self.apply_mlp(params, x)
         if self.dropout > 0.0 and rng is not None:
             h = F.dropout(h, self.dropout, key=md.fold_in(rng, 2))
         return x + h
@@ -179,7 +234,8 @@ class TransformerLM(Module):
                  num_layers: int = 2, max_seq_len: int = 256, mlp_ratio: int = 4,
                  dtype: "Optional[Any]" = None, remat_blocks: bool = False,
                  num_kv_heads: "Optional[int]" = None, rope: bool = False,
-                 tie_embeddings: bool = False, dropout: float = 0.0):
+                 tie_embeddings: bool = False, dropout: float = 0.0,
+                 norm: str = "layer", mlp: str = "gelu"):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
@@ -193,10 +249,10 @@ class TransformerLM(Module):
         self.blocks = [
             TransformerBlock(dim, num_heads, mlp_ratio, causal=True,
                              dtype=dtype, num_kv_heads=num_kv_heads, rope=rope,
-                             dropout=dropout)
+                             dropout=dropout, norm=norm, mlp=mlp)
             for _ in range(num_layers)
         ]
-        self.ln_f = LayerNorm(dim, dtype=dtype)
+        self.ln_f = _make_norm(norm, dim, dtype)
         # tie_embeddings: logits = x @ tok_emb^T — no separate head weight;
         # the embedding gets gradient from both its uses through the tape
         self.tie_embeddings = tie_embeddings
@@ -395,8 +451,7 @@ def _mha_step(attn: "MultiHeadAttention", params, x, cache, pos: int):
 def _block_step(blk: "TransformerBlock", params, x, cache, pos: int):
     x = x + _mha_step(blk.attn, params["attn"],
                       blk.ln1.apply(params["ln1"], x), cache, pos)
-    h = F.gelu(blk.fc1.apply(params["fc1"], blk.ln2.apply(params["ln2"], x)))
-    return x + blk.fc2.apply(params["fc2"], h)
+    return x + blk.apply_mlp(params, x)
 
 
 def apply_step(model: "TransformerLM", params, token: "md.Tensor",

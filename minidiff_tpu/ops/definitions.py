@@ -1209,6 +1209,74 @@ layernorm = wrapping.create_ternary_op_func(
     propagate_kwargs=True,
 )
 
+
+# rmsnorm — LLaMA-style last-axis RMS normalization (no centering, no
+# bias); same kernel-dispatch and accumulation-dtype story as layernorm.
+
+
+def _rms_xhat(x, eps):
+    acc = (x.dtype if str(x.dtype).endswith(("float64", "float32"))
+           else md.float32)
+    xa = x.astype(acc)
+    rsig = 1.0 / md.sqrt(md.mean(xa * xa, axis=-1, keepdims=True) + eps)
+    return xa * rsig, rsig, acc
+
+
+_rms_fused_memo: dict = {}
+
+
+def _rms_fused(x, g, grad, eps):
+    if md.grad_allowed_():
+        return None
+    import minidiff_tpu.backend as _backend
+
+    if _backend.backend_name() != "xla":
+        return None
+    key = (id(x), id(g), id(grad), float(eps))
+    if _rms_fused_memo.get("key") != key:
+        from minidiff_tpu.kernels import layernorm as _ln
+
+        xr = x._data
+        r = _ln._rows(xr.shape)
+        if not _ln._ln_decision(r, xr.shape[-1], xr.dtype, float(eps),
+                                kind="rms"):
+            return None
+        _rms_fused_memo["key"] = key
+        _rms_fused_memo["refs"] = (x, g, grad)
+        _rms_fused_memo["val"] = _ln.rms_grads(
+            xr, g._data, grad._data, float(eps))
+    return _rms_fused_memo["val"]
+
+
+def rmsnorm_grad_x(x, g, grad, eps=1e-6):
+    fused = _rms_fused(x, g, grad, eps)
+    if fused is not None:
+        return md.Tensor(fused[0])
+    xhat, rsig, acc = _rms_xhat(x, eps)
+    w = grad.astype(acc) * g.astype(acc)
+    m = md.mean(w * xhat, axis=-1, keepdims=True)
+    return ((w - xhat * m) * rsig).astype(x.dtype)
+
+
+def rmsnorm_grad_g(x, g, grad, eps=1e-6):
+    fused = _rms_fused(x, g, grad, eps)
+    if fused is not None:
+        return md.Tensor(fused[1])
+    xhat, _, acc = _rms_xhat(x, eps)
+    s = grad.astype(acc) * xhat
+    red = tuple(range(len(x.shape) - 1))
+    if red:
+        s = md.sum(s, axis=red)
+    return s.astype(g.dtype)
+
+
+rmsnorm = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("rmsnorm")),
+    grad_x=rmsnorm_grad_x,
+    grad_y=rmsnorm_grad_g,
+    propagate_kwargs=True,
+)
+
 # Serving-only attention over an int8-quantized KV cache (q, k8, ks, v8, vs,
 # pos; kwarg scale; chunk size comes from q.shape[2]).  Non-differentiable by
 # design: the decode path never backprops, and training keeps full-precision
@@ -1425,6 +1493,7 @@ __all__ = [
     "scatter_add",
     "sdpa",
     "layernorm",
+    "rmsnorm",
     "concat",
     "conv2d",
     "conv2d_input_grad",

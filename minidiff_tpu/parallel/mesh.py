@@ -104,19 +104,25 @@ def transformer_sharding_rules(params: "Any") -> "Any":
             rules["wkv"] = {"w": PartitionSpec(None, "tp")}
         return rules
 
+    def norm_rules(norm_params):
+        # LayerNorm has {g, b}; RMSNorm just {g} — replicate whatever exists
+        return {k: PartitionSpec() for k in norm_params}
+
     blocks = []
     for blk in params["blocks"]:
         blocks.append({
-            "ln1": {"g": PartitionSpec(), "b": PartitionSpec()},
+            "ln1": norm_rules(blk["ln1"]),
             "attn": attn_rules(blk["attn"]),
-            "ln2": {"g": PartitionSpec(), "b": PartitionSpec()},
+            "ln2": norm_rules(blk["ln2"]),
+            # column-parallel fc1 also covers SwiGLU: its gate/value columns
+            # are PAIR-major, so a tp shard holds matching pairs
             "fc1": {"w": PartitionSpec(None, "tp"), "b": PartitionSpec("tp")},
             "fc2": {"w": PartitionSpec("tp", None), "b": PartitionSpec()},
         })
     rules = {
         "tok_emb": PartitionSpec(),
         "blocks": blocks,
-        "ln_f": {"g": PartitionSpec(), "b": PartitionSpec()},
+        "ln_f": norm_rules(params["ln_f"]),
     }
     if "pos_emb" in params:
         rules["pos_emb"] = PartitionSpec()

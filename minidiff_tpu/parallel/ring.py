@@ -305,8 +305,7 @@ def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None,
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
     x = x + attn.out.apply(params["attn"]["out"], o)
 
-    hdn = F.gelu(blk.fc1.apply(params["fc1"], blk.ln2.apply(params["ln2"], x)))
-    return x + blk.fc2.apply(params["fc2"], hdn)
+    return x + blk.apply_mlp(params, x)
 
 
 def make_ring_train_step(model, mesh, optimizer=None, init_params=None,

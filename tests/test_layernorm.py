@@ -215,6 +215,87 @@ def test_row_block_divides():
 
 
 # ---------------------------------------------------------------------------
+# rmsnorm (same kernel family)
+# ---------------------------------------------------------------------------
+
+
+def _ref_rms(x, g, eps=1e-6):
+    return x / np.sqrt((x * x).mean(axis=-1, keepdims=True) + eps) * g
+
+
+def test_rmsnorm_forward(backend):
+    x = np.random.randn(4, 6, 32)
+    g = np.random.randn(32)
+    got = _np(md.rmsnorm(md.Tensor(x), md.Tensor(g)))
+    np.testing.assert_allclose(got, _ref_rms(x, g), rtol=1e-10, atol=1e-12)
+
+
+def test_rmsnorm_gradcheck(backend):
+    x = md.Tensor(np.random.randn(5, 24), allow_grad=True)
+    g = md.Tensor(np.random.randn(24), allow_grad=True)
+    manual, auto = compute_grads(
+        x, g, func=lambda a, c: md.sum(md.tanh(md.rmsnorm(a, c))))
+    for m, a in zip(manual, auto):
+        np.testing.assert_allclose(_np(m), _np(a), rtol=1e-4, atol=1e-6)
+
+
+def test_rmsnorm_second_order(backend):
+    # backward-of-backward must agree across backends with the oracle
+    x_np = np.random.randn(2, 8)
+    g_np = np.random.randn(8)
+    x = md.Tensor(x_np, allow_grad=True)
+    y = md.sum(md.rmsnorm(x, md.Tensor(g_np)) ** 2)
+    y.backward(allow_higher_order=True, retain_grads=True)
+    g1 = x.grad
+    s = md.sum(g1 * g1)
+    x.grad = None
+    s.backward(retain_grads=True)
+    got = _np(x.grad)
+    h = 1e-6
+    num = np.zeros_like(x_np)
+
+    def grad_at(x0):
+        xt = md.Tensor(x0, allow_grad=True)
+        md.sum(md.rmsnorm(xt, md.Tensor(g_np)) ** 2).backward(
+            retain_grads=True)
+        return _np(xt.grad)
+
+    for i in np.ndindex(*x_np.shape):
+        xp = x_np.copy(); xp[i] += h
+        xm = x_np.copy(); xm[i] -= h
+        gp, gm = grad_at(xp), grad_at(xm)
+        num[i] = (np.sum(gp * gp) - np.sum(gm * gm)) / (2 * h)
+    np.testing.assert_allclose(got, num, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_pallas_rms_matches_jnp(dtype):
+    md.set_backend("xla")
+    jnp, L = _kernels()
+    dt = jnp.dtype(dtype)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.standard_normal((24, 256)), dt)
+    g = jnp.asarray(rng.standard_normal(256), dt)
+    dy = jnp.asarray(rng.standard_normal((24, 256)), dt)
+    br = L._row_block(24, 256)
+    y_k = L._pallas_rms_fwd(x, g, 1e-6, br, interpret=True)
+    y_j = L._jnp_rmsnorm(x, g, 1e-6)
+    np.testing.assert_allclose(np.asarray(y_k, np.float32),
+                               np.asarray(y_j, np.float32),
+                               rtol=1e-6, atol=2e-6)
+    dx_k, dg_k = L._pallas_rms_bwd(x, g, dy, 1e-6, br, interpret=True)
+    dx_j, _ = L._jnp_rms_grads(x, g, dy, 1e-6)
+    np.testing.assert_allclose(np.asarray(dx_k, np.float32),
+                               np.asarray(dx_j, np.float32),
+                               rtol=1e-6, atol=2e-6)
+    x64 = np.asarray(x, np.float64)
+    xhat = x64 / np.sqrt((x64 * x64).mean(axis=-1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dg_k), np.sum(np.asarray(dy, np.float64) * xhat, axis=0),
+        rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # fused first-order dispatch protocol
 # ---------------------------------------------------------------------------
 
