@@ -265,6 +265,20 @@ class NumpyBackend:
         return y.astype(xd.dtype)
 
     @staticmethod
+    def softmax_xent(z, lab):
+        """Per-row softmax cross-entropy loss = lse(z) - z[label]; the
+        oracle for the fused TPU kernel (kernels/xent.py).  Same
+        accumulation-dtype rule as layernorm; loss carries that dtype."""
+        zd = np.asarray(z)
+        acc = zd.dtype if zd.dtype in (np.float64, np.float32) else np.float32
+        za = zd.astype(acc)
+        m = za.max(axis=-1, keepdims=True)
+        lse = np.log(np.exp(za - m).sum(axis=-1, keepdims=True)) + m
+        lab_i = np.asarray(lab).astype(np.int64)
+        zlab = np.take_along_axis(za, lab_i[..., None], axis=-1)
+        return (lse - zlab)[..., 0]
+
+    @staticmethod
     def rmsnorm(x, g, eps: float = 1e-6):
         """Last-axis RMSNorm (LLaMA-style, no centering/bias); same
         accumulation-dtype rule as layernorm."""

@@ -434,6 +434,17 @@ class TorchBackend:
         return y.to(x.dtype)
 
     @staticmethod
+    def softmax_xent(z, lab):
+        # same accumulation rule as the numpy oracle
+        z, lab = _t(z), _t(lab)
+        acc = z.dtype if z.dtype in (torch.float64, torch.float32) \
+            else torch.float32
+        za = z.to(acc)
+        lse = torch.logsumexp(za, dim=-1, keepdim=True)
+        zlab = torch.gather(za, -1, lab.to(torch.int64)[..., None])
+        return (lse - zlab)[..., 0]
+
+    @staticmethod
     def rmsnorm(x, g, eps: float = 1e-6):
         # same accumulation rule as the numpy oracle
         x, g = _t(x), _t(g)

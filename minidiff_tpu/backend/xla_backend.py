@@ -283,6 +283,14 @@ class XlaBackend:
 
         return _ln.rmsnorm(x, g, eps=eps)
 
+    @staticmethod
+    def softmax_xent(z: jax.Array, lab: jax.Array) -> jax.Array:
+        # fused one-pass loss kernel on TPU when the race says so —
+        # kernels/xent.py
+        from minidiff_tpu.kernels import xent as _x
+
+        return _x.softmax_xent(z, lab)
+
     mod = staticmethod(jnp.mod)
     multiply = staticmethod(jnp.multiply)
     not_equal = staticmethod(jnp.not_equal)

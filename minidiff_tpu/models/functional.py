@@ -62,18 +62,14 @@ def one_hot(labels: "md.Tensor", num_classes: int) -> "md.Tensor":
 def cross_entropy(logits: "md.Tensor", labels: "md.Tensor") -> "md.Tensor":
     """Mean softmax cross-entropy.
 
-    ``labels`` may be integer class ids (gathered through the differentiable
-    getitem/scatter_add pair) or a one-hot / soft-label matrix.
+    ``labels`` may be integer class ids — routed through ``md.softmax_xent``
+    (the fused one-pass loss kernel on TPU) — or a one-hot / soft-label
+    matrix (composed log-softmax path).
     """
-    logp = log_softmax(logits, axis=-1)
     if labels.ndim == logits.ndim:
+        logp = log_softmax(logits, axis=-1)
         return -md.mean(md.sum(labels * logp, axis=-1))
-    # integer labels: flatten any leading batch dims to one gather
-    v = logits.shape[-1]
-    n = logits.size // v
-    flat = logp.reshape((n, v))
-    picked = flat[(md.arange(n), labels.reshape((n,)))]
-    return -md.mean(picked)
+    return md.mean(md.softmax_xent(logits, labels))
 
 
 def apply_rope(x: "md.Tensor", positions: "md.Tensor",

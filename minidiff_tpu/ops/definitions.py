@@ -1277,6 +1277,60 @@ rmsnorm = wrapping.create_binary_op_func(
     propagate_kwargs=True,
 )
 
+
+# softmax_xent — per-row softmax cross-entropy loss (extension op; the LM
+# loss block is the train step's last non-matmul HBM consumer).  Forward
+# dispatches to the fused one-pass Pallas kernel on TPU (kernels/xent.py);
+# labels are class ids with no cotangent (grad slot None).  The logits VJP
+# is the composed closed form (softmax - onehot) in framework ops.
+
+
+_xent_fused_memo: dict = {}
+
+
+def _xent_fused(z, lab, grad):
+    if md.grad_allowed_():
+        return None
+    import minidiff_tpu.backend as _backend
+
+    if _backend.backend_name() != "xla":
+        return None
+    key = (id(z), id(lab), id(grad))
+    if _xent_fused_memo.get("key") != key:
+        from minidiff_tpu.kernels import xent as _x
+
+        zr = z._data
+        r = _x._rows(zr.shape)
+        if not _x._xent_decision(r, zr.shape[-1], zr.dtype):
+            return None
+        _xent_fused_memo["key"] = key
+        _xent_fused_memo["refs"] = (z, lab, grad)
+        _xent_fused_memo["val"] = _x.xent_grad(zr, lab._data, grad._data)
+    return _xent_fused_memo["val"]
+
+
+def softmax_xent_grad_z(z, lab, grad):
+    fused = _xent_fused(z, lab, grad)
+    if fused is not None:
+        return md.Tensor(fused)
+    acc = (z.dtype if str(z.dtype).endswith(("float64", "float32"))
+           else md.float32)
+    za = z.astype(acc)
+    m = md.max(za, axis=-1, keepdims=True)
+    e = md.exp(za - m)
+    p = e / md.sum(e, axis=-1, keepdims=True)
+    v = z.shape[-1]
+    onehot = md.equal(md.expand_dims(lab, -1), md.arange(v)).astype(acc)
+    dz = (p - onehot) * md.expand_dims(grad.astype(acc), -1)
+    return dz.astype(z.dtype)
+
+
+softmax_xent = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(backend_fn("softmax_xent")),
+    grad_x=softmax_xent_grad_z,
+    grad_y=None,
+)
+
 # Serving-only attention over an int8-quantized KV cache (q, k8, ks, v8, vs,
 # pos; kwarg scale; chunk size comes from q.shape[2]).  Non-differentiable by
 # design: the decode path never backprops, and training keeps full-precision
@@ -1494,6 +1548,7 @@ __all__ = [
     "sdpa",
     "layernorm",
     "rmsnorm",
+    "softmax_xent",
     "concat",
     "conv2d",
     "conv2d_input_grad",
