@@ -63,6 +63,9 @@ from minidiff_tpu.models.quant import (  # noqa: F401
     quantized_bytes,
 )
 from minidiff_tpu.models.vit import ViT, patchify  # noqa: F401
+from minidiff_tpu.models.dit import (DiT, flow_matching_loss,  # noqa: F401
+                                     sample_flow, timestep_embedding,
+                                     unpatchify)
 from minidiff_tpu.models.speculative import (  # noqa: F401
     generate_speculative,
     generate_speculative_compiled,
