@@ -10,12 +10,14 @@ from minidiff_tpu.models import functional  # noqa: F401
 from minidiff_tpu.models.layers import Linear, Module, Sequential  # noqa: F401
 from minidiff_tpu.models.mlp import MLP, make_train_step  # noqa: F401
 from minidiff_tpu.models.optim import (  # noqa: F401
+    EMA,
     SGD,
     Adafactor,
     Adam,
     AdamW,
     Lion,
     MixedPrecision,
+    Muon,
     Optimizer,
     clip_by_global_norm,
     cosine_schedule,

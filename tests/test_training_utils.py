@@ -319,3 +319,90 @@ def test_donated_train_step_loops_and_matches():
         p_don, state, loss = step(p_don, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0], losses
+
+
+# ---------------------------------------------------------------------------
+# Muon + EMA
+# ---------------------------------------------------------------------------
+
+
+def test_newton_schulz_orthogonalizes():
+    from minidiff_tpu.models.optim import _newton_schulz
+
+    md.set_backend("xla")
+    for shape in ((32, 64), (64, 32), (48, 48)):
+        rng = np.random.RandomState(0)
+        g_np = rng.randn(*shape)
+        g = md.Tensor(g_np)
+        x = _newton_schulz(g.astype(md.float32))
+        sv = np.linalg.svd(np.asarray(x.detach(), np.float64),
+                           compute_uv=False)
+        # the quintic NS is deliberately loose (Muon's coefficients trade
+        # exactness for speed): the bulk lands near 1; the smallest
+        # directions of a near-square Gaussian (min sv ~ 1/n) lag behind
+        assert sv.max() < 1.5, (shape, sv.max())
+        assert np.median(sv) > 0.65, (shape, np.median(sv))
+        if shape[0] != shape[1]:  # aspect ratio 2: well-conditioned input
+            assert sv.min() > 0.3, (shape, sv.min())
+
+
+def test_muon_trains_mlp(backend):
+    from minidiff_tpu.models import Muon
+
+    np.random.seed(3)
+    model = MLP(16, (32,), 4)
+    params = model.init()
+    xs, ys = synthetic_classification(128, 16, 4)
+    x, y = md.Tensor(xs), md.Tensor(ys)
+    step = make_train_step(model, Muon(lr=0.02))
+    state = None
+    losses = []
+    for _ in range(15):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(loss.item()))
+    assert losses[-1] < 0.5 * losses[0], losses
+
+
+def test_muon_bf16_params_keep_dtype():
+    from minidiff_tpu.models import Muon
+
+    md.set_backend("xla")
+    p = {"w": md.Tensor(np.random.randn(16, 32)).astype(md.bfloat16)
+            .detach(allow_grad=True),
+         "b": md.Tensor(np.random.randn(32)).astype(md.bfloat16)
+            .detach(allow_grad=True)}
+    g = jax.tree.map(lambda t: md.ones_like(t), p,
+                     is_leaf=lambda t: isinstance(t, md.Tensor))
+    opt = Muon(lr=0.01)
+    st = opt.init(p)
+    p2, st2 = opt.update(p, g, st)
+    assert p2["w"].dtype == p["w"].dtype
+    assert p2["b"].dtype == p["b"].dtype
+    # momentum buffers accumulate in f32 regardless of param dtype
+    assert str(st2["w"].dtype) == "float32"
+
+
+def test_ema_formula_and_convergence(backend):
+    from minidiff_tpu.models import EMA
+
+    ema = EMA(decay=0.9)
+    p = {"w": md.Tensor(np.zeros((4,)))}
+    e = ema.init(p)
+    target = {"w": md.Tensor(np.ones((4,)))}
+    vals = []
+    for _ in range(3):
+        e = ema.update(e, target)
+        vals.append(np.asarray(e["w"].detach()).copy())
+    np.testing.assert_allclose(vals[0], 0.1 * np.ones(4), rtol=1e-12)
+    np.testing.assert_allclose(vals[1], 0.19 * np.ones(4), rtol=1e-12)
+    np.testing.assert_allclose(vals[2], 0.271 * np.ones(4), rtol=1e-12)
+
+
+def test_ema_init_is_detached_copy(backend):
+    from minidiff_tpu.models import EMA
+
+    p = {"w": md.Tensor(np.ones((3,)), allow_grad=True)}
+    e = EMA().init(p)
+    assert e["w"].op_node is None
+    np.testing.assert_allclose(np.asarray(e["w"].detach()),
+                               np.asarray(p["w"].detach()))
