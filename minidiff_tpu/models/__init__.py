@@ -60,6 +60,14 @@ from minidiff_tpu.models.rnn import (  # noqa: F401
     GRUClassifier,
     synthetic_sequence_classification,
 )
+from minidiff_tpu.models.lora import (  # noqa: F401
+    combine_params,
+    lora_init,
+    lora_predicate,
+    merge_lora,
+    partition_params,
+    trainable_params,
+)
 from minidiff_tpu.models.quant import (  # noqa: F401
     quantize_for_serving,
     quantized_bytes,

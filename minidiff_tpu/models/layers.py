@@ -56,6 +56,11 @@ class Linear(Module):
             out = md.dequant_matmul(x, params["w_q"], params["w_s"])
         else:
             out = x @ params["w"]
+        if "lora_a" in params:
+            # LoRA adapter (models.lora): two skinny rank-r matmuls added
+            # to the frozen base projection; zero-init lora_b keeps the
+            # fresh adapter an exact no-op
+            out = out + (x @ params["lora_a"]) @ params["lora_b"] * params["lora_s"]
         if self.bias:
             out = out + params["b"]
         return out

@@ -53,6 +53,7 @@ def make_train_step(
     apply_fn: "Optional[Callable]" = None,
     grad_accum: int = 1,
     donate: bool = False,
+    trainable: "Optional[Callable[[str], bool]]" = None,
 ):
     """Build ``step(params, opt_state, x, y) -> (params, opt_state, loss)``.
 
@@ -71,6 +72,13 @@ def make_train_step(
     microbatch, so batch sizes that do not fit in HBM still train (the
     statically-unrolled microbatch loop compiles into the same executable).
 
+    ``trainable`` (a predicate on ``"blocks/0/attn/qkv/w"``-style tree
+    paths) restricts differentiation AND the optimizer update to the
+    matching leaves — parameter-efficient fine-tuning (pass
+    ``lora.lora_predicate`` for LoRA); everything else is frozen,
+    bit-identical across steps, and ``opt_state`` must be initialised from
+    ``lora.trainable_params(params, trainable)``.
+
     Stochastic-layer models (dropout): pass a PRNG key per call,
     ``step(params, opt_state, x, y, rng=md.fold_in(key, step_no))`` — the
     key is a traced *input* to the compiled program, so ONE executable
@@ -83,10 +91,30 @@ def make_train_step(
     def _apply(p, xb, rng):
         return apply(p, xb) if rng is None else apply(p, xb, rng=rng)
 
+    if trainable is None:
+        def split(p):
+            return p, None
+
+        def rejoin(t, f):
+            return t
+    else:
+        # parameter-efficient fine-tuning (e.g. LoRA): differentiate and
+        # update only the leaves whose tree path satisfies the predicate;
+        # the frozen subtree crosses the step untouched and opt_state
+        # covers the trainable subtree only (init with
+        # lora.trainable_params(params, trainable))
+        from minidiff_tpu.models.lora import combine_params, partition_params
+
+        def split(p):
+            return partition_params(p, trainable)
+
+        rejoin = combine_params
+
     def step(params, opt_state, x, y, rng=None):
+        params, frozen = split(params)
         if grad_accum == 1:
             def objective(p):
-                return loss_fn(_apply(p, x, rng), y)
+                return loss_fn(_apply(rejoin(p, frozen), x, rng), y)
 
             loss, grads = md.value_and_grad(objective)(params)
         else:
@@ -100,7 +128,7 @@ def make_train_step(
                 ri = None if rng is None else md.fold_in(rng, i)
 
                 def objective(p, xi=xi, yi=yi, ri=ri):
-                    return loss_fn(_apply(p, xi, ri), yi)
+                    return loss_fn(_apply(rejoin(p, frozen), xi, ri), yi)
 
                 li, gi = md.value_and_grad(objective)(params)
                 loss = li if loss is None else loss + li
@@ -119,7 +147,7 @@ def make_train_step(
                     is_leaf=lambda t: isinstance(t, md.Tensor),
                 )
         params, opt_state = optimizer.update(params, grads, opt_state)
-        return params, opt_state, loss
+        return rejoin(params, frozen), opt_state, loss
 
     if jit and md.backend_name() == "xla":
         # donate only params (arg 0) and optimizer state (arg 1): donating
