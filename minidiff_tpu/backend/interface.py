@@ -24,7 +24,7 @@ Elementwise unary:  absolute, ceil, copy, cos, cosh, exp, floor, invert, log,
 Shape unary:        atleast_1d, atleast_2d, atleast_3d, flatten, flip, ravel,
     squeeze, transpose
 Reductions:         all, any, argmax, argmin, max, mean, min, prod, std, sum
-Scans:              cumsum
+Scans:              cumsum, linear_scan (y_t = a_t*y_{t-1} + b_t)
 Ordering:           sort, argsort, top_k_indices (k largest on the last axis)
 Search:             argwhere
 Binary:             add, astype, broadcast_to, dot, equal, expand_dims,
@@ -67,7 +67,8 @@ REQUIRED_ATTRS = [
     "squeeze", "transpose",
     # reductions / search / scans / ordering
     "all", "any", "argmax", "argmin", "max", "mean", "min", "prod", "std",
-    "sum", "var", "cumsum", "argwhere", "sort", "argsort", "top_k_indices",
+    "sum", "var", "cumsum", "linear_scan", "argwhere", "sort", "argsort",
+    "top_k_indices",
     # binary
     "add", "astype", "broadcast_to", "dot", "equal", "expand_dims",
     "floor_divide", "getitem", "greater", "greater_equal", "less",

@@ -87,6 +87,20 @@ class NumpyBackend:
     argsort = staticmethod(np.argsort)
 
     @staticmethod
+    def linear_scan(a: np.ndarray, b: np.ndarray,
+                    axis: int = -1) -> np.ndarray:
+        # y_t = a_t * y_{t-1} + b_t, y_{-1} = 0 — sequential oracle for the
+        # xla backend's associative parallel scan
+        a = np.moveaxis(np.asarray(a), axis, 0)
+        b = np.moveaxis(np.asarray(b), axis, 0)
+        out = np.empty(b.shape, dtype=np.result_type(a, b))
+        acc = np.zeros(b.shape[1:], dtype=out.dtype)
+        for t in range(b.shape[0]):
+            acc = a[t] * acc + b[t]
+            out[t] = acc
+        return np.moveaxis(out, 0, axis)
+
+    @staticmethod
     def top_k_indices(a: np.ndarray, k: int) -> np.ndarray:
         # indices of the k largest along the LAST axis, descending value
         part = np.argpartition(-a, k - 1, axis=-1)[..., :k]

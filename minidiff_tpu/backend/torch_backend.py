@@ -249,6 +249,20 @@ class TorchBackend:
         return torch.cumsum(a, dim=axis)
 
     @staticmethod
+    def linear_scan(a, b, axis=-1):
+        # y_t = a_t * y_{t-1} + b_t, y_{-1} = 0 (sequential, like the numpy
+        # oracle; the parallel formulation lives in the xla backend)
+        a, b = _t(a), _t(b)
+        a = torch.movedim(a, axis, 0)
+        b = torch.movedim(b, axis, 0)
+        out = torch.empty(b.shape, dtype=torch.promote_types(a.dtype, b.dtype))
+        acc = torch.zeros(b.shape[1:], dtype=out.dtype)
+        for t in range(b.shape[0]):
+            acc = a[t] * acc + b[t]
+            out[t] = acc
+        return torch.movedim(out, 0, axis)
+
+    @staticmethod
     def sort(a, axis=-1):
         a = _t(a)
         if axis is None:

@@ -130,6 +130,22 @@ class XlaBackend:
     argsort = staticmethod(jnp.argsort)
 
     @staticmethod
+    def linear_scan(a: jax.Array, b: jax.Array, axis: int = -1) -> jax.Array:
+        # y_t = a_t * y_{t-1} + b_t (y_{-1} = 0) as a PARALLEL prefix scan:
+        # the affine maps x -> a*x + b compose associatively, so
+        # associative_scan runs in O(log T) depth on the VPU instead of a
+        # T-step sequential loop — the TPU-native formulation of the SSM /
+        # linear-RNN recurrence
+        def combine(lo, hi):
+            a1, b1 = lo
+            a2, b2 = hi
+            return a1 * a2, b1 * a2 + b2
+
+        dtype = jnp.result_type(a, b)
+        return jax.lax.associative_scan(
+            combine, (a.astype(dtype), b.astype(dtype)), axis=axis)[1]
+
+    @staticmethod
     def top_k_indices(a: jax.Array, k: int) -> jax.Array:
         # O(n log k) on device; last axis, descending value
         return jax.lax.top_k(a, k)[1]

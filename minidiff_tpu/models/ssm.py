@@ -1,0 +1,189 @@
+"""Selective state-space models (Mamba-style) over ``md.linear_scan``.
+
+The sequence mixer here is not attention but a per-channel linear recurrence
+``h_t = Abar_t * h_{t-1} + Bbar_t x_t`` whose decay and input maps are
+*functions of the input* (the "selective" part).  On TPU the natural
+formulation is a parallel prefix scan: ``md.linear_scan`` lowers to
+jax.lax.associative_scan (O(log T) depth on the VPU), and because its VJPs
+are themselves reversed linear scans, the tape backward of a whole Mamba
+block stays a parallel scan too — no sequential T-step loop anywhere in
+training.  This is the TPU-native answer to the CUDA "selective scan"
+kernel: the work is elementwise map + prefix scan + matmuls, exactly the
+shapes XLA tiles well, so a custom kernel adds nothing a fusion pass
+doesn't already do.
+
+Components (faithful to the Mamba architecture, sized for clarity):
+
+- causal depthwise conv over the sequence: K static shifted adds (K is 4),
+  which XLA fuses into one elementwise pass — no gather, no conv lowering
+- input-dependent dt/B/C projections; ``dt`` through softplus, ``A`` stored
+  as ``A_log`` with A = -exp(A_log) (always-stable decay |Abar| < 1)
+- discretization abar = exp(dt*A), bbar*x = dt*B*x (zero-order hold)
+- gated output y * silu(z) and the usual pre-norm residual stack
+
+``MambaLM`` mirrors ``TransformerLM``'s interface (init/apply -> logits,
+``lm_loss`` compatible) so the training toolkit, LoRA, and the data
+pipeline apply unchanged.
+
+No reference counterpart: /root/reference (ahoynodnarb/minidiff) has no
+models layer at all; this extends SURVEY §8's model families with a
+state-space family.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+import minidiff_tpu as md
+from minidiff_tpu.models.functional import silu
+from minidiff_tpu.models.layers import Linear, Module
+from minidiff_tpu.models.transformer import RMSNorm
+
+if TYPE_CHECKING:
+    from typing import Any, Dict, Optional
+
+__all__ = ["MambaBlock", "MambaLM", "softplus"]
+
+
+def softplus(x: "md.Tensor") -> "md.Tensor":
+    """log(1 + exp(x)), overflow-safe: relu(x) + log1p(exp(-|x|))."""
+    return md.maximum(x, md.zeros_like(x)) + md.log(1.0 + md.exp(-md.absolute(x)))
+
+
+class MambaBlock(Module):
+    """One selective-SSM mixer: in-proj -> causal depthwise conv -> SSM scan
+    -> gate -> out-proj.  Shapes follow the Mamba paper: d_inner = expand *
+    dim, state size n = d_state per channel, dt bottleneck dt_rank."""
+
+    def __init__(self, dim: int, d_state: int = 16, d_conv: int = 4,
+                 expand: int = 2, dt_rank: "Optional[int]" = None,
+                 dtype: "Optional[Any]" = None):
+        self.dim = dim
+        self.d_state = d_state
+        self.d_conv = d_conv
+        self.d_inner = expand * dim
+        self.dt_rank = dt_rank if dt_rank is not None else max(1, math.ceil(dim / 16))
+        self.dtype = dtype
+        self.in_proj = Linear(dim, 2 * self.d_inner, bias=False, dtype=dtype)
+        self.x_proj = Linear(self.d_inner, self.dt_rank + 2 * d_state,
+                             bias=False, dtype=dtype)
+        self.dt_proj = Linear(self.dt_rank, self.d_inner, bias=True,
+                              dtype=dtype)
+        self.out_proj = Linear(self.d_inner, dim, bias=False, dtype=dtype)
+
+    def init(self) -> "Dict[str, Any]":
+        di, n, k = self.d_inner, self.d_state, self.d_conv
+        # A_log init: A = -(1..n) per channel (the S4D-real spectrum) keeps
+        # the slowest mode near exp(-dt) and the fastest near exp(-n*dt)
+        a = np.tile(np.arange(1, n + 1, dtype=np.float64), (di, 1))
+        conv_w = np.random.uniform(-1.0, 1.0, (k, di)) / math.sqrt(k)
+        dt_p = self.dt_proj.init()
+        # dt bias init so softplus(dt_bias) spans ~[1e-3, 1e-1] (Mamba's
+        # dt_init): random log-uniform, inverse-softplus'd
+        dt = np.exp(np.random.uniform(math.log(1e-3), math.log(1e-1),
+                                      (di,)))
+        dt_p["b"] = md.Tensor(dt + np.log(-np.expm1(-dt)), allow_grad=True,
+                              dtype=self.dtype)
+        return {
+            "in_proj": self.in_proj.init(),
+            "conv_w": md.Tensor(conv_w, allow_grad=True, dtype=self.dtype),
+            "conv_b": md.Tensor(np.zeros(di), allow_grad=True,
+                                dtype=self.dtype),
+            "x_proj": self.x_proj.init(),
+            "dt_proj": dt_p,
+            "A_log": md.Tensor(np.log(a), allow_grad=True, dtype=self.dtype),
+            "D": md.Tensor(np.ones(di), allow_grad=True, dtype=self.dtype),
+            "out_proj": self.out_proj.init(),
+        }
+
+    def _causal_conv(self, params, x):
+        """Depthwise causal conv over seq: y_t = sum_j w_j x_{t-(K-1)+j}.
+        K static shifted slices + weighted adds — one fused elementwise
+        pass under XLA, and every shift is differentiable through the
+        getitem/concat VJPs."""
+        b, s, di = x.shape
+        w = params["conv_w"]
+        out = x * w[self.d_conv - 1]
+        for j in range(self.d_conv - 1):
+            shift = self.d_conv - 1 - j  # how far back this tap reaches
+            if shift >= s:
+                continue
+            zeros = md.zeros_like(x[:, :shift])
+            out = out + md.concat((zeros, x[:, :s - shift]), axis=1) * w[j]
+        return out + params["conv_b"]
+
+    def apply(self, params, u):
+        """(b, s, dim) -> (b, s, dim)."""
+        b, s, _ = u.shape
+        di, n, dtr = self.d_inner, self.d_state, self.dt_rank
+        xz = self.in_proj.apply(params["in_proj"], u)
+        x, z = xz[:, :, :di], xz[:, :, di:]
+        x = silu(self._causal_conv(params, x))
+
+        proj = self.x_proj.apply(params["x_proj"], x)
+        dt = softplus(self.dt_proj.apply(params["dt_proj"],
+                                         proj[:, :, :dtr]))       # (b,s,di)
+        B = proj[:, :, dtr:dtr + n]                                # (b,s,n)
+        C = proj[:, :, dtr + n:]                                   # (b,s,n)
+
+        A = -md.exp(params["A_log"])                               # (di,n)
+        dtA = dt.reshape((b, s, di, 1)) * A                        # (b,s,di,n)
+        abar = md.exp(dtA)
+        bx = (dt * x).reshape((b, s, di, 1)) * B.reshape((b, s, 1, n))
+        h = md.linear_scan(abar, bx, axis=1)                       # (b,s,di,n)
+        y = (h * C.reshape((b, s, 1, n))).sum(axis=-1)             # (b,s,di)
+        y = y + x * params["D"]
+        y = y * silu(z)
+        return self.out_proj.apply(params["out_proj"], y)
+
+
+class MambaLM(Module):
+    """Decoder-only SSM LM: token embedding, N pre-RMSNorm Mamba blocks with
+    residuals, final norm, (tied) vocab head.  Same init/apply contract as
+    ``TransformerLM`` so ``lm_loss``, ``make_train_step``, LoRA, and the
+    sharding rules compose unchanged."""
+
+    def __init__(self, vocab_size: int = 256, dim: int = 128,
+                 num_layers: int = 2, d_state: int = 16, d_conv: int = 4,
+                 expand: int = 2, tie_embeddings: bool = True,
+                 dtype: "Optional[Any]" = None):
+        self.vocab_size = vocab_size
+        self.dim = dim
+        self.tie_embeddings = tie_embeddings
+        self.blocks = [
+            MambaBlock(dim, d_state=d_state, d_conv=d_conv, expand=expand,
+                       dtype=dtype)
+            for _ in range(num_layers)
+        ]
+        self.norms = [RMSNorm(dim, dtype=dtype) for _ in range(num_layers)]
+        self.ln_f = RMSNorm(dim, dtype=dtype)
+        if not tie_embeddings:
+            self.head = Linear(dim, vocab_size, bias=False, dtype=dtype)
+        self.dtype = dtype
+
+    def init(self) -> "Dict[str, Any]":
+        scale = 1.0 / math.sqrt(self.dim)
+        tok = np.random.normal(0.0, scale, (self.vocab_size, self.dim))
+        params = {
+            "tok_emb": md.Tensor(tok, allow_grad=True, dtype=self.dtype),
+            "blocks": [blk.init() for blk in self.blocks],
+            "norms": [nm.init() for nm in self.norms],
+            "ln_f": self.ln_f.init(),
+        }
+        if not self.tie_embeddings:
+            params["head"] = self.head.init()
+        return params
+
+    def apply(self, params, tokens):
+        """tokens (B, S) int -> logits (B, S, V)."""
+        x = params["tok_emb"][tokens]
+        for blk, nm, bp, np_ in zip(self.blocks, self.norms,
+                                    params["blocks"], params["norms"]):
+            x = x + blk.apply(bp, nm.apply(np_, x))
+        x = self.ln_f.apply(params["ln_f"], x)
+        if self.tie_embeddings:
+            return md.matmul_nt(x, params["tok_emb"])
+        return self.head.apply(params["head"], x)

@@ -479,6 +479,61 @@ cumsum = wrapping.create_unary_op_func(
 )
 
 
+def _scan_shift(t, axis):
+    """t_{i-1} along ``axis`` with a zero slab at i=0 (framework ops only,
+    so the shift re-tapes under higher-order differentiation)."""
+    ax = axis % t.ndim
+    pre = (slice(None),) * ax
+    zero = md.zeros_like(t[pre + (slice(0, 1),)])
+    return concat((zero, t[pre + (slice(0, -1),)]), axis=ax)
+
+
+def linear_scan_grad_b(a, b, grad, axis=-1, _output=None):
+    """Cotangent recurrence r_t = g_t + a_{t+1} r_{t+1}: ANOTHER first-order
+    linear recurrence, run in reverse — flip time, shift the decay one slot
+    (r's step t uses the forward step t+1's decay), linear_scan, flip back.
+    On the xla backend the backward is therefore a parallel prefix scan
+    too, not a sequential loop."""
+    ar = flip(a, axis=axis)
+    return flip(
+        linear_scan(_scan_shift(ar, axis), flip(grad, axis=axis), axis=axis),
+        axis=axis,
+    )
+
+
+def linear_scan_grad_a(a, b, grad, axis=-1, _output=None):
+    """dy_t/da_t = y_{t-1}, scaled by the accumulated cotangent r_t."""
+    y = linear_scan(a, b, axis=axis) if _output is None else _output
+    r = linear_scan_grad_b(a, b, grad, axis=axis)
+    return r * _scan_shift(y, axis)
+
+
+linear_scan_grad_a.needs_output = True
+
+
+def _linear_scan_forward(a, b, axis=-1):
+    if a.shape != b.shape:
+        raise ValueError(
+            f"linear_scan requires matching shapes, got {a.shape} vs "
+            f"{b.shape} (broadcast explicitly before scanning)")
+    return backend_fn("linear_scan")(a, b, axis=axis)
+
+
+linear_scan = wrapping.create_binary_op_func(
+    forward_func=as_tensor_func(_linear_scan_forward),
+    grad_x=linear_scan_grad_a,
+    grad_y=linear_scan_grad_b,
+    propagate_kwargs=True,
+)
+linear_scan.__doc__ = """First-order linear recurrence along ``axis``:
+``y_t = a_t * y_{t-1} + b_t`` with ``y_{-1} = 0``, elementwise over every
+other axis.  The primitive under SSM / linear-RNN / EMA-style models
+(models/ssm.py): on the xla backend it lowers to jax.lax.associative_scan —
+O(log T) depth on TPU — and its VJPs are themselves reversed linear scans,
+so backward (and higher orders) stay parallel.  Extension op: the reference
+(/root/reference/minidiff/ops/definitions.py) has no scan beyond cumsum."""
+
+
 # ---------------------------------------------------------------------------
 # einsum (extension op) — any number of operands, ellipsis, repeated-index
 # diagonals; differentiable and higher-order capable (the VJPs are
@@ -1503,6 +1558,7 @@ __all__ = [
     "var",
     "sum",
     "cumsum",
+    "linear_scan",
     "einsum",
     "sort",
     "argsort",

@@ -1,0 +1,224 @@
+"""md.linear_scan op + the Mamba-style SSM family (models/ssm.py).
+
+Extension beyond the reference (/root/reference has no scan beyond cumsum
+and no models layer).  Covers:
+* linear_scan forward vs a naive sequential loop, several shapes/axes
+* reduction to cumsum when a == 1
+* gradcheck of both inputs against the finite-difference oracle
+* second-order differentiation through the scan
+* shape-mismatch validation, jit parity on xla
+* softplus, causal-conv causality, whole-MambaLM oracle gradcheck
+* MambaLM end-to-end training (loss decreases; jit on xla)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import minidiff_tpu as md
+from minidiff_tpu.models import make_train_step
+from minidiff_tpu.models.functional import cross_entropy
+from minidiff_tpu.models.optim import Adam
+from minidiff_tpu.models.ssm import MambaBlock, MambaLM, softplus
+from minidiff_tpu.utils import compute_grads
+
+
+def _np(t):
+    import minidiff_tpu.backend as backend
+
+    return np.asarray(backend.get_backend().as_numpy(t._data))
+
+
+def _naive_scan(a, b, axis):
+    a = np.moveaxis(a, axis, 0)
+    b = np.moveaxis(b, axis, 0)
+    out = np.zeros_like(b)
+    acc = np.zeros(b.shape[1:])
+    for t in range(b.shape[0]):
+        acc = a[t] * acc + b[t]
+        out[t] = acc
+    return np.moveaxis(out, 0, axis)
+
+
+# ---------------------------------------------------------------------------
+# linear_scan op
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape,axis", [((7,), 0), ((3, 9), 1), ((2, 5, 4), 1),
+                                        ((2, 3, 8), -1), ((4, 6, 2, 3), 2)])
+def test_linear_scan_forward(backend, shape, axis):
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1.1, 1.1, shape)
+    b = rng.standard_normal(shape)
+    got = _np(md.linear_scan(md.Tensor(a), md.Tensor(b), axis=axis))
+    np.testing.assert_allclose(got, _naive_scan(a, b, axis), rtol=1e-5,
+                               atol=1e-8)
+
+
+def test_linear_scan_ones_is_cumsum(backend):
+    b = np.random.default_rng(1).standard_normal((4, 6))
+    ones = md.Tensor(np.ones((4, 6)))
+    got = _np(md.linear_scan(ones, md.Tensor(b), axis=1))
+    np.testing.assert_allclose(got, np.cumsum(b, axis=1), rtol=1e-6)
+
+
+@pytest.mark.parametrize("axis", [0, 1, -1])
+def test_linear_scan_gradcheck(backend, axis):
+    rng = np.random.default_rng(2)
+    a = md.Tensor(rng.uniform(0.2, 0.9, (3, 5, 2)), allow_grad=True)
+    b = md.Tensor(rng.standard_normal((3, 5, 2)), allow_grad=True)
+
+    def f(u, v):
+        return (md.linear_scan(u, v, axis=axis) ** 2).sum()
+
+    manual, auto = compute_grads(a, b, func=f)
+    for m, g in zip(manual, auto):
+        np.testing.assert_allclose(_np(g), _np(m), rtol=1e-4, atol=1e-6)
+
+
+def test_linear_scan_second_order(backend):
+    # L = sum(linear_scan(a, a)^2): d2L/da2 vs central differences of dL/da
+    a0 = np.array([0.5, 0.6, 0.7])
+
+    def grad_of(x_np):
+        x = md.Tensor(x_np, allow_grad=True)
+        ((md.linear_scan(x, x, axis=0) ** 2).sum()).backward()
+        return _np(x.grad)
+
+    x = md.Tensor(a0, allow_grad=True)
+    f = (md.linear_scan(x, x, axis=0) ** 2).sum()
+    f.backward(allow_higher_order=True)
+    (x.grad.sum()).backward()
+    hess_rowsum = _np(x.grad)  # d/dx_i of sum_j g_j
+
+    eps = 1e-5
+    fd = np.zeros(3)
+    for i in range(3):
+        up, dn = a0.copy(), a0.copy()
+        up[i] += eps
+        dn[i] -= eps
+        fd[i] = (grad_of(up).sum() - grad_of(dn).sum()) / (2 * eps)
+    np.testing.assert_allclose(hess_rowsum, fd, rtol=1e-4, atol=1e-6)
+
+
+def test_linear_scan_shape_mismatch_raises(backend):
+    with pytest.raises(ValueError, match="matching shapes"):
+        md.linear_scan(md.Tensor(np.ones((2, 3))), md.Tensor(np.ones((2, 4))),
+                       axis=1)
+
+
+def test_linear_scan_jit_parity_xla():
+    md.set_backend("xla")
+    rng = np.random.default_rng(3)
+    a = md.Tensor(rng.uniform(0.1, 0.9, (2, 16, 3)))
+    b = md.Tensor(rng.standard_normal((2, 16, 3)))
+
+    def f(u, v):
+        return md.linear_scan(u, v, axis=1) * 2.0
+
+    eager = _np(f(a, b))
+    jitted = _np(md.jit(f)(a, b))
+    np.testing.assert_allclose(jitted, eager, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# SSM components
+# ---------------------------------------------------------------------------
+
+
+def test_softplus(backend):
+    x = md.Tensor(np.array([-50.0, -1.0, 0.0, 1.0, 50.0]))
+    got = _np(softplus(x))
+    ref = np.logaddexp(0.0, np.array([-50.0, -1.0, 0.0, 1.0, 50.0]))
+    # atol floor: without a log1p primitive, softplus(-50) rounds its
+    # 1.9e-22 true value to 0.0 — irrelevant at SSM dt scales
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-12)
+    assert np.isfinite(got).all()
+
+
+def test_mamba_block_shape_and_causality(backend):
+    blk = MambaBlock(dim=8, d_state=4, d_conv=3, expand=2)
+    params = blk.init()
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 10, 8))
+    y0 = _np(blk.apply(params, md.Tensor(x)))
+    assert y0.shape == (2, 10, 8)
+    # perturb the future: outputs at t < 6 must not change
+    x2 = x.copy()
+    x2[:, 6:] += rng.standard_normal((2, 4, 8))
+    y1 = _np(blk.apply(params, md.Tensor(x2)))
+    np.testing.assert_allclose(y1[:, :6], y0[:, :6], rtol=1e-6, atol=1e-8)
+    assert np.abs(y1[:, 6:] - y0[:, 6:]).max() > 1e-6
+
+
+def test_mamba_block_gradcheck():
+    md.set_backend("numpy")
+    blk = MambaBlock(dim=4, d_state=3, d_conv=2, expand=2, dt_rank=2)
+    params = blk.init()
+    x = md.Tensor(np.random.default_rng(5).standard_normal((1, 5, 4)),
+                  allow_grad=True)
+
+    leaves = []
+    paths = []
+
+    def collect(t, p):
+        if isinstance(t, dict):
+            [collect(v, p + (k,)) for k, v in t.items()]
+        else:
+            leaves.append(t)
+            paths.append(p)
+
+    collect(params, ())
+
+    def rebuild(ws):
+        out = {}
+        for p, w in zip(paths, ws):
+            node = out
+            for k in p[:-1]:
+                node = node.setdefault(k, {})
+            node[p[-1]] = w
+        return out
+
+    def f(xx, *ws):
+        return (blk.apply(rebuild(ws), xx) ** 2).sum()
+
+    manual, auto = compute_grads(x, *leaves, func=f)
+    checked = 0
+    for m, g in zip(manual, auto):
+        assert m is not None and g is not None
+        np.testing.assert_allclose(_np(g), _np(m), rtol=2e-3, atol=1e-5)
+        checked += 1
+    assert checked == len(leaves) + 1
+
+
+def test_mamba_lm_trains(backend):
+    model = MambaLM(vocab_size=19, dim=12, num_layers=2, d_state=4, d_conv=3)
+    params = model.init()
+
+    def loss_fn(logits, y):
+        b, s, v = logits.shape
+        return cross_entropy(logits.reshape((b * s, v)), y.reshape((b * s,)))
+
+    opt = Adam(5e-3)
+    state = opt.init(params)
+    step = make_train_step(model, opt, loss_fn=loss_fn)
+    rng = np.random.default_rng(6)
+    x = md.Tensor(rng.integers(0, 19, (4, 12)))
+    y = md.Tensor(rng.integers(0, 19, (4, 12)))
+    losses = []
+    for _ in range(12):
+        params, state, loss = step(params, state, x, y)
+        losses.append(float(_np(loss)))
+    assert losses[-1] < losses[0] - 0.1, losses
+
+
+def test_mamba_lm_jit_matches_eager_xla():
+    md.set_backend("xla")
+    model = MambaLM(vocab_size=11, dim=8, num_layers=1, d_state=4)
+    params = model.init()
+    x = md.Tensor(np.random.default_rng(7).integers(0, 11, (2, 6)))
+    eager = _np(model.apply(params, x))
+    jitted = _np(md.jit(model.apply)(params, x))
+    np.testing.assert_allclose(jitted, eager, rtol=1e-5, atol=1e-7)
