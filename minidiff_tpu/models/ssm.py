@@ -115,6 +115,15 @@ class MambaBlock(Module):
             out = out + md.concat((zeros, x[:, :s - shift]), axis=1) * w[j]
         return out + params["conv_b"]
 
+    def _dtbc(self, params, x):
+        """Input-dependent dt (b, ..., di) and B/C (b, ..., n) — shared by
+        the parallel forward and the recurrent step so they cannot drift."""
+        dtr, n = self.dt_rank, self.d_state
+        proj = self.x_proj.apply(params["x_proj"], x)
+        dt = softplus(self.dt_proj.apply(params["dt_proj"],
+                                         proj[..., :dtr]))
+        return dt, proj[..., dtr:dtr + n], proj[..., dtr + n:]
+
     def apply(self, params, u):
         """(b, s, dim) -> (b, s, dim)."""
         b, s, _ = u.shape
@@ -123,11 +132,7 @@ class MambaBlock(Module):
         x, z = xz[:, :, :di], xz[:, :, di:]
         x = silu(self._causal_conv(params, x))
 
-        proj = self.x_proj.apply(params["x_proj"], x)
-        dt = softplus(self.dt_proj.apply(params["dt_proj"],
-                                         proj[:, :, :dtr]))       # (b,s,di)
-        B = proj[:, :, dtr:dtr + n]                                # (b,s,n)
-        C = proj[:, :, dtr + n:]                                   # (b,s,n)
+        dt, B, C = self._dtbc(params, x)   # (b,s,di), (b,s,n), (b,s,n)
 
         A = -md.exp(params["A_log"])                               # (di,n)
         dtA = dt.reshape((b, s, di, 1)) * A                        # (b,s,di,n)
@@ -138,6 +143,51 @@ class MambaBlock(Module):
         y = y + x * params["D"]
         y = y * silu(z)
         return self.out_proj.apply(params["out_proj"], y)
+
+    # -- recurrent decode: O(1) state per token, no KV cache ---------------
+
+    def init_state(self, batch: int):
+        """Decode state: the SSM hidden h (b, di, n) plus the last K-1
+        conv-tap inputs (b, K-1, di) — constant-size regardless of how many
+        tokens have been consumed (the SSM serving advantage)."""
+        di, n, k = self.d_inner, self.d_state, self.d_conv
+        return {
+            "h": md.Tensor(np.zeros((batch, di, n))),
+            "conv": md.Tensor(np.zeros((batch, k - 1, di))),
+        }
+
+    def step(self, params, state, u_t):
+        """One token: u_t (b, dim), state from ``init_state``/previous step
+        -> (y_t (b, dim), new state).  Exactly the ``apply`` math at one
+        position: the conv window comes from the state buffer and the scan
+        collapses to a single recurrence update h = abar*h + bx."""
+        b, _ = u_t.shape
+        di, n, k = self.d_inner, self.d_state, self.d_conv
+        xz = self.in_proj.apply(params["in_proj"], u_t)
+        x, z = xz[:, :di], xz[:, di:]
+
+        # causal conv over [conv buffer | x]: tap j weights position
+        # t-(K-1)+j, so the buffer rows are taps 0..K-2 and x is tap K-1
+        w = params["conv_w"]
+        conv = x * w[k - 1]
+        for j in range(k - 1):
+            conv = conv + state["conv"][:, j] * w[j]
+        x = silu(conv + params["conv_b"])
+
+        dt, B, C = self._dtbc(params, x)    # (b,di), (b,n), (b,n)
+        A = -md.exp(params["A_log"])        # (di,n)
+        abar = md.exp(dt.reshape((b, di, 1)) * A)
+        bx = (dt * x).reshape((b, di, 1)) * B.reshape((b, 1, n))
+        h = abar * state["h"] + bx
+        y = (h * C.reshape((b, 1, n))).sum(axis=-1) + x * params["D"]
+        y = y * silu(z)
+        if k > 1:
+            new_conv = md.concat((state["conv"][:, 1:],
+                                  xz[:, :di].reshape((b, 1, di))), axis=1)
+        else:
+            new_conv = state["conv"]  # K=1: no history needed
+        return (self.out_proj.apply(params["out_proj"], y),
+                {"h": h, "conv": new_conv})
 
 
 class MambaLM(Module):
@@ -187,3 +237,50 @@ class MambaLM(Module):
         if self.tie_embeddings:
             return md.matmul_nt(x, params["tok_emb"])
         return self.head.apply(params["head"], x)
+
+    # -- recurrent decode ---------------------------------------------------
+
+    def init_state(self, batch: int):
+        return [blk.init_state(batch) for blk in self.blocks]
+
+    def step(self, params, state, tokens_t):
+        """One decode step: tokens_t (B,) int -> (logits (B, V), state).
+
+        Unlike a transformer there is no KV cache growing with the
+        sequence: per block the state is one (b, di, n) hidden + a
+        (b, K-1, di) conv window, constant in tokens consumed."""
+        x = params["tok_emb"][tokens_t]
+        new_states = []
+        for blk, nm, bp, np_, st in zip(self.blocks, self.norms,
+                                        params["blocks"], params["norms"],
+                                        state):
+            y, st2 = blk.step(bp, st, nm.apply(np_, x))
+            x = x + y
+            new_states.append(st2)
+        x = self.ln_f.apply(params["ln_f"], x)
+        if self.tie_embeddings:
+            logits = md.matmul_nt(x, params["tok_emb"])
+        else:
+            logits = self.head.apply(params["head"], x)
+        return logits, new_states
+
+    def generate(self, params, prompt, new_tokens: int):
+        """Greedy decode: prompt (B, S) int -> (B, S + new_tokens).
+
+        The prompt is consumed token-by-token through the same recurrent
+        ``step`` the decode uses (a parallel-scan prefill that hands the
+        final h/conv state to the step path is a natural optimization, but
+        one code path keeps prefill and decode provably consistent)."""
+        with md.no_grad():
+            b, s = prompt.shape
+            state = self.init_state(b)
+            logits = None
+            for t in range(s):
+                logits, state = self.step(params, state, prompt[:, t])
+            out = [prompt]
+            tok = None
+            for _ in range(new_tokens):
+                tok = md.argmax(logits, axis=-1)
+                out.append(tok.reshape((b, 1)))
+                logits, state = self.step(params, state, tok)
+            return md.concatenate(out, axis=1)

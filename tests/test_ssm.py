@@ -214,6 +214,51 @@ def test_mamba_lm_trains(backend):
     assert losses[-1] < losses[0] - 0.1, losses
 
 
+def test_mamba_recurrent_step_matches_parallel(backend):
+    # THE ssm equivalence: feeding tokens one-by-one through the O(1)-state
+    # recurrent step must reproduce the parallel-scan forward's logits at
+    # every position
+    model = MambaLM(vocab_size=13, dim=8, num_layers=2, d_state=4, d_conv=3)
+    params = model.init()
+    rng = np.random.default_rng(8)
+    toks = rng.integers(0, 13, (2, 7))
+    parallel = _np(model.apply(params, md.Tensor(toks)))
+    state = model.init_state(2)
+    for t in range(7):
+        logits, state = model.step(params, state, md.Tensor(toks[:, t]))
+        np.testing.assert_allclose(_np(logits), parallel[:, t], rtol=1e-5,
+                                   atol=1e-8, err_msg=f"position {t}")
+
+
+def test_mamba_step_conv_edge_cases(backend):
+    # d_conv=1 (no history buffer at all) still matches the parallel path
+    model = MambaLM(vocab_size=7, dim=6, num_layers=1, d_state=3, d_conv=1)
+    params = model.init()
+    toks = np.random.default_rng(9).integers(0, 7, (1, 4))
+    parallel = _np(model.apply(params, md.Tensor(toks)))
+    state = model.init_state(1)
+    for t in range(4):
+        logits, state = model.step(params, state, md.Tensor(toks[:, t]))
+        np.testing.assert_allclose(_np(logits), parallel[:, t], rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_mamba_generate_greedy_matches_recompute(backend):
+    # greedy via recurrent state == greedy recomputing the full prefix with
+    # the parallel forward each step
+    model = MambaLM(vocab_size=11, dim=8, num_layers=2, d_state=4)
+    params = model.init()
+    prompt = np.random.default_rng(10).integers(0, 11, (2, 5))
+    out = _np(model.generate(params, md.Tensor(prompt), new_tokens=6))
+    assert out.shape == (2, 11)
+    seq = prompt.copy()
+    for _ in range(6):
+        logits = _np(model.apply(params, md.Tensor(seq)))
+        nxt = logits[:, -1].argmax(-1)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(out, seq)
+
+
 def test_mamba_lm_jit_matches_eager_xla():
     md.set_backend("xla")
     model = MambaLM(vocab_size=11, dim=8, num_layers=1, d_state=4)
