@@ -128,8 +128,12 @@ class MambaBlock(Module):
         """(b, s, dim) -> (b, s, dim)."""
         b, s, _ = u.shape
         di, n, dtr = self.d_inner, self.d_state, self.dt_rank
-        xz = self.in_proj.apply(params["in_proj"], u)
-        x, z = xz[:, :, :di], xz[:, :, di:]
+        # in_proj columns are PAIR-major (x_j, z_j): a tp column shard then
+        # holds matching x/z pairs, so this reshape-split propagates the
+        # sharding instead of forcing a boundary reshard (same trick as the
+        # fused qkv HEAD-major layout and SwiGLU's pair-major fc1)
+        xz = self.in_proj.apply(params["in_proj"], u).reshape((b, s, di, 2))
+        x, z = xz[:, :, :, 0], xz[:, :, :, 1]
         x = silu(self._causal_conv(params, x))
 
         dt, B, C = self._dtbc(params, x)   # (b,s,di), (b,s,n), (b,s,n)
@@ -163,8 +167,9 @@ class MambaBlock(Module):
         collapses to a single recurrence update h = abar*h + bx."""
         b, _ = u_t.shape
         di, n, k = self.d_inner, self.d_state, self.d_conv
-        xz = self.in_proj.apply(params["in_proj"], u_t)
-        x, z = xz[:, :di], xz[:, di:]
+        xz = self.in_proj.apply(params["in_proj"], u_t).reshape((b, di, 2))
+        x, z = xz[:, :, 0], xz[:, :, 1]
+        x_raw = x  # pre-conv input, pushed into the rolling conv window
 
         # causal conv over [conv buffer | x]: tap j weights position
         # t-(K-1)+j, so the buffer rows are taps 0..K-2 and x is tap K-1
@@ -183,7 +188,7 @@ class MambaBlock(Module):
         y = y * silu(z)
         if k > 1:
             new_conv = md.concat((state["conv"][:, 1:],
-                                  xz[:, :di].reshape((b, 1, di))), axis=1)
+                                  x_raw.reshape((b, 1, di))), axis=1)
         else:
             new_conv = state["conv"]  # K=1: no history needed
         return (self.out_proj.apply(params["out_proj"], y),

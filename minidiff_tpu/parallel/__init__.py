@@ -2,6 +2,7 @@ from minidiff_tpu.parallel.mesh import (  # noqa: F401
     constrain,
     make_mesh,
     fsdp_sharding_rules,
+    mamba_sharding_rules,
     mlp_sharding_rules,
     moe_sharding_rules,
     named_sharding,

@@ -131,6 +131,45 @@ def transformer_sharding_rules(params: "Any") -> "Any":
     return rules
 
 
+def mamba_sharding_rules(params: "Any") -> "Any":
+    """Megatron-style TP placement for models.MambaLM parameter trees.
+
+    The whole block is channel-parallel over ``d_inner``: in_proj is
+    column-parallel (its PAIR-major (x_j, z_j) column layout means a tp
+    shard holds matching gate/value channels — see MambaBlock.apply), the
+    conv taps / dt_proj / A_log / D shard their d_inner axis, and the two
+    matmuls that CONTRACT d_inner (x_proj producing the small dt/B/C
+    vector, out_proj closing the block) are row-parallel — XLA SPMD
+    inserts the two all-reduces per block from the shardings alone.  The
+    selective scan itself is elementwise over (d_inner, n), so it runs
+    fully sharded with zero communication.  Norms and embeddings
+    replicate; the untied head is column-parallel over the vocabulary.
+    """
+    def blk_rules(bp):
+        return {
+            "in_proj": {"w": PartitionSpec(None, "tp")},
+            "conv_w": PartitionSpec(None, "tp"),
+            "conv_b": PartitionSpec("tp"),
+            "x_proj": {"w": PartitionSpec("tp", None)},
+            "dt_proj": {"w": PartitionSpec(None, "tp"),
+                        "b": PartitionSpec("tp")},
+            "A_log": PartitionSpec("tp", None),
+            "D": PartitionSpec("tp"),
+            "out_proj": {"w": PartitionSpec("tp", None)},
+        }
+
+    rules = {
+        "tok_emb": PartitionSpec(),
+        "blocks": [blk_rules(bp) for bp in params["blocks"]],
+        "norms": [{k: PartitionSpec() for k in nm}
+                  for nm in params["norms"]],
+        "ln_f": {k: PartitionSpec() for k in params["ln_f"]},
+    }
+    if "head" in params:
+        rules["head"] = {"w": PartitionSpec(None, "tp")}
+    return rules
+
+
 def fsdp_sharding_rules(params: "Any", mesh: Mesh, axis: str = "dp",
                         min_size: int = 2 ** 14) -> "Any":
     """ZeRO-3/FSDP-style placement: every large parameter fully sharded.

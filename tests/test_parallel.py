@@ -202,3 +202,63 @@ def test_tp_rules_cover_model_variants():
     xb, yb = place_batch(x, y)
     p, s, loss = step(place_params(init), None, xb, yb)
     assert np.isfinite(float(loss.item()))
+
+
+@needs_8
+def test_sharded_mamba_tp_matches_single_device():
+    """mamba_sharding_rules: dp x tp step == single-device step; the
+    channel-parallel placement survives the update."""
+    from minidiff_tpu.models import MambaLM, SGD, lm_loss
+    from minidiff_tpu.models.transformer import synthetic_lm_batches
+
+    np.random.seed(3)
+    model = MambaLM(vocab_size=16, dim=16, num_layers=2, d_state=4,
+                    d_conv=3, expand=2)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(4, 8, 16, 1))
+
+    step1 = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, s1, loss1 = step1(init, None, x, y)
+
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    step8, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.1), loss_fn=lm_loss,
+        param_specs=parallel.mamba_sharding_rules(init),
+    )
+    p8 = place_params(init)
+    xb, yb = place_batch(x, y)
+    p8, s8, loss8 = step8(p8, None, xb, yb)
+
+    np.testing.assert_allclose(float(loss8.item()), float(loss1.item()),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p8["blocks"][0]["in_proj"]["w"]),
+        np.asarray(p1["blocks"][0]["in_proj"]["w"]),
+        rtol=1e-6, atol=1e-7,
+    )
+    spec = p8["blocks"][0]["out_proj"]["w"]._data.sharding.spec
+    assert spec == PartitionSpec("tp", None), spec
+
+
+@needs_8
+def test_sharded_mamba_loss_decreases():
+    from minidiff_tpu.models import MambaLM, Adam, lm_loss
+    from minidiff_tpu.models.transformer import synthetic_lm_batches
+
+    np.random.seed(4)
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    model = MambaLM(vocab_size=32, dim=16, num_layers=2, d_state=4)
+    init = model.init()
+    step, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, Adam(5e-3), loss_fn=lm_loss,
+        param_specs=parallel.mamba_sharding_rules(init),
+    )
+    params = place_params(init)
+    opt_state = Adam(5e-3).init(params)
+    x, y = next(synthetic_lm_batches(4, 8, 32, 1))
+    xb, yb = place_batch(x, y)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, xb, yb)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0] - 0.05, losses
