@@ -68,7 +68,11 @@ from minidiff_tpu.models.lora import (  # noqa: F401
     partition_params,
     trainable_params,
 )
-from minidiff_tpu.models.ssm import MambaBlock, MambaLM  # noqa: F401
+from minidiff_tpu.models.ssm import (  # noqa: F401
+    MambaBlock,
+    MambaLM,
+    generate_compiled_ssm,
+)
 from minidiff_tpu.models.quant import (  # noqa: F401
     quantize_for_serving,
     quantized_bytes,

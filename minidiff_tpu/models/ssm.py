@@ -126,15 +126,24 @@ class MambaBlock(Module):
 
     def apply(self, params, u):
         """(b, s, dim) -> (b, s, dim)."""
+        return self._forward(params, u, collect_state=False)[0]
+
+    def apply_with_state(self, params, u):
+        """Parallel forward that also hands off the decode state after the
+        last position — the prefill path: the whole prompt in one parallel
+        scan, then O(1)-state ``step`` decoding continues from it."""
+        return self._forward(params, u, collect_state=True)
+
+    def _forward(self, params, u, collect_state):
         b, s, _ = u.shape
-        di, n, dtr = self.d_inner, self.d_state, self.dt_rank
+        di, n, k = self.d_inner, self.d_state, self.d_conv
         # in_proj columns are PAIR-major (x_j, z_j): a tp column shard then
         # holds matching x/z pairs, so this reshape-split propagates the
         # sharding instead of forcing a boundary reshard (same trick as the
         # fused qkv HEAD-major layout and SwiGLU's pair-major fc1)
         xz = self.in_proj.apply(params["in_proj"], u).reshape((b, s, di, 2))
-        x, z = xz[:, :, :, 0], xz[:, :, :, 1]
-        x = silu(self._causal_conv(params, x))
+        x_raw, z = xz[:, :, :, 0], xz[:, :, :, 1]
+        x = silu(self._causal_conv(params, x_raw))
 
         dt, B, C = self._dtbc(params, x)   # (b,s,di), (b,s,n), (b,s,n)
 
@@ -146,7 +155,21 @@ class MambaBlock(Module):
         y = (h * C.reshape((b, s, 1, n))).sum(axis=-1)             # (b,s,di)
         y = y + x * params["D"]
         y = y * silu(z)
-        return self.out_proj.apply(params["out_proj"], y)
+        out = self.out_proj.apply(params["out_proj"], y)
+        if not collect_state:
+            return out, None
+        # decode handoff: last hidden + the last K-1 raw conv inputs
+        # (zero-padded on the left when the prompt is shorter than the
+        # window, matching init_state's zeros)
+        state = {"h": h[:, -1]}
+        take = min(k - 1, s)
+        parts = [x_raw[:, :1] * 0] * (k - 1 - take)
+        if take:
+            parts.append(x_raw[:, s - take:])
+        state["conv"] = (md.concat(parts, axis=1) if len(parts) > 1
+                         else (parts[0] if parts
+                               else md.Tensor(np.zeros((b, 0, di)))))
+        return out, state
 
     # -- recurrent decode: O(1) state per token, no KV cache ---------------
 
@@ -269,6 +292,25 @@ class MambaLM(Module):
             logits = self.head.apply(params["head"], x)
         return logits, new_states
 
+    def prefill(self, params, tokens):
+        """Whole-prompt forward in ONE parallel pass: tokens (B, S) ->
+        (last-position logits (B, V), decode states).  This is where the
+        SSM's serving shape shines: prefill is a parallel prefix scan (no
+        S^2 attention), and the handed-off state is O(1) in S."""
+        x = params["tok_emb"][tokens]
+        states = []
+        for blk, nm, bp, np_ in zip(self.blocks, self.norms,
+                                    params["blocks"], params["norms"]):
+            y, st = blk.apply_with_state(bp, nm.apply(np_, x))
+            x = x + y
+            states.append(st)
+        x = self.ln_f.apply(params["ln_f"], x[:, -1:])[:, 0]
+        if self.tie_embeddings:
+            logits = md.matmul_nt(x, params["tok_emb"])
+        else:
+            logits = self.head.apply(params["head"], x)
+        return logits, states
+
     def generate(self, params, prompt, new_tokens: int):
         """Greedy decode: prompt (B, S) int -> (B, S + new_tokens).
 
@@ -289,3 +331,111 @@ class MambaLM(Module):
                 out.append(tok.reshape((b, 1)))
                 logits, state = self.step(params, state, tok)
             return md.concatenate(out, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# compiled serving: prefill + decode loop as ONE XLA program
+# ---------------------------------------------------------------------------
+
+from collections import OrderedDict
+
+_SSM_DECODE_CACHE: "OrderedDict" = OrderedDict()
+_SSM_DECODE_CACHE_MAX = 32
+
+
+def _is_tensor(x):
+    return isinstance(x, md.Tensor)
+
+
+def generate_compiled_ssm(model: "MambaLM", params, prompt: "md.Tensor",
+                          max_new_tokens: int, greedy: bool = True,
+                          temperature: float = 1.0, top_k=None,
+                          seed: int = 0) -> "md.Tensor":
+    """Mamba decoding as one compiled program: parallel-scan prefill hands
+    its O(1) state to a ``lax.scan`` token loop — generating N tokens is
+    ONE device dispatch, and unlike the transformer path there is no KV
+    cache: the per-step HBM traffic is the weights plus a constant-size
+    (b, d_inner, n) state, independent of context length.
+
+    Greedy mode is token-for-token identical to ``model.generate``.  With
+    ``greedy=False`` each step draws a Gumbel-max sample at ``temperature``
+    (optionally top-k truncated) from a per-step key folded out of ``seed``
+    — a runtime argument, so a serving loop varying seeds reuses one
+    compiled program.  Falls back to the eager ``model.generate`` on
+    non-xla backends.
+    """
+    import minidiff_tpu.backend as backend
+
+    if backend.backend_name() != "xla":
+        assert greedy, "sampling decode requires the xla backend"
+        return model.generate(params, prompt, max_new_tokens)
+
+    import jax
+    import jax.numpy as jnp
+
+    b, s0 = prompt.shape
+    assert s0 >= 1 and max_new_tokens >= 1
+    raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
+    prompt_raw = prompt._data
+    seed_raw = jnp.asarray(int(seed) & 0xFFFFFFFF, jnp.uint32)
+
+    key = (id(model), b, s0, max_new_tokens, greedy, float(temperature),
+           top_k, str(prompt_raw.dtype))
+    cached = _SSM_DECODE_CACHE.get(key)
+    if cached is not None:
+        _SSM_DECODE_CACHE.move_to_end(key)
+        gen = cached(raw_params, prompt_raw, seed_raw)
+        return md.concatenate(
+            [prompt, md.Tensor(gen).astype(prompt.dtype)], axis=-1)
+
+    def select(logits, i, seed_arr):
+        with md.no_grad():
+            if greedy:
+                nxt = md.argmax(logits, axis=-1)
+            else:
+                scaled = logits / max(float(temperature), 1e-6)
+                if top_k is not None and top_k < logits.shape[-1]:
+                    vals, _ = md.topk(scaled, top_k, axis=-1)
+                    scaled = md.where(scaled >= vals[:, -1:], scaled,
+                                      md.full_like(scaled, -1e30))
+                step_key = jax.random.fold_in(jax.random.PRNGKey(seed_arr), i)
+                u = jax.random.uniform(step_key, scaled.shape, jnp.float32,
+                                       1e-9, 1.0)
+                gumbel = md.Tensor(-jnp.log(-jnp.log(u))).astype(scaled.dtype)
+                nxt = md.argmax(scaled + gumbel, axis=-1)
+            return nxt._data.astype(prompt_raw.dtype)
+
+    def raw(tree):
+        return jax.tree.map(lambda t: t._data, tree, is_leaf=_is_tensor)
+
+    @jax.jit
+    def decode(raw_p, prompt_r, seed_arr):
+        with md.no_grad():
+            p = jax.tree.map(md.Tensor, raw_p)
+            logits0, states = model.prefill(p, md.Tensor(prompt_r))
+            states0 = raw(states)
+            nxt0 = select(logits0, s0 - 1, seed_arr)
+
+        def body(carry, j):
+            states_r, prev = carry
+            with md.no_grad():
+                pp = jax.tree.map(md.Tensor, raw_p)
+                st = jax.tree.map(md.Tensor, states_r)
+                logits, st2 = model.step(pp, st, md.Tensor(prev))
+            nxt = select(logits, s0 + j, seed_arr)
+            return (raw(st2), nxt), nxt
+
+        if max_new_tokens > 1:
+            _, nexts = jax.lax.scan(body, (states0, nxt0),
+                                    jnp.arange(max_new_tokens - 1))
+            gen = jnp.concatenate([nxt0[None], nexts], axis=0)
+        else:
+            gen = nxt0[None]
+        return jnp.swapaxes(gen, 0, 1)
+
+    _SSM_DECODE_CACHE[key] = decode
+    while len(_SSM_DECODE_CACHE) > _SSM_DECODE_CACHE_MAX:
+        _SSM_DECODE_CACHE.popitem(last=False)
+    gen = decode(raw_params, prompt_raw, seed_raw)
+    return md.concatenate(
+        [prompt, md.Tensor(gen).astype(prompt.dtype)], axis=-1)

@@ -259,6 +259,76 @@ def test_mamba_generate_greedy_matches_recompute(backend):
     np.testing.assert_array_equal(out, seq)
 
 
+def test_mamba_prefill_matches_stepwise(backend):
+    # parallel prefill hands off EXACTLY the state the recurrent path
+    # reaches after consuming the prompt token-by-token
+    model = MambaLM(vocab_size=13, dim=8, num_layers=2, d_state=4, d_conv=3)
+    params = model.init()
+    toks = np.random.default_rng(11).integers(0, 13, (2, 6))
+    logits_p, states_p = model.prefill(params, md.Tensor(toks))
+    state = model.init_state(2)
+    logits_s = None
+    for t in range(6):
+        logits_s, state = model.step(params, state, md.Tensor(toks[:, t]))
+    np.testing.assert_allclose(_np(logits_p), _np(logits_s), rtol=1e-5,
+                               atol=1e-8)
+    for sp, ss in zip(states_p, state):
+        np.testing.assert_allclose(_np(sp["h"]), _np(ss["h"]), rtol=1e-5,
+                                   atol=1e-8)
+        np.testing.assert_allclose(_np(sp["conv"]), _np(ss["conv"]),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_mamba_prefill_short_prompt_pads_conv(backend):
+    # prompt shorter than the conv window: the handoff state left-pads with
+    # zeros exactly like init_state
+    model = MambaLM(vocab_size=7, dim=6, num_layers=1, d_state=3, d_conv=4)
+    params = model.init()
+    toks = np.random.default_rng(12).integers(0, 7, (1, 2))  # s=2 < K-1=3
+    _, states_p = model.prefill(params, md.Tensor(toks))
+    state = model.init_state(1)
+    for t in range(2):
+        _, state = model.step(params, state, md.Tensor(toks[:, t]))
+    np.testing.assert_allclose(_np(states_p[0]["conv"]),
+                               _np(state[0]["conv"]), rtol=1e-6, atol=1e-9)
+
+
+def test_mamba_generate_compiled_matches_eager_xla():
+    from minidiff_tpu.models import generate_compiled_ssm
+    from minidiff_tpu.models.ssm import _SSM_DECODE_CACHE
+
+    md.set_backend("xla")
+    model = MambaLM(vocab_size=11, dim=8, num_layers=2, d_state=4)
+    params = model.init()
+    prompt = md.Tensor(np.random.default_rng(13).integers(0, 11, (2, 5)))
+    eager = _np(model.generate(params, prompt, new_tokens=7))
+    compiled = _np(generate_compiled_ssm(model, params, prompt, 7))
+    np.testing.assert_array_equal(compiled, eager)
+    # same shapes -> one cached program, no retrace
+    n = len(_SSM_DECODE_CACHE)
+    again = _np(generate_compiled_ssm(model, params, prompt, 7))
+    np.testing.assert_array_equal(again, eager)
+    assert len(_SSM_DECODE_CACHE) == n
+
+
+def test_mamba_generate_compiled_sampling_xla():
+    from minidiff_tpu.models import generate_compiled_ssm
+
+    md.set_backend("xla")
+    model = MambaLM(vocab_size=11, dim=8, num_layers=1, d_state=4)
+    params = model.init()
+    prompt = md.Tensor(np.random.default_rng(14).integers(0, 11, (2, 4)))
+    a = _np(generate_compiled_ssm(model, params, prompt, 6, greedy=False,
+                                  temperature=1.0, top_k=5, seed=7))
+    b = _np(generate_compiled_ssm(model, params, prompt, 6, greedy=False,
+                                  temperature=1.0, top_k=5, seed=7))
+    c = _np(generate_compiled_ssm(model, params, prompt, 6, greedy=False,
+                                  temperature=1.0, top_k=5, seed=8))
+    np.testing.assert_array_equal(a, b)  # deterministic per seed
+    assert (a != c).any()  # different seed, different draw
+    assert a.shape == (2, 10) and (a >= 0).all() and (a < 11).all()
+
+
 def test_mamba_lm_jit_matches_eager_xla():
     md.set_backend("xla")
     model = MambaLM(vocab_size=11, dim=8, num_layers=1, d_state=4)
