@@ -131,19 +131,15 @@ class XlaBackend:
 
     @staticmethod
     def linear_scan(a: jax.Array, b: jax.Array, axis: int = -1) -> jax.Array:
-        # y_t = a_t * y_{t-1} + b_t (y_{-1} = 0) as a PARALLEL prefix scan:
-        # the affine maps x -> a*x + b compose associatively, so
-        # associative_scan runs in O(log T) depth on the VPU instead of a
-        # T-step sequential loop — the TPU-native formulation of the SSM /
-        # linear-RNN recurrence
-        def combine(lo, hi):
-            a1, b1 = lo
-            a2, b2 = hi
-            return a1 * a2, b1 * a2 + b2
+        # y_t = a_t * y_{t-1} + b_t (y_{-1} = 0), parallel either way: the
+        # autotuned dispatch races the single-HBM-pass Pallas kernel
+        # (VMEM-carried prefix across time blocks) against
+        # jax.lax.associative_scan per shape — see kernels/scan.py.  The
+        # op's VJPs are linear scans too, so the backward rides the same
+        # dispatch with no extra protocol.
+        from minidiff_tpu.kernels import scan as _scan_kernels
 
-        dtype = jnp.result_type(a, b)
-        return jax.lax.associative_scan(
-            combine, (a.astype(dtype), b.astype(dtype)), axis=axis)[1]
+        return _scan_kernels.linear_scan(a, b, axis=axis)
 
     @staticmethod
     def top_k_indices(a: jax.Array, k: int) -> jax.Array:

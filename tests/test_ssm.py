@@ -124,6 +124,81 @@ def test_linear_scan_jit_parity_xla():
 
 
 # ---------------------------------------------------------------------------
+# the fused Pallas scan kernel (interpret mode) vs the associative fallback
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("b,t,c", [(2, 256, 512), (1, 300, 128), (3, 64, 640),
+                                   (2, 17, 200)])
+def test_pallas_scan_kernel_matches_associative(b, t, c):
+    md.set_backend("xla")
+    import jax.numpy as jnp
+
+    from minidiff_tpu.kernels import scan as K
+
+    rng = np.random.default_rng(20)
+    a = jnp.asarray(rng.uniform(-1.05, 1.05, (b, t, c)), jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    tiles = K._tiles(t, c)
+    assert tiles is not None
+    bt, cb, t_pad, c_pad = tiles
+    y_k = np.asarray(K._run_padded(a, bb, t, c, bt, cb, t_pad, c_pad,
+                                   interpret=True))
+    y_ref = np.asarray(K._jnp_scan(a, bb, 1))
+    np.testing.assert_allclose(y_k, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_scan_kernel_bf16_f32_accumulation():
+    md.set_backend("xla")
+    import jax.numpy as jnp
+
+    from minidiff_tpu.kernels import scan as K
+
+    rng = np.random.default_rng(21)
+    t, c = 512, 256
+    a64 = rng.uniform(0.9, 0.999, (1, t, c))
+    b64 = rng.standard_normal((1, t, c))
+    a = jnp.asarray(a64, jnp.bfloat16)
+    bb = jnp.asarray(b64, jnp.bfloat16)
+    bt, cb, t_pad, c_pad = K._tiles(t, c)
+    y_k = np.asarray(
+        K._run_padded(a, bb, t, c, bt, cb, t_pad, c_pad, interpret=True)
+    ).astype(np.float64)
+    # exact scan on the BF16-ROUNDED inputs (the kernel's f32 accumulation
+    # should track this, not drift like a bf16-accumulated chain)
+    exact = np.zeros((1, t, c))
+    acc = np.zeros((1, c))
+    a_r = np.asarray(a).astype(np.float64)
+    b_r = np.asarray(bb).astype(np.float64)
+    for i in range(t):
+        acc = a_r[:, i] * acc + b_r[:, i]
+        exact[:, i] = acc
+    # bf16 storage rounds each output: tolerance is one bf16 ulp-ish
+    np.testing.assert_allclose(y_k, exact, rtol=2e-2, atol=2e-2)
+
+
+def test_block_scan_matches_sequential():
+    md.set_backend("xla")
+    import jax.numpy as jnp
+
+    from minidiff_tpu.kernels.scan import _block_scan
+
+    rng = np.random.default_rng(22)
+    for bt in (1, 2, 5, 8, 37, 64):
+        a = jnp.asarray(rng.uniform(-1.2, 1.2, (bt, 4)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((bt, 4)), jnp.float32)
+        prod, pref = _block_scan(a, b)
+        acc = np.zeros(4)
+        pr = np.ones(4)
+        for i in range(bt):
+            acc = np.asarray(a)[i] * acc + np.asarray(b)[i]
+            pr = pr * np.asarray(a)[i]
+            np.testing.assert_allclose(np.asarray(pref)[i], acc, rtol=1e-5,
+                                       atol=1e-6)
+        np.testing.assert_allclose(np.asarray(prod)[-1], pr, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # SSM components
 # ---------------------------------------------------------------------------
 
