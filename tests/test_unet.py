@@ -1,0 +1,224 @@
+"""UNet2D diffusion backbone (models/unet.py).
+
+No reference counterpart (/root/reference has no models layer); extends
+SURVEY §8's generative-vision row alongside DiT.  Covers:
+* group_norm and upsample2x against numpy references
+* output shape, zero-init head (untrained velocity == 0 exactly)
+* FiLM zero-init (conditioning starts as identity w.r.t. time)
+* gradients flow to every leaf; finite-difference spot checks
+* flow_matching_loss + sample_flow drive the UNet unchanged (DiT contract)
+* end-to-end training: rectified-flow loss decreases
+* class-conditional path (labels required, used)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import minidiff_tpu as md
+from minidiff_tpu.models.dit import flow_matching_loss, sample_flow
+from minidiff_tpu.models.unet import UNet2D, group_norm, upsample2x
+
+
+def _np(t):
+    import minidiff_tpu.backend as backend
+
+    return np.asarray(backend.get_backend().as_numpy(t._data))
+
+
+def _leaves(tree, path=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _leaves(v, f"{path}/{k}" if path else k)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _leaves(v, f"{path}/{i}")
+    elif tree is not None:
+        yield path, tree
+
+
+def _tiny(**kw):
+    cfg = dict(image_size=8, in_channels=2, base=4, channel_mults=(1, 2),
+               t_dim=8, attn_heads=2)
+    cfg.update(kw)
+    return UNet2D(**cfg)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def test_group_norm_matches_numpy(backend):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 4, 8))
+    g = rng.standard_normal(8)
+    b = rng.standard_normal(8)
+    got = _np(group_norm(md.Tensor(x), md.Tensor(g), md.Tensor(b), groups=4))
+    xg = x.reshape(2, 4, 4, 4, 2)
+    mu = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    ref = ((xg - mu) / np.sqrt(var + 1e-5)).reshape(2, 4, 4, 8) * g + b
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_upsample2x_matches_numpy(backend):
+    x = np.random.default_rng(1).standard_normal((2, 3, 5, 4))
+    got = _np(upsample2x(md.Tensor(x)))
+    ref = x.repeat(2, axis=1).repeat(2, axis=2)
+    np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# model semantics
+# ---------------------------------------------------------------------------
+
+
+def test_unet_shape_and_zero_init(backend):
+    model = _tiny()
+    params = model.init()
+    rng = np.random.default_rng(2)
+    x = md.Tensor(rng.standard_normal((3, 8, 8, 2)))
+    t = md.Tensor(rng.uniform(0, 1, (3,)))
+    v = _np(model.apply(params, x, t))
+    assert v.shape == (3, 8, 8, 2)
+    np.testing.assert_array_equal(v, np.zeros_like(v))  # zero-init head
+
+
+def test_unet_film_zero_init_time_invariant(backend):
+    # with the FiLM projections zero-init, the PRE-HEAD features ignore t;
+    # check via a model whose head we make non-zero
+    model = _tiny()
+    params = model.init()
+    k = model.head.kernel_size
+    params["head"]["w"] = md.Tensor(
+        np.random.default_rng(3).standard_normal((k, k, model.chans[0],
+                                                  model.in_channels)))
+    x = md.Tensor(np.random.default_rng(4).standard_normal((2, 8, 8, 2)))
+    v1 = _np(model.apply(params, x, md.Tensor(np.array([0.1, 0.9]))))
+    v2 = _np(model.apply(params, x, md.Tensor(np.array([0.7, 0.2]))))
+    np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-8)
+
+
+def test_unet_grads_flow_everywhere():
+    md.set_backend("numpy")
+    model = _tiny()
+    params = model.init()
+    rng = np.random.default_rng(5)
+    x = md.Tensor(rng.standard_normal((2, 8, 8, 2)))
+    t = md.Tensor(rng.uniform(0, 1, (2,)))
+
+    leaves = list(_leaves(params))
+    for _, leaf in leaves:
+        leaf.allow_grad = True
+
+    out = (model.apply(params, x, t) ** 2).sum()
+    # zero-init head blocks everything; bump the head weight so grads flow
+    # then rebuild
+    params["head"]["w"] = md.Tensor(
+        rng.standard_normal(tuple(params["head"]["w"].shape)) * 0.1,
+        allow_grad=True)
+    leaves = list(_leaves(params))
+    out = (model.apply(params, x, t) ** 2).sum()
+    out.backward(retain_grads=True)
+    missing = [p for p, leaf in leaves if leaf.grad is None]
+    # FiLM scale/shift receive grads; everything except cls_emb (absent) does
+    assert not missing, missing
+
+
+def test_unet_fd_spot_check():
+    md.set_backend("numpy")
+    model = _tiny()
+    params = model.init()
+    rng = np.random.default_rng(6)
+    params["head"]["w"] = md.Tensor(
+        rng.standard_normal(tuple(params["head"]["w"].shape)) * 0.1,
+        allow_grad=True)
+    x = md.Tensor(rng.standard_normal((1, 8, 8, 2)))
+    t = md.Tensor(rng.uniform(0, 1, (1,)))
+
+    def loss_with(leaf_np, path):
+        node = params
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node[int(k)] if k.isdigit() else node[k]
+        old = node[keys[-1]]
+        node[keys[-1]] = md.Tensor(leaf_np)
+        val = float(_np((model.apply(params, x, t) ** 2).sum()))
+        node[keys[-1]] = old
+        return val
+
+    out = (model.apply(params, x, t) ** 2).sum()
+    out.backward(retain_grads=True)
+    for path in ("stem/w", "mid1/conv1/w", "up_res/1/conv2/w", "t1/w"):
+        node = params
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node[int(k)] if k.isdigit() else node[k]
+        leaf = node[keys[-1]]
+        g = _np(leaf.grad)
+        base = _np(leaf).copy()
+        idx = (0,) * base.ndim
+        eps = 1e-5
+        up, dn = base.copy(), base.copy()
+        up[idx] += eps
+        dn[idx] -= eps
+        fd = (loss_with(up, path) - loss_with(dn, path)) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=5e-3, atol=1e-7,
+                                   err_msg=path)
+
+
+# ---------------------------------------------------------------------------
+# diffusion integration (the DiT contract)
+# ---------------------------------------------------------------------------
+
+
+def test_unet_flow_matching_trains(backend):
+    from minidiff_tpu.models import Adam
+
+    model = _tiny()
+    params = model.init()
+    for _, leaf in _leaves(params):
+        leaf.allow_grad = True
+    rng = np.random.default_rng(7)
+    x0 = md.Tensor(rng.standard_normal((8, 8, 8, 2)))
+    # lr high-ish and 30 steps: the zero-init head gates upstream grads for
+    # the first step, so very short runs barely move off the cold start
+    opt = Adam(1e-2)
+    state = opt.init(params)
+    key = md.random_key(0)
+
+    def objective(p, k):
+        return flow_matching_loss(model, p, x0, k)
+
+    # the per-step loss is a ONE-SAMPLE noise estimate; compare the loss at
+    # a fixed eval key before vs after training instead
+    eval_key = md.fold_in(key, 10_000)
+    before = float(_np(objective(params, eval_key)))
+    for i in range(30):
+        loss, grads = md.value_and_grad(objective)(params,
+                                                   md.fold_in(key, i))
+        params, state = opt.update(params, grads, state)
+    after = float(_np(objective(params, eval_key)))
+    assert after < before - 0.05, (before, after)
+
+
+def test_unet_sample_flow_xla():
+    md.set_backend("xla")
+    model = _tiny()
+    params = model.init()
+    out = sample_flow(model, params, md.random_key(1), n=2, steps=4)
+    o = _np(out)
+    assert o.shape == (2, 8, 8, 2) and np.isfinite(o).all()
+
+
+def test_unet_class_conditional(backend):
+    model = _tiny(num_classes=5)
+    params = model.init()
+    x = md.Tensor(np.random.default_rng(8).standard_normal((2, 8, 8, 2)))
+    t = md.Tensor(np.array([0.3, 0.6]))
+    with pytest.raises(ValueError, match="labels"):
+        model.apply(params, x, t)
+    v = _np(model.apply(params, x, t, labels=md.Tensor(np.array([1, 4]))))
+    assert v.shape == (2, 8, 8, 2)
