@@ -86,14 +86,16 @@ def scan_race():
             return xx, jnp.sum(out.astype(jnp.float32)) * 1e-30
 
         carry0 = (x, jnp.zeros((), jnp.float32))
-        ratios = []
+        tas, tfs = [], []
         for _ in range(3):  # paired rounds: drift-proof
-            ta = _time_chain(assoc_step, carry0, lat)
-            tf = _time_chain(fused_step, carry0, lat)
-            ratios.append(ta / tf)
+            tas.append(_time_chain(assoc_step, carry0, lat))
+            tfs.append(_time_chain(fused_step, carry0, lat))
+        ratios = [ta / tf for ta, tf in zip(tas, tfs)]
+        ta_m, tf_m = float(np.median(tas)), float(np.median(tfs))
         bytes_1pass = 3 * b * t * c * jnp.dtype(dtype).itemsize
-        print(f"  B{b} T{t} C{c} {jnp.dtype(dtype).name}: assoc {ta*1e3:7.3f} ms"
-              f"  fused {tf*1e3:7.3f} ms  speedup x{float(np.median(ratios)):.2f}"
+        print(f"  B{b} T{t} C{c} {jnp.dtype(dtype).name}:"
+              f" assoc {ta_m*1e3:7.3f} ms  fused {tf_m*1e3:7.3f} ms"
+              f"  speedup x{float(np.median(ratios)):.2f}"
               f"  (1-pass roofline {bytes_1pass/819e9*1e3:.3f} ms @819GB/s)")
 
 

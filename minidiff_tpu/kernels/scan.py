@@ -90,6 +90,11 @@ def _pallas_scan(a3, b3, bt: int, cb: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((1, bt, cb), lambda ib, ic, it: (ib, it, ic)),
         scratch_shapes=[pltpu.VMEM((1, cb), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # batch/channel grid dims are independent (Megacore splits
+            # them across cores); only time is a true sequential carry
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(a3, b3)
 
@@ -117,7 +122,10 @@ def _canonical(shape, axis: int):
 def _tiles(t: int, c: int):
     """(bt, cb, t_pad, c_pad) or None when padding waste is unreasonable."""
     c_pad = -(-c // 128) * 128
-    if c_pad > _MAX_C_PAD_RATIO * c and c_pad != 128:
+    if c_pad > _MAX_C_PAD_RATIO * c:
+        # tiny channel counts would pad up to 128x the bytes — the exact
+        # HBM traffic this kernel exists to avoid (and AUTOTUNE=0 would
+        # force the fused path without a race to catch it)
         return None
     cb = min(_CB, c_pad)
     while c_pad % cb:

@@ -84,8 +84,10 @@ def lora_init(
     """
     scale = (alpha if alpha is not None else float(rank)) / float(rank)
     rng = np.random.default_rng(seed)
+    inserted = 0
 
     def walk(node, path):
+        nonlocal inserted
         if isinstance(node, dict):
             out = {k: walk(v, f"{path}/{k}" if path else k)
                    for k, v in node.items()}
@@ -103,14 +105,24 @@ def lora_init(
             out["lora_a"] = md.Tensor(a, allow_grad=True, dtype=adtype)
             out["lora_b"] = md.Tensor(np.zeros((rank, n_out)),
                                       allow_grad=True, dtype=adtype)
-            out["lora_s"] = md.Tensor(np.asarray(scale), dtype=md.float32)
+            # scale stays in the adapter dtype: an f32 scalar here would
+            # silently promote every adapted projection of a bf16 model
+            # to f32 (activation memory + kernel dtypes downstream)
+            out["lora_s"] = md.Tensor(np.asarray(scale), dtype=adtype)
+            inserted += 1
             return out
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v, f"{path}/{i}")
                               for i, v in enumerate(node))
         return node
 
-    return walk(params, "")
+    adapted = walk(params, "")
+    if not inserted:
+        raise ValueError(
+            f"lora_init inserted zero adapters (rank={rank}, "
+            f"targets={targets!r}): no eligible Linear weight matched — "
+            "a fine-tuning run would silently train nothing")
+    return adapted
 
 
 def merge_lora(params: "Any") -> "Any":

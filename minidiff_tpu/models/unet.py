@@ -66,6 +66,15 @@ def upsample2x(x: "md.Tensor") -> "md.Tensor":
     return r.reshape((bsz, 2 * h, 2 * w, c))
 
 
+def _pick_groups(c: int, want: int = 8) -> int:
+    """Largest divisor of ``c`` that is <= ``want`` (GroupNorm's reshape
+    needs groups | channels; min(want, c) alone breaks e.g. c=12, want=8)."""
+    g = min(want, c)
+    while c % g:
+        g -= 1
+    return g
+
+
 def _norm_params(c: int, dtype) -> "Dict[str, md.Tensor]":
     return {
         "g": md.Tensor(np.ones(c), allow_grad=True, dtype=dtype),
@@ -80,7 +89,8 @@ class ResBlock(Module):
     def __init__(self, in_ch: int, out_ch: int, t_dim: int, groups: int = 8,
                  dtype: "Optional[Any]" = None):
         self.in_ch, self.out_ch = in_ch, out_ch
-        self.groups = min(groups, in_ch, out_ch)
+        self.groups_in = _pick_groups(in_ch, groups)
+        self.groups_out = _pick_groups(out_ch, groups)
         self.conv1 = Conv2d(in_ch, out_ch, 3, padding=1, dtype=dtype)
         self.conv2 = Conv2d(out_ch, out_ch, 3, padding=1, dtype=dtype)
         self.time = Linear(t_dim, 2 * out_ch, dtype=dtype)
@@ -108,12 +118,14 @@ class ResBlock(Module):
         return p
 
     def apply(self, params, x, temb):
-        h = group_norm(x, params["gn1"]["g"], params["gn1"]["b"], self.groups)
+        h = group_norm(x, params["gn1"]["g"], params["gn1"]["b"],
+                       self.groups_in)
         h = self.conv1.apply(params["conv1"], silu(h))
         ss = self.time.apply(params["time"], silu(temb))  # (B, 2*out_ch)
         scale = md.expand_dims(md.expand_dims(ss[:, :self.out_ch], 1), 1)
         shift = md.expand_dims(md.expand_dims(ss[:, self.out_ch:], 1), 1)
-        h = group_norm(h, params["gn2"]["g"], params["gn2"]["b"], self.groups)
+        h = group_norm(h, params["gn2"]["g"], params["gn2"]["b"],
+                       self.groups_out)
         h = h * (1.0 + scale) + shift
         h = self.conv2.apply(params["conv2"], silu(h))
         if self.skip is not None:
@@ -128,7 +140,7 @@ class SpatialAttention(Module):
     def __init__(self, ch: int, num_heads: int = 4, groups: int = 8,
                  dtype: "Optional[Any]" = None):
         self.ch = ch
-        self.groups = min(groups, ch)
+        self.groups = _pick_groups(ch, groups)
         self.attn = MultiHeadAttention(ch, num_heads, causal=False,
                                        dtype=dtype)
         self.dtype = dtype
@@ -250,5 +262,5 @@ class UNet2D(Module):
             if j < len(self.up_conv):
                 h = self.up_conv[j].apply(params["up_conv"][j], h)
         h = group_norm(h, params["gn_out"]["g"], params["gn_out"]["b"],
-                       min(8, self.chans[0]))
+                       _pick_groups(self.chans[0]))
         return self.head.apply(params["head"], silu(h))

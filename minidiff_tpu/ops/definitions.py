@@ -488,24 +488,41 @@ def _scan_shift(t, axis):
     return concat((zero, t[pre + (slice(0, -1),)]), axis=ax)
 
 
+# Both linear_scan VJPs need the same reverse cotangent scan; the engine
+# calls them back-to-back with the same operand objects, so a single-entry
+# memo computes it once (the _sdpa_fused protocol).  The memo'd value is a
+# framework Tensor, so sharing it between the two grads is just two
+# consumers of one tape node — higher-order re-taping is unaffected.
+_linear_scan_r_memo: dict = {}
+
+
+def _linear_scan_cotangent(a, b, grad, axis):
+    """r_t = g_t + a_{t+1} r_{t+1}: ANOTHER first-order linear recurrence,
+    run in reverse — flip time, shift the decay one slot (r's step t uses
+    the forward step t+1's decay), linear_scan, flip back.  On the xla
+    backend the backward is therefore a parallel prefix scan too."""
+    key = (id(a), id(b), id(grad), axis, md.grad_allowed_())
+    if _linear_scan_r_memo.get("key") != key:
+        ar = flip(a, axis=axis)
+        r = flip(
+            linear_scan(_scan_shift(ar, axis), flip(grad, axis=axis),
+                        axis=axis),
+            axis=axis,
+        )
+        _linear_scan_r_memo["key"] = key
+        _linear_scan_r_memo["refs"] = (a, b, grad)
+        _linear_scan_r_memo["val"] = r
+    return _linear_scan_r_memo["val"]
+
+
 def linear_scan_grad_b(a, b, grad, axis=-1, _output=None):
-    """Cotangent recurrence r_t = g_t + a_{t+1} r_{t+1}: ANOTHER first-order
-    linear recurrence, run in reverse — flip time, shift the decay one slot
-    (r's step t uses the forward step t+1's decay), linear_scan, flip back.
-    On the xla backend the backward is therefore a parallel prefix scan
-    too, not a sequential loop."""
-    ar = flip(a, axis=axis)
-    return flip(
-        linear_scan(_scan_shift(ar, axis), flip(grad, axis=axis), axis=axis),
-        axis=axis,
-    )
+    return _linear_scan_cotangent(a, b, grad, axis)
 
 
 def linear_scan_grad_a(a, b, grad, axis=-1, _output=None):
     """dy_t/da_t = y_{t-1}, scaled by the accumulated cotangent r_t."""
     y = linear_scan(a, b, axis=axis) if _output is None else _output
-    r = linear_scan_grad_b(a, b, grad, axis=axis)
-    return r * _scan_shift(y, axis)
+    return _linear_scan_cotangent(a, b, grad, axis) * _scan_shift(y, axis)
 
 
 linear_scan_grad_a.needs_output = True

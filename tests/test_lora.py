@@ -105,6 +105,27 @@ def test_alpha_scales_output(backend):
     np.testing.assert_allclose(d2, 4.0 * d1, rtol=1e-5)
 
 
+def test_lora_preserves_model_dtype(backend):
+    # review regression: an f32 lora_s would silently promote every
+    # adapted projection of a bf16 model to f32
+    model = _tiny_lm(dtype=md.bfloat16)
+    base = model.init()
+    params = lora_init(base, rank=4, seed=2)
+    x = md.Tensor(np.random.randint(0, 17, (2, 6)))
+    want = model.apply(base, x).dtype
+    got = model.apply(params, x).dtype
+    assert str(got) == str(want), (got, want)
+
+
+def test_lora_init_zero_adapters_raises(backend):
+    model = _tiny_lm()
+    params = model.init()
+    with pytest.raises(ValueError, match="zero adapters"):
+        lora_init(params, rank=4, targets=("no-such-layer",))
+    with pytest.raises(ValueError, match="zero adapters"):
+        lora_init(params, rank=4096)  # rank > every min(K, N)
+
+
 # ---------------------------------------------------------------------------
 # partition / combine
 # ---------------------------------------------------------------------------

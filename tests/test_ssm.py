@@ -177,6 +177,39 @@ def test_pallas_scan_kernel_bf16_f32_accumulation():
     np.testing.assert_allclose(y_k, exact, rtol=2e-2, atol=2e-2)
 
 
+def test_scan_tiles_rejects_tiny_channels():
+    # review regression: the pad guard was dead code — a (T,) series
+    # (trail=1) would pad 128x and AUTOTUNE=0 would force the fused path
+    from minidiff_tpu.kernels import scan as K
+
+    assert K._tiles(1024, 1) is None
+    assert K._tiles(1024, 20) is None   # pad 128/20 > 4x
+    assert K._tiles(1024, 64) is not None  # pad 2x: allowed, race decides
+    assert K._scan_decision(4, 1024, 1, "float32") is False
+
+
+def test_linear_scan_backward_shares_cotangent(backend):
+    # review regression: grad_a re-ran the reverse scan instead of sharing
+    # grad_b's; the memo must yield the SAME tape node for both
+    from minidiff_tpu.ops.definitions import (_linear_scan_cotangent,
+                                              linear_scan_grad_a,
+                                              linear_scan_grad_b)
+
+    rng = np.random.default_rng(23)
+    a = md.Tensor(rng.uniform(0.2, 0.9, (2, 6)), allow_grad=True)
+    b = md.Tensor(rng.standard_normal((2, 6)), allow_grad=True)
+    y = md.linear_scan(a, b, axis=1)
+    g = md.Tensor(rng.standard_normal((2, 6)))
+    r1 = _linear_scan_cotangent(a, b, g, 1)
+    r2 = _linear_scan_cotangent(a, b, g, 1)
+    assert r1 is r2
+    # and the public grads still match the oracle after the refactor
+    manual, auto = compute_grads(
+        a, b, func=lambda u, v: (md.linear_scan(u, v, axis=1) ** 2).sum())
+    for m, gg in zip(manual, auto):
+        np.testing.assert_allclose(_np(gg), _np(m), rtol=1e-4, atol=1e-6)
+
+
 def test_block_scan_matches_sequential():
     md.set_backend("xla")
     import jax.numpy as jnp

@@ -213,6 +213,18 @@ def test_unet_sample_flow_xla():
     assert o.shape == (2, 8, 8, 2) and np.isfinite(o).all()
 
 
+def test_unet_non_divisible_channels():
+    # review regression: base=12 gives channels GroupNorm's old
+    # min(8, c) group pick could not divide (12 % 8 != 0)
+    md.set_backend("numpy")
+    model = UNet2D(image_size=8, in_channels=3, base=12,
+                   channel_mults=(1, 2), t_dim=8, attn_heads=2)
+    params = model.init()
+    x = md.Tensor(np.random.default_rng(9).standard_normal((1, 8, 8, 3)))
+    v = _np(model.apply(params, x, md.Tensor(np.array([0.5]))))
+    assert v.shape == (1, 8, 8, 3)
+
+
 def test_unet_class_conditional(backend):
     model = _tiny(num_classes=5)
     params = model.init()
