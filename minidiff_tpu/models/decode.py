@@ -108,11 +108,16 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
     return F.block_finish(blk, params, x, o)
 
 
-def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
-                      max_new_tokens: int, greedy: bool = True,
-                      temperature: float = 1.0, top_k: "Any" = None,
-                      seed: int = 0, kv_quant: bool = False) -> "md.Tensor":
-    """KV-cached decoding, the whole loop as one lax.scan program.
+def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
+                   max_new_tokens: int, greedy: bool = True,
+                   temperature: float = 1.0, top_k: "Any" = None,
+                   kv_quant: bool = False):
+    """The jitted ``(raw_params, prompt_raw, seed_uint32) -> (B, new)``
+    program behind ``generate_compiled``, cached per (model, shapes,
+    sampling config).  Exposed so utils/export.py can AOT-serialize the
+    exact serving program (jax.export) for deployment without model code.
+
+    Original serving semantics documented on ``generate_compiled``:
 
     Greedy mode is token-for-token identical to
     ``transformer.generate(greedy=True)`` / ``generate_cached``.  With
@@ -154,16 +159,10 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     key = (id(model), b, s0, max_new_tokens, str(p_dtype),
            str(prompt_raw.dtype), greedy, float(temperature), top_k,
            kv_quant)
-    # mask into uint32 range: PRNGKey folding only uses 32 bits, and
-    # negative / 64-bit seeds (request hashes) must not crash
-    seed_raw = jnp.asarray(int(seed) & 0xFFFFFFFF, jnp.uint32)
     cached = _decode_cache.get(key)
     if cached is not None:
         _decode_cache.move_to_end(key)
-        generated = cached(raw_params, prompt_raw, seed_raw)
-        return md.concatenate(
-            [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
-        )
+        return cached
 
     def prefill(p, x_tok):
         """Whole-prompt forward in ONE pass: fills caches[:, :, :s0) and
@@ -284,7 +283,37 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     _decode_cache[key] = decode
     while len(_decode_cache) > _DECODE_CACHE_MAX:
         _decode_cache.popitem(last=False)
-    generated = decode(raw_params, prompt_raw, seed_raw)
+    return decode
+
+
+def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
+                      max_new_tokens: int, greedy: bool = True,
+                      temperature: float = 1.0, top_k: "Any" = None,
+                      seed: int = 0, kv_quant: bool = False) -> "md.Tensor":
+    """KV-cached decoding, the whole loop as one lax.scan program.
+
+    Greedy mode is token-for-token identical to
+    ``transformer.generate(greedy=True)`` / ``generate_cached``.  With
+    ``greedy=False``, each step draws a Gumbel-max sample at ``temperature``
+    (optionally truncated to the ``top_k`` highest logits via ``md.topk``)
+    from a per-step key folded out of ``seed`` — deterministic per seed,
+    still ONE compiled program.  prompt (B, S0) int ->
+    (B, S0 + max_new_tokens).
+
+    ``kv_quant=True`` stores the KV cache as int8 lines with per-row f32
+    scales and reads it through the fused ``md.sdpa_int8_cache`` kernel —
+    halves the cache's HBM stream (decode's second-largest read after the
+    weights) at the cost of quantization error in the attention inputs
+    (tokens may differ from the full-precision decode near logit ties).
+    """
+    program = decode_program(model, params, prompt, max_new_tokens,
+                             greedy=greedy, temperature=temperature,
+                             top_k=top_k, kv_quant=kv_quant)
+    raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
+    # mask into uint32 range: PRNGKey folding only uses 32 bits, and
+    # negative / 64-bit seeds (request hashes) must not crash
+    seed_raw = jnp.asarray(int(seed) & 0xFFFFFFFF, jnp.uint32)
+    generated = program(raw_params, prompt._data, seed_raw)
     return md.concatenate(
         [prompt, md.Tensor(generated).astype(prompt.dtype)], axis=-1
     )

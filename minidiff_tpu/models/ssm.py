@@ -347,46 +347,25 @@ def _is_tensor(x):
     return isinstance(x, md.Tensor)
 
 
-def generate_compiled_ssm(model: "MambaLM", params, prompt: "md.Tensor",
-                          max_new_tokens: int, greedy: bool = True,
-                          temperature: float = 1.0, top_k=None,
-                          seed: int = 0) -> "md.Tensor":
-    """Mamba decoding as one compiled program: parallel-scan prefill hands
-    its O(1) state to a ``lax.scan`` token loop — generating N tokens is
-    ONE device dispatch, and unlike the transformer path there is no KV
-    cache: the per-step HBM traffic is the weights plus a constant-size
-    (b, d_inner, n) state, independent of context length.
-
-    Greedy mode is token-for-token identical to ``model.generate``.  With
-    ``greedy=False`` each step draws a Gumbel-max sample at ``temperature``
-    (optionally top-k truncated) from a per-step key folded out of ``seed``
-    — a runtime argument, so a serving loop varying seeds reuses one
-    compiled program.  Falls back to the eager ``model.generate`` on
-    non-xla backends.
-    """
-    import minidiff_tpu.backend as backend
-
-    if backend.backend_name() != "xla":
-        assert greedy, "sampling decode requires the xla backend"
-        return model.generate(params, prompt, max_new_tokens)
-
+def ssm_decode_program(model: "MambaLM", params, prompt: "md.Tensor",
+                       max_new_tokens: int, greedy: bool = True,
+                       temperature: float = 1.0, top_k=None):
+    """The jitted ``(raw_params, prompt_raw, seed_uint32) -> (B, new)``
+    program behind ``generate_compiled_ssm``, cached per (model, shapes,
+    sampling config); exposed for AOT export (utils/export.py)."""
     import jax
     import jax.numpy as jnp
 
     b, s0 = prompt.shape
     assert s0 >= 1 and max_new_tokens >= 1
-    raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
     prompt_raw = prompt._data
-    seed_raw = jnp.asarray(int(seed) & 0xFFFFFFFF, jnp.uint32)
 
     key = (id(model), b, s0, max_new_tokens, greedy, float(temperature),
            top_k, str(prompt_raw.dtype))
     cached = _SSM_DECODE_CACHE.get(key)
     if cached is not None:
         _SSM_DECODE_CACHE.move_to_end(key)
-        gen = cached(raw_params, prompt_raw, seed_raw)
-        return md.concatenate(
-            [prompt, md.Tensor(gen).astype(prompt.dtype)], axis=-1)
+        return cached
 
     def select(logits, i, seed_arr):
         with md.no_grad():
@@ -436,6 +415,40 @@ def generate_compiled_ssm(model: "MambaLM", params, prompt: "md.Tensor",
     _SSM_DECODE_CACHE[key] = decode
     while len(_SSM_DECODE_CACHE) > _SSM_DECODE_CACHE_MAX:
         _SSM_DECODE_CACHE.popitem(last=False)
-    gen = decode(raw_params, prompt_raw, seed_raw)
+    return decode
+
+
+def generate_compiled_ssm(model: "MambaLM", params, prompt: "md.Tensor",
+                          max_new_tokens: int, greedy: bool = True,
+                          temperature: float = 1.0, top_k=None,
+                          seed: int = 0) -> "md.Tensor":
+    """Mamba decoding as one compiled program: parallel-scan prefill hands
+    its O(1) state to a ``lax.scan`` token loop — generating N tokens is
+    ONE device dispatch, and unlike the transformer path there is no KV
+    cache: the per-step HBM traffic is the weights plus a constant-size
+    (b, d_inner, n) state, independent of context length.
+
+    Greedy mode is token-for-token identical to ``model.generate``.  With
+    ``greedy=False`` each step draws a Gumbel-max sample at ``temperature``
+    (optionally top-k truncated) from a per-step key folded out of ``seed``
+    — a runtime argument, so a serving loop varying seeds reuses one
+    compiled program.  Falls back to the eager ``model.generate`` on
+    non-xla backends.
+    """
+    import minidiff_tpu.backend as backend
+
+    if backend.backend_name() != "xla":
+        assert greedy, "sampling decode requires the xla backend"
+        return model.generate(params, prompt, max_new_tokens)
+
+    import jax
+    import jax.numpy as jnp
+
+    program = ssm_decode_program(model, params, prompt, max_new_tokens,
+                                 greedy=greedy, temperature=temperature,
+                                 top_k=top_k)
+    raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
+    seed_raw = jnp.asarray(int(seed) & 0xFFFFFFFF, jnp.uint32)
+    gen = program(raw_params, prompt._data, seed_raw)
     return md.concatenate(
         [prompt, md.Tensor(gen).astype(prompt.dtype)], axis=-1)

@@ -15,3 +15,8 @@ from minidiff_tpu.utils.profile import (  # noqa: F401
     profile_fn,
     trace,
 )
+from minidiff_tpu.utils.export import (  # noqa: F401
+    export_decode,
+    export_fn,
+    load_fn,
+)
