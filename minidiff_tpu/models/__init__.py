@@ -68,6 +68,7 @@ from minidiff_tpu.models.lora import (  # noqa: F401
     partition_params,
     trainable_params,
 )
+from minidiff_tpu.models.server import DecodeServer  # noqa: F401
 from minidiff_tpu.models.unet import UNet2D  # noqa: F401
 from minidiff_tpu.models.ssm import (  # noqa: F401
     MambaBlock,

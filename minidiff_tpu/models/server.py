@@ -1,0 +1,287 @@
+"""Continuous batching: a slot-based decode server over one compiled step.
+
+Production serving never sees aligned batches — requests arrive and finish
+at different times.  ``DecodeServer`` keeps a fixed pool of ``max_batch``
+decode slots over ONE batched KV cache and runs every active request
+together in a single compiled step program per token; finished slots are
+released and re-filled by new requests without touching the others.  All
+device programs have static shapes (prompt lengths bucket to multiples of
+128), so the server runs exactly two executables at steady state: a
+per-bucket slot prefill and the shared batched step.
+
+TPU-idiomatic choices (all shapes static, all positions data):
+- per-row cache rows/masks via the one-hot-contraction idiom of
+  models/speculative.py (``_write_rows``/``_chunk_step`` are reused
+  directly — the batched step IS a c=1 chunk step);
+- slot prefill runs the whole prompt as one parallel (flash-eligible)
+  forward on a single row, then swaps the row into the batched cache with
+  a batch one-hot select (replacing the slot's old cache entirely);
+- prompt padding needs no masking: pad rows land at cache positions
+  >= the request's length, the read mask is ``l <= pos``, and decode
+  overwrites each such row before ``pos`` ever reaches it;
+- inactive slots keep decoding garbage into their own (dead) rows — the
+  outputs are ignored host-side and the rows are rewritten on reuse, so
+  no per-slot branching enters the program.
+
+Greedy outputs are token-for-token identical to running each request
+alone through ``generate_compiled`` (the tests' contract).  No reference
+counterpart: /root/reference has no serving layer.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+import minidiff_tpu as md
+from minidiff_tpu.models import functional as F
+from minidiff_tpu.models.speculative import _chunk_step, _prefill  # noqa: F401
+from minidiff_tpu.models.speculative import _write_rows
+
+if TYPE_CHECKING:
+    from typing import Any, Dict, List, Optional, Sequence
+
+    from minidiff_tpu.models.transformer import TransformerLM
+
+__all__ = ["DecodeServer"]
+
+_BUCKET = 128
+
+
+def _is_tensor(x):
+    return isinstance(x, md.Tensor)
+
+
+class DecodeServer:
+    """Fixed-slot continuous-batching decode server.
+
+    >>> srv = DecodeServer(model, params, max_batch=4, window=1024)
+    >>> slot = srv.submit([1, 2, 3], max_new_tokens=64)
+    >>> while srv.active():
+    ...     for s, tok in srv.step().items():  # one compiled step, all slots
+    ...         ...
+    >>> tokens = srv.collect(slot)             # slot auto-releases when done
+
+    ``greedy=False`` draws per-step Gumbel-max samples at ``temperature``
+    (optional ``top_k``) from a key folded out of (seed, slot-local step) —
+    each request's sample stream is deterministic in its submission seed.
+    """
+
+    def __init__(self, model: "TransformerLM", params, max_batch: int = 8,
+                 window: "Optional[int]" = None, greedy: bool = True,
+                 temperature: float = 1.0, top_k: "Optional[int]" = None,
+                 eos_id: "Optional[int]" = None):
+        import jax
+        import jax.numpy as jnp
+
+        import minidiff_tpu.backend as backend
+
+        assert backend.backend_name() == "xla", "DecodeServer needs xla"
+        self.model = model
+        self.max_batch = max_batch
+        self.window = int(window or model.max_seq_len)
+        assert self.window % _BUCKET == 0, "window must be a 128 multiple"
+        self.greedy = greedy
+        self.temperature = float(temperature)
+        self.top_k = top_k
+        self.eos_id = eos_id
+        self._params_raw = jax.tree.map(lambda t: t._data, params,
+                                        is_leaf=_is_tensor)
+        p_dtype = self._params_raw["tok_emb"].dtype
+        kv, hd = model.blocks[0].attn.num_kv_heads, model.blocks[0].attn.head_dim
+        self._caches = [
+            {"k": jnp.zeros((max_batch, kv, self.window, hd), p_dtype),
+             "v": jnp.zeros((max_batch, kv, self.window, hd), p_dtype)}
+            for _ in model.blocks
+        ]
+        # host-side slot state
+        self._pos = np.zeros(max_batch, np.int64)      # position of last token
+        self._tok = np.zeros(max_batch, np.int64)      # last emitted token
+        self._free: "List[int]" = list(range(max_batch))
+        self._budget = np.zeros(max_batch, np.int64)   # tokens still to emit
+        self._out: "Dict[int, list]" = {}
+        self._seed = np.zeros(max_batch, np.uint32)
+        self._steps = np.zeros(max_batch, np.int64)    # slot-local step count
+        self._prefill_cache: dict = {}
+        self._step_fn = None
+
+    # -- device programs ---------------------------------------------------
+
+    def _select(self, logits, keys):
+        """Next token from (B, V) logits; keys (B, 2) uint32 per row."""
+        import jax
+
+        with md.no_grad():
+            if self.greedy:
+                return md.argmax(logits, axis=-1)
+            scaled = logits / max(self.temperature, 1e-6)
+            if self.top_k is not None and self.top_k < logits.shape[-1]:
+                vals, _ = md.topk(scaled, self.top_k, axis=-1)
+                scaled = md.where(scaled >= vals[:, -1:], scaled,
+                                  md.full_like(scaled, -1e30))
+            import jax.numpy as jnp
+
+            u = jax.vmap(lambda k: jax.random.uniform(
+                jax.random.wrap_key_data(k, impl="threefry2x32"),
+                (logits.shape[-1],), jnp.float32, 1e-9, 1.0))(keys._data)
+            gumbel = md.Tensor(-jnp.log(-jnp.log(u))).astype(scaled.dtype)
+            return md.argmax(scaled + gumbel, axis=-1)
+
+    def _build_step(self):
+        import jax
+
+        model, L = self.model, self.window
+
+        @jax.jit
+        def step(raw_p, caches_raw, toks, pos, keys):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                caches = jax.tree.map(md.Tensor, caches_raw)
+                b = toks.shape[0]
+                new_caches, logits = _chunk_step(
+                    model, p, caches, md.Tensor(toks).reshape((b, 1)),
+                    md.Tensor(pos), L)
+                nxt = self._select(logits[:, 0], md.Tensor(keys))
+                return (jax.tree.map(lambda t: t._data, new_caches,
+                                     is_leaf=_is_tensor), nxt._data)
+
+        return step
+
+    def _build_prefill(self, sb: int):
+        """(params, caches, toks (1, sb), length, slot, key) ->
+        (caches', first token (1,)): one-row parallel prefill swapped into
+        the batched cache by a batch one-hot."""
+        import jax
+        import jax.numpy as jnp
+
+        model, L, B = self.model, self.window, self.max_batch
+
+        @jax.jit
+        def prefill(raw_p, caches_raw, toks, length, slot, key):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                caches = jax.tree.map(md.Tensor, caches_raw)
+                toks_t = md.Tensor(toks)
+                s = sb
+                pos = md.arange(s)
+                x = p["tok_emb"][toks_t]
+                if not model.rope:
+                    x = x + p["pos_emb"][:s]
+                sel_b = (md.arange(B) == md.Tensor(slot)).astype(
+                    md.float32)                      # (B,) batch one-hot
+                new_caches = []
+                for blk, bp, cache in zip(model.blocks, p["blocks"], caches):
+                    attn = blk.attn
+                    q, kk, vv = F.block_qkv(blk, bp, x, pos)
+                    row_k = md.zeros(
+                        (1, attn.num_kv_heads, L, attn.head_dim)).astype(
+                        cache["k"].dtype)
+                    row_v = md.zeros_like(row_k)
+                    row_k[:, :, :s, :] = kk.astype(row_k.dtype)
+                    row_v[:, :, :s, :] = vv.astype(row_v.dtype)
+                    sel = sel_b.reshape((B, 1, 1, 1)).astype(cache["k"].dtype)
+                    new_caches.append({
+                        "k": cache["k"] * (1.0 - sel) + sel * row_k,
+                        "v": cache["v"] * (1.0 - sel) + sel * row_v,
+                    })
+                    o = md.sdpa(q, attn.expand_kv(kk), attn.expand_kv(vv),
+                                causal=True)
+                    x = F.block_finish(blk, bp, x, o)
+                x = model.ln_f.apply(p["ln_f"], x)
+                logits = model.lm_head(p, x)         # (1, sb, V)
+                last = (md.arange(s) == (md.Tensor(length) - 1)).astype(
+                    logits.dtype)                    # (sb,) one-hot gather
+                lg = md.einsum("j,bjv->bv", last, logits)
+                nxt = self._select(lg, md.Tensor(key).reshape((1, 2)))
+                return (jax.tree.map(lambda t: t._data, new_caches,
+                                     is_leaf=_is_tensor), nxt._data)
+
+        return prefill
+
+    # -- host API ------------------------------------------------------------
+
+    def active(self) -> bool:
+        return len(self._free) < self.max_batch
+
+    def submit(self, prompt: "Sequence[int]", max_new_tokens: int,
+               seed: int = 0) -> int:
+        """Admit a request into a free slot (raises when the pool is full);
+        runs the bucketed prefill and emits the first token."""
+        import jax.numpy as jnp
+
+        if not self._free:
+            raise RuntimeError("no free slots — step() until one releases")
+        prompt = list(prompt)
+        s0 = len(prompt)
+        assert s0 >= 1 and max_new_tokens >= 1
+        assert s0 + max_new_tokens <= self.window
+        slot = self._free.pop(0)
+        sb = -(-s0 // _BUCKET) * _BUCKET
+        if sb not in self._prefill_cache:
+            self._prefill_cache[sb] = self._build_prefill(sb)
+        padded = np.zeros((1, sb), np.int64)
+        padded[0, :s0] = prompt
+        self._seed[slot] = np.uint32(seed & 0xFFFFFFFF)
+        self._steps[slot] = 0
+        kraw = self._fold(slot)
+        self._caches, nxt = self._prefill_cache[sb](
+            self._params_raw, self._caches, jnp.asarray(padded),
+            jnp.asarray(s0, jnp.int32), jnp.asarray(slot, jnp.int32),
+            jnp.asarray(kraw))
+        tok = int(np.asarray(nxt)[0])
+        self._pos[slot] = s0          # position the new token will occupy
+        self._tok[slot] = tok
+        self._budget[slot] = max_new_tokens - 1
+        self._out[slot] = [tok]
+        self._steps[slot] = 1
+        if self.eos_id is not None and tok == self.eos_id:
+            self._budget[slot] = 0
+        if self._budget[slot] == 0:
+            self._free.append(slot)
+        return slot
+
+    def _fold(self, slot: int) -> np.ndarray:
+        """Per-(slot seed, slot step) uint32x2 key material."""
+        rng = np.random.default_rng(
+            (int(self._seed[slot]), int(self._steps[slot])))
+        return np.asarray(rng.integers(0, 2 ** 32, 2), np.uint32)
+
+    def step(self) -> "Dict[int, int]":
+        """One batched decode step for every live slot; returns
+        {slot: emitted token}.  Slots whose budget hits zero (or emit
+        ``eos_id``) auto-release."""
+        import jax.numpy as jnp
+
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        live = [s for s in range(self.max_batch)
+                if s not in self._free and self._budget[s] > 0]
+        if not live:
+            return {}
+        keys = np.stack([self._fold(s) for s in range(self.max_batch)])
+        self._caches, nxt = self._step_fn(
+            self._params_raw, self._caches, jnp.asarray(self._tok),
+            jnp.asarray(self._pos), jnp.asarray(keys))
+        nxt = np.asarray(nxt)
+        emitted: "Dict[int, int]" = {}
+        for s in live:
+            tok = int(nxt[s])
+            emitted[s] = tok
+            self._out[s].append(tok)
+            self._pos[s] += 1
+            self._tok[s] = tok
+            self._steps[s] += 1
+            self._budget[s] -= 1
+            if self.eos_id is not None and tok == self.eos_id:
+                self._budget[s] = 0
+            if self._budget[s] == 0:
+                self._free.append(s)
+        return emitted
+
+    def done(self, slot: int) -> bool:
+        return self._budget[slot] == 0 and slot in self._out
+
+    def collect(self, slot: int) -> "List[int]":
+        """Generated tokens for ``slot`` (first token included)."""
+        return list(self._out[slot])

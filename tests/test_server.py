@@ -1,0 +1,152 @@
+"""Continuous-batching decode server (models/server.py).
+
+No reference counterpart (/root/reference has no serving layer).  The
+contract: every request decoded through the shared slot pool is
+token-for-token identical to decoding it ALONE via generate_compiled —
+staggered arrivals, different prompt lengths, slot reuse, and neighbors
+must not perturb each other.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import minidiff_tpu as md
+from minidiff_tpu.models import DecodeServer, TransformerLM, generate_compiled
+
+
+def _np(t):
+    import minidiff_tpu.backend as backend
+
+    return np.asarray(backend.get_backend().as_numpy(t._data))
+
+
+def setup_function(_):
+    md.set_backend("xla")
+
+
+def _reference(model, params, prompt, n):
+    out = _np(generate_compiled(model, params,
+                                md.Tensor(np.asarray([prompt])), n))
+    return list(out[0, len(prompt):])
+
+
+def _drain(srv):
+    while srv.active():
+        srv.step()
+
+
+@pytest.mark.parametrize("rope", [False, True])
+def test_server_matches_solo_decode(rope):
+    model = TransformerLM(vocab_size=19, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=256, rope=rope)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=4, window=256)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, 19, n)) for n in (3, 7, 5)]
+    slots = [srv.submit(p, max_new_tokens=6) for p in prompts]
+    _drain(srv)
+    for p, s in zip(prompts, slots):
+        assert srv.collect(s) == _reference(model, params, p, 6), p
+
+
+def test_server_staggered_arrivals_and_slot_reuse():
+    model = TransformerLM(vocab_size=13, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=2, window=256)
+    rng = np.random.default_rng(1)
+    p1 = list(rng.integers(0, 13, 4))
+    p2 = list(rng.integers(0, 13, 6))
+    p3 = list(rng.integers(0, 13, 9))  # arrives mid-flight, reuses a slot
+
+    s1 = srv.submit(p1, max_new_tokens=3)   # finishes first
+    s2 = srv.submit(p2, max_new_tokens=10)
+    while not srv.done(s1):
+        srv.step()
+    out1 = srv.collect(s1)
+    s3 = srv.submit(p3, max_new_tokens=5)   # takes s1's slot mid-decode of s2
+    assert s3 == s1  # the pool really is reusing the freed slot
+    _drain(srv)
+    assert out1 == _reference(model, params, p1, 3)
+    assert srv.collect(s2) == _reference(model, params, p2, 10)
+    assert srv.collect(s3) == _reference(model, params, p3, 5)
+
+
+def test_server_neighbors_do_not_perturb():
+    # the same request decodes identically whether its neighbor slots are
+    # empty, mid-flight, or churning
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    rng = np.random.default_rng(2)
+    p = list(rng.integers(0, 17, 5))
+
+    srv_alone = DecodeServer(model, params, max_batch=4, window=256)
+    s = srv_alone.submit(p, max_new_tokens=8)
+    _drain(srv_alone)
+    alone = srv_alone.collect(s)
+
+    srv_busy = DecodeServer(model, params, max_batch=4, window=256)
+    for other in range(3):
+        srv_busy.submit(list(rng.integers(0, 17, 3 + other)),
+                        max_new_tokens=12)
+    s = srv_busy.submit(p, max_new_tokens=8)
+    _drain(srv_busy)
+    assert srv_busy.collect(s) == alone
+
+
+def test_server_eos_and_pool_exhaustion():
+    model = TransformerLM(vocab_size=7, dim=8, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=1, window=256)
+    s1 = srv.submit([1, 2], max_new_tokens=50)
+    with pytest.raises(RuntimeError, match="free slots"):
+        srv.submit([3], max_new_tokens=1)
+    # figure out what the model emits, then use it as the EOS to stop early
+    _drain(srv)
+    toks = srv.collect(s1)
+    eos = toks[2]
+    srv2 = DecodeServer(model, params, max_batch=1, window=256, eos_id=eos)
+    s2 = srv2.submit([1, 2], max_new_tokens=50)
+    _drain(srv2)
+    out = srv2.collect(s2)
+    assert out == toks[:len(out)] and out[-1] == eos and len(out) <= 3
+
+
+def test_server_sampling_deterministic_per_seed():
+    model = TransformerLM(vocab_size=11, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+
+    def run(seed):
+        srv = DecodeServer(model, params, max_batch=2, window=256,
+                           greedy=False, temperature=1.0, top_k=5)
+        s = srv.submit([1, 2, 3], max_new_tokens=6, seed=seed)
+        _drain(srv)
+        return srv.collect(s)
+
+    a, b, c = run(7), run(7), run(8)
+    assert a == b
+    assert a != c
+    assert all(0 <= t < 11 for t in a)
+
+
+def test_server_long_prompt_buckets():
+    # a prompt crossing the 128 bucket boundary gets its own prefill
+    # program and still matches solo decode
+    model = TransformerLM(vocab_size=13, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=384)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=2, window=384)
+    rng = np.random.default_rng(3)
+    p_short = list(rng.integers(0, 13, 4))
+    p_long = list(rng.integers(0, 13, 140))
+    s1 = srv.submit(p_short, max_new_tokens=4)
+    s2 = srv.submit(p_long, max_new_tokens=4)
+    assert len(srv._prefill_cache) == 2  # two buckets -> two programs
+    _drain(srv)
+    assert srv.collect(s1) == _reference(model, params, p_short, 4)
+    assert srv.collect(s2) == _reference(model, params, p_long, 4)
