@@ -68,6 +68,11 @@ from minidiff_tpu.models.lora import (  # noqa: F401
     partition_params,
     trainable_params,
 )
+from minidiff_tpu.models.distill import (  # noqa: F401
+    kd_loss,
+    log_softmax,
+    make_distill_step,
+)
 from minidiff_tpu.models.server import DecodeServer  # noqa: F401
 from minidiff_tpu.models.unet import UNet2D  # noqa: F401
 from minidiff_tpu.models.ssm import (  # noqa: F401
