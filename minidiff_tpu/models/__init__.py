@@ -73,7 +73,10 @@ from minidiff_tpu.models.distill import (  # noqa: F401
     log_softmax,
     make_distill_step,
 )
-from minidiff_tpu.models.server import DecodeServer  # noqa: F401
+from minidiff_tpu.models.server import (  # noqa: F401
+    DecodeServer,
+    SSMDecodeServer,
+)
 from minidiff_tpu.models.unet import UNet2D  # noqa: F401
 from minidiff_tpu.models.ssm import (  # noqa: F401
     MambaBlock,

@@ -44,7 +44,7 @@ if TYPE_CHECKING:
 
     from minidiff_tpu.models.transformer import TransformerLM
 
-__all__ = ["DecodeServer"]
+__all__ = ["DecodeServer", "SSMDecodeServer"]
 
 _BUCKET = 128
 
@@ -53,48 +53,32 @@ def _is_tensor(x):
     return isinstance(x, md.Tensor)
 
 
-class DecodeServer:
-    """Fixed-slot continuous-batching decode server.
+class _ServerBase:
+    """Shared continuous-batching host logic over family-specific device
+    programs: subclasses own the per-slot state pytree (`_alloc_state`)
+    and the two executables (`_build_prefill(bucket)` / `_build_step`),
+    both with the uniform calling convention
+    ``fn(params, state, ...) -> (state', tokens)``."""
 
-    >>> srv = DecodeServer(model, params, max_batch=4, window=1024)
-    >>> slot = srv.submit([1, 2, 3], max_new_tokens=64)
-    >>> while srv.active():
-    ...     for s, tok in srv.step().items():  # one compiled step, all slots
-    ...         ...
-    >>> tokens = srv.collect(slot)             # slot auto-releases when done
-
-    ``greedy=False`` draws per-step Gumbel-max samples at ``temperature``
-    (optional ``top_k``) from a key folded out of (seed, slot-local step) —
-    each request's sample stream is deterministic in its submission seed.
-    """
-
-    def __init__(self, model: "TransformerLM", params, max_batch: int = 8,
+    def __init__(self, model, params, max_batch: int = 8,
                  window: "Optional[int]" = None, greedy: bool = True,
                  temperature: float = 1.0, top_k: "Optional[int]" = None,
                  eos_id: "Optional[int]" = None):
         import jax
-        import jax.numpy as jnp
 
         import minidiff_tpu.backend as backend
 
         assert backend.backend_name() == "xla", "DecodeServer needs xla"
         self.model = model
         self.max_batch = max_batch
-        self.window = int(window or model.max_seq_len)
-        assert self.window % _BUCKET == 0, "window must be a 128 multiple"
         self.greedy = greedy
         self.temperature = float(temperature)
         self.top_k = top_k
         self.eos_id = eos_id
         self._params_raw = jax.tree.map(lambda t: t._data, params,
                                         is_leaf=_is_tensor)
-        p_dtype = self._params_raw["tok_emb"].dtype
-        kv, hd = model.blocks[0].attn.num_kv_heads, model.blocks[0].attn.head_dim
-        self._caches = [
-            {"k": jnp.zeros((max_batch, kv, self.window, hd), p_dtype),
-             "v": jnp.zeros((max_batch, kv, self.window, hd), p_dtype)}
-            for _ in model.blocks
-        ]
+        self.window = self._resolve_window(window)
+        self._state = self._alloc_state()
         # host-side slot state
         self._pos = np.zeros(max_batch, np.int64)      # position of last token
         self._tok = np.zeros(max_batch, np.int64)      # last emitted token
@@ -127,6 +111,128 @@ class DecodeServer:
                 (logits.shape[-1],), jnp.float32, 1e-9, 1.0))(keys._data)
             gumbel = md.Tensor(-jnp.log(-jnp.log(u))).astype(scaled.dtype)
             return md.argmax(scaled + gumbel, axis=-1)
+
+    # -- host API ------------------------------------------------------------
+
+    def active(self) -> bool:
+        return len(self._free) < self.max_batch
+
+    def submit(self, prompt: "Sequence[int]", max_new_tokens: int,
+               seed: int = 0) -> int:
+        """Admit a request into a free slot (raises when the pool is full);
+        runs the bucketed prefill and emits the first token."""
+        import jax.numpy as jnp
+
+        if not self._free:
+            raise RuntimeError("no free slots — step() until one releases")
+        prompt = list(prompt)
+        s0 = len(prompt)
+        assert s0 >= 1 and max_new_tokens >= 1
+        if self.window is not None:
+            assert s0 + max_new_tokens <= self.window
+        slot = self._free.pop(0)
+        sb = -(-s0 // _BUCKET) * _BUCKET
+        if sb not in self._prefill_cache:
+            self._prefill_cache[sb] = self._build_prefill(sb)
+        padded = np.zeros((1, sb), np.int64)
+        padded[0, :s0] = prompt
+        self._seed[slot] = np.uint32(seed & 0xFFFFFFFF)
+        self._steps[slot] = 0
+        kraw = self._fold(slot)
+        self._state, nxt = self._prefill_cache[sb](
+            self._params_raw, self._state, jnp.asarray(padded),
+            jnp.asarray(s0, jnp.int32), jnp.asarray(slot, jnp.int32),
+            jnp.asarray(kraw))
+        tok = int(np.asarray(nxt)[0])
+        self._pos[slot] = s0          # position the new token will occupy
+        self._tok[slot] = tok
+        self._budget[slot] = max_new_tokens - 1
+        self._out[slot] = [tok]
+        self._steps[slot] = 1
+        if self.eos_id is not None and tok == self.eos_id:
+            self._budget[slot] = 0
+        if self._budget[slot] == 0:
+            self._free.append(slot)
+        return slot
+
+    def _fold(self, slot: int) -> np.ndarray:
+        """Per-(slot seed, slot step) uint32x2 key material."""
+        rng = np.random.default_rng(
+            (int(self._seed[slot]), int(self._steps[slot])))
+        return np.asarray(rng.integers(0, 2 ** 32, 2), np.uint32)
+
+    def step(self) -> "Dict[int, int]":
+        """One batched decode step for every live slot; returns
+        {slot: emitted token}.  Slots whose budget hits zero (or emit
+        ``eos_id``) auto-release."""
+        import jax.numpy as jnp
+
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        live = [s for s in range(self.max_batch)
+                if s not in self._free and self._budget[s] > 0]
+        if not live:
+            return {}
+        keys = np.stack([self._fold(s) for s in range(self.max_batch)])
+        self._state, nxt = self._step_fn(
+            self._params_raw, self._state, jnp.asarray(self._tok),
+            jnp.asarray(self._pos), jnp.asarray(keys))
+        nxt = np.asarray(nxt)
+        emitted: "Dict[int, int]" = {}
+        for s in live:
+            tok = int(nxt[s])
+            emitted[s] = tok
+            self._out[s].append(tok)
+            self._pos[s] += 1
+            self._tok[s] = tok
+            self._steps[s] += 1
+            self._budget[s] -= 1
+            if self.eos_id is not None and tok == self.eos_id:
+                self._budget[s] = 0
+            if self._budget[s] == 0:
+                self._free.append(s)
+        return emitted
+
+    def done(self, slot: int) -> bool:
+        return self._budget[slot] == 0 and slot in self._out
+
+    def collect(self, slot: int) -> "List[int]":
+        """Generated tokens for ``slot`` (first token included)."""
+        return list(self._out[slot])
+
+
+class DecodeServer(_ServerBase):
+    """Fixed-slot continuous-batching decode server (transformer family).
+
+    >>> srv = DecodeServer(model, params, max_batch=4, window=1024)
+    >>> slot = srv.submit([1, 2, 3], max_new_tokens=64)
+    >>> while srv.active():
+    ...     for s, tok in srv.step().items():  # one compiled step, all slots
+    ...         ...
+    >>> tokens = srv.collect(slot)             # slot auto-releases when done
+
+    ``greedy=False`` draws per-step Gumbel-max samples at ``temperature``
+    (optional ``top_k``) from a key folded out of (seed, slot-local step) —
+    each request's sample stream is deterministic in its submission seed.
+    """
+
+    def _resolve_window(self, window):
+        w = int(window or self.model.max_seq_len)
+        assert w % _BUCKET == 0, "window must be a 128 multiple"
+        return w
+
+    def _alloc_state(self):
+        import jax.numpy as jnp
+
+        model = self.model
+        p_dtype = self._params_raw["tok_emb"].dtype
+        kv = model.blocks[0].attn.num_kv_heads
+        hd = model.blocks[0].attn.head_dim
+        return [
+            {"k": jnp.zeros((self.max_batch, kv, self.window, hd), p_dtype),
+             "v": jnp.zeros((self.max_batch, kv, self.window, hd), p_dtype)}
+            for _ in model.blocks
+        ]
 
     def _build_step(self):
         import jax
@@ -199,89 +305,67 @@ class DecodeServer:
 
         return prefill
 
-    # -- host API ------------------------------------------------------------
 
-    def active(self) -> bool:
-        return len(self._free) < self.max_batch
 
-    def submit(self, prompt: "Sequence[int]", max_new_tokens: int,
-               seed: int = 0) -> int:
-        """Admit a request into a free slot (raises when the pool is full);
-        runs the bucketed prefill and emits the first token."""
-        import jax.numpy as jnp
+class SSMDecodeServer(_ServerBase):
+    """Continuous batching for the Mamba family: the slot state is the
+    O(1) recurrent state (per block one (B, d_inner, n) hidden + a
+    (B, K-1, d_inner) conv window) — no attention window, no per-request
+    length limit, constant HBM per step regardless of context.  Slot
+    prefill runs the prompt as ONE ragged parallel scan
+    (``MambaLM.prefill(lengths=...)``) and swaps the row in by a batch
+    one-hot; the shared step is the already-batched ``MambaLM.step``."""
 
-        if not self._free:
-            raise RuntimeError("no free slots — step() until one releases")
-        prompt = list(prompt)
-        s0 = len(prompt)
-        assert s0 >= 1 and max_new_tokens >= 1
-        assert s0 + max_new_tokens <= self.window
-        slot = self._free.pop(0)
-        sb = -(-s0 // _BUCKET) * _BUCKET
-        if sb not in self._prefill_cache:
-            self._prefill_cache[sb] = self._build_prefill(sb)
-        padded = np.zeros((1, sb), np.int64)
-        padded[0, :s0] = prompt
-        self._seed[slot] = np.uint32(seed & 0xFFFFFFFF)
-        self._steps[slot] = 0
-        kraw = self._fold(slot)
-        self._caches, nxt = self._prefill_cache[sb](
-            self._params_raw, self._caches, jnp.asarray(padded),
-            jnp.asarray(s0, jnp.int32), jnp.asarray(slot, jnp.int32),
-            jnp.asarray(kraw))
-        tok = int(np.asarray(nxt)[0])
-        self._pos[slot] = s0          # position the new token will occupy
-        self._tok[slot] = tok
-        self._budget[slot] = max_new_tokens - 1
-        self._out[slot] = [tok]
-        self._steps[slot] = 1
-        if self.eos_id is not None and tok == self.eos_id:
-            self._budget[slot] = 0
-        if self._budget[slot] == 0:
-            self._free.append(slot)
-        return slot
+    def _resolve_window(self, window):
+        return None  # no KV window: context length is unbounded
 
-    def _fold(self, slot: int) -> np.ndarray:
-        """Per-(slot seed, slot step) uint32x2 key material."""
-        rng = np.random.default_rng(
-            (int(self._seed[slot]), int(self._steps[slot])))
-        return np.asarray(rng.integers(0, 2 ** 32, 2), np.uint32)
+    def _alloc_state(self):
+        import jax
 
-    def step(self) -> "Dict[int, int]":
-        """One batched decode step for every live slot; returns
-        {slot: emitted token}.  Slots whose budget hits zero (or emit
-        ``eos_id``) auto-release."""
-        import jax.numpy as jnp
+        states = self.model.init_state(self.max_batch)
+        return jax.tree.map(lambda t: t._data, states, is_leaf=_is_tensor)
 
-        if self._step_fn is None:
-            self._step_fn = self._build_step()
-        live = [s for s in range(self.max_batch)
-                if s not in self._free and self._budget[s] > 0]
-        if not live:
-            return {}
-        keys = np.stack([self._fold(s) for s in range(self.max_batch)])
-        self._caches, nxt = self._step_fn(
-            self._params_raw, self._caches, jnp.asarray(self._tok),
-            jnp.asarray(self._pos), jnp.asarray(keys))
-        nxt = np.asarray(nxt)
-        emitted: "Dict[int, int]" = {}
-        for s in live:
-            tok = int(nxt[s])
-            emitted[s] = tok
-            self._out[s].append(tok)
-            self._pos[s] += 1
-            self._tok[s] = tok
-            self._steps[s] += 1
-            self._budget[s] -= 1
-            if self.eos_id is not None and tok == self.eos_id:
-                self._budget[s] = 0
-            if self._budget[s] == 0:
-                self._free.append(s)
-        return emitted
+    def _build_step(self):
+        import jax
 
-    def done(self, slot: int) -> bool:
-        return self._budget[slot] == 0 and slot in self._out
+        model = self.model
 
-    def collect(self, slot: int) -> "List[int]":
-        """Generated tokens for ``slot`` (first token included)."""
-        return list(self._out[slot])
+        @jax.jit
+        def step(raw_p, states_raw, toks, pos, keys):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                st = jax.tree.map(md.Tensor, states_raw)
+                logits, st2 = model.step(p, st, md.Tensor(toks))
+                nxt = self._select(logits, md.Tensor(keys))
+                return (jax.tree.map(lambda t: t._data, st2,
+                                     is_leaf=_is_tensor), nxt._data)
+
+        return step
+
+    def _build_prefill(self, sb: int):
+        import jax
+
+        model, B = self.model, self.max_batch
+
+        @jax.jit
+        def prefill(raw_p, states_raw, toks, length, slot, key):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                st = jax.tree.map(md.Tensor, states_raw)
+                lg, rows = model.prefill(
+                    p, md.Tensor(toks),
+                    lengths=md.Tensor(length).reshape((1,)))
+                sel = (md.arange(B) == md.Tensor(slot))
+                new_states = []
+                for old, new in zip(st, rows):
+                    sh = sel.reshape((B, 1, 1)).astype(old["h"].dtype)
+                    sc = sel.reshape((B, 1, 1)).astype(old["conv"].dtype)
+                    new_states.append({
+                        "h": old["h"] * (1.0 - sh) + sh * new["h"],
+                        "conv": old["conv"] * (1.0 - sc) + sc * new["conv"],
+                    })
+                nxt = self._select(lg, md.Tensor(key).reshape((1, 2)))
+                return (jax.tree.map(lambda t: t._data, new_states,
+                                     is_leaf=_is_tensor), nxt._data)
+
+        return prefill

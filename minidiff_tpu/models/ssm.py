@@ -128,13 +128,20 @@ class MambaBlock(Module):
         """(b, s, dim) -> (b, s, dim)."""
         return self._forward(params, u, collect_state=False)[0]
 
-    def apply_with_state(self, params, u):
+    def apply_with_state(self, params, u, lengths=None):
         """Parallel forward that also hands off the decode state after the
         last position — the prefill path: the whole prompt in one parallel
-        scan, then O(1)-state ``step`` decoding continues from it."""
-        return self._forward(params, u, collect_state=True)
+        scan, then O(1)-state ``step`` decoding continues from it.
 
-    def _forward(self, params, u, collect_state):
+        ``lengths`` (B,) int makes the batch RAGGED: rows are right-padded
+        to u's length and each row's handoff state reflects exactly its
+        own ``lengths[b]`` tokens.  Pad steps become identities inside the
+        scan (dt masks to 0, so abar = exp(0) = 1 and the input term
+        vanishes) and the conv window gathers each row's last K-1 VALID
+        inputs by one-hot contraction — all static shapes."""
+        return self._forward(params, u, collect_state=True, lengths=lengths)
+
+    def _forward(self, params, u, collect_state, lengths=None):
         b, s, _ = u.shape
         di, n, k = self.d_inner, self.d_state, self.d_conv
         # in_proj columns are PAIR-major (x_j, z_j): a tp column shard then
@@ -146,6 +153,12 @@ class MambaBlock(Module):
         x = silu(self._causal_conv(params, x_raw))
 
         dt, B, C = self._dtbc(params, x)   # (b,s,di), (b,s,n), (b,s,n)
+        if lengths is not None:
+            # ragged rows: zero dt at pad steps -> abar = exp(0) = 1 and
+            # bx = 0, so the recurrence carries h through pads unchanged
+            valid = (md.arange(s).reshape((1, s)) <
+                     lengths.reshape((b, 1))).astype(dt.dtype)
+            dt = dt * valid.reshape((b, s, 1))
 
         A = -md.exp(params["A_log"])                               # (di,n)
         dtA = dt.reshape((b, s, di, 1)) * A                        # (b,s,di,n)
@@ -162,6 +175,16 @@ class MambaBlock(Module):
         # (zero-padded on the left when the prompt is shorter than the
         # window, matching init_state's zeros)
         state = {"h": h[:, -1]}
+        if lengths is not None:
+            # per-row window rows length-(K-1)+j gathered by one-hot over
+            # positions; out-of-range rows (short prompts) hit nothing and
+            # stay exactly zero, matching init_state
+            tpos = md.arange(s).reshape((1, 1, s))
+            tgt = (lengths.reshape((b, 1, 1)) - (k - 1)
+                   + md.arange(k - 1).reshape((1, k - 1, 1)))
+            w = (tpos == tgt).astype(x_raw.dtype)        # (b, k-1, s)
+            state["conv"] = md.einsum("bjs,bsd->bjd", w, x_raw)
+            return out, state
         take = min(k - 1, s)
         parts = [x_raw[:, :1] * 0] * (k - 1 - take)
         if take:
@@ -292,19 +315,32 @@ class MambaLM(Module):
             logits = self.head.apply(params["head"], x)
         return logits, new_states
 
-    def prefill(self, params, tokens):
+    def prefill(self, params, tokens, lengths=None):
         """Whole-prompt forward in ONE parallel pass: tokens (B, S) ->
         (last-position logits (B, V), decode states).  This is where the
         SSM's serving shape shines: prefill is a parallel prefix scan (no
-        S^2 attention), and the handed-off state is O(1) in S."""
+        S^2 attention), and the handed-off state is O(1) in S.
+
+        ``lengths`` (B,) int serves a RAGGED batch (rows right-padded to
+        S): pad steps are identities in the scan, per-row conv windows
+        gather each row's own tail, and the logits come from each row's
+        position ``lengths[b]-1``."""
+        b, s = tokens.shape
         x = params["tok_emb"][tokens]
         states = []
         for blk, nm, bp, np_ in zip(self.blocks, self.norms,
                                     params["blocks"], params["norms"]):
-            y, st = blk.apply_with_state(bp, nm.apply(np_, x))
+            y, st = blk.apply_with_state(bp, nm.apply(np_, x),
+                                         lengths=lengths)
             x = x + y
             states.append(st)
-        x = self.ln_f.apply(params["ln_f"], x[:, -1:])[:, 0]
+        if lengths is None:
+            x = self.ln_f.apply(params["ln_f"], x[:, -1:])[:, 0]
+        else:
+            sel = (md.arange(s).reshape((1, s))
+                   == (lengths.reshape((b, 1)) - 1)).astype(x.dtype)
+            x = self.ln_f.apply(params["ln_f"],
+                                md.einsum("bs,bsd->bd", sel, x))
         if self.tie_embeddings:
             logits = md.matmul_nt(x, params["tok_emb"])
         else:

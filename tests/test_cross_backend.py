@@ -51,6 +51,11 @@ PROGRAMS = [
         lambda a, b: md.sum(md.tensordot(a, b, axes=((1, 2), (0, 1)))),
         [(2, 3, 4), (3, 4, 5)],
     ),
+    (
+        "linear-scan",
+        lambda a, b: md.sum(md.linear_scan(md.tanh(a), b, axis=1) ** 2),
+        [(2, 6, 3), (2, 6, 3)],
+    ),
 ]
 
 

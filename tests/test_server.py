@@ -134,6 +134,45 @@ def test_server_sampling_deterministic_per_seed():
     assert all(0 <= t < 11 for t in a)
 
 
+def test_ssm_server_matches_solo_decode():
+    from minidiff_tpu.models import MambaLM, SSMDecodeServer, generate_compiled_ssm
+
+    model = MambaLM(vocab_size=13, dim=8, num_layers=2, d_state=4, d_conv=3)
+    params = model.init()
+    srv = SSMDecodeServer(model, params, max_batch=3)
+    rng = np.random.default_rng(4)
+    prompts = [list(rng.integers(0, 13, n)) for n in (3, 6, 9)]
+    slots = [srv.submit(p, max_new_tokens=5) for p in prompts]
+    _drain(srv)
+    for p, s in zip(prompts, slots):
+        ref = _np(generate_compiled_ssm(model, params,
+                                        md.Tensor(np.asarray([p])), 5))
+        assert srv.collect(s) == list(ref[0, len(p):]), p
+
+
+def test_ssm_server_staggered_and_reuse():
+    from minidiff_tpu.models import MambaLM, SSMDecodeServer, generate_compiled_ssm
+
+    model = MambaLM(vocab_size=11, dim=8, num_layers=1, d_state=4)
+    params = model.init()
+    srv = SSMDecodeServer(model, params, max_batch=2)
+    rng = np.random.default_rng(5)
+    p1 = list(rng.integers(0, 11, 4))
+    p2 = list(rng.integers(0, 11, 7))
+    p3 = list(rng.integers(0, 11, 5))
+    s1 = srv.submit(p1, max_new_tokens=2)
+    s2 = srv.submit(p2, max_new_tokens=9)
+    while not srv.done(s1):
+        srv.step()
+    s3 = srv.submit(p3, max_new_tokens=4)
+    assert s3 == s1
+    _drain(srv)
+    for p, s, n in ((p2, s2, 9), (p3, s3, 4)):
+        ref = _np(generate_compiled_ssm(model, params,
+                                        md.Tensor(np.asarray([p])), n))
+        assert srv.collect(s) == list(ref[0, len(p):]), p
+
+
 def test_server_long_prompt_buckets():
     # a prompt crossing the 128 bucket boundary gets its own prefill
     # program and still matches solo decode

@@ -401,6 +401,32 @@ def test_mamba_prefill_short_prompt_pads_conv(backend):
                                _np(state[0]["conv"]), rtol=1e-6, atol=1e-9)
 
 
+def test_mamba_ragged_prefill_matches_per_row(backend):
+    # lengths= makes one batched prefill serve rows of different lengths:
+    # each row's logits and handoff state must equal its solo prefill
+    # (incl. a row shorter than the conv window)
+    model = MambaLM(vocab_size=13, dim=8, num_layers=2, d_state=4, d_conv=4)
+    params = model.init()
+    rng = np.random.default_rng(15)
+    lens = [5, 2, 8]
+    S = 8
+    toks = np.zeros((3, S), np.int64)
+    rows = [list(rng.integers(0, 13, n)) for n in lens]
+    for i, r in enumerate(rows):
+        toks[i, :len(r)] = r
+    lg_r, st_r = model.prefill(params, md.Tensor(toks),
+                               lengths=md.Tensor(np.array(lens)))
+    for i, r in enumerate(rows):
+        lg_s, st_s = model.prefill(params, md.Tensor(np.array([r])))
+        np.testing.assert_allclose(_np(lg_r)[i], _np(lg_s)[0], rtol=1e-5,
+                                   atol=1e-8)
+        for a, b in zip(st_r, st_s):
+            np.testing.assert_allclose(_np(a["h"])[i], _np(b["h"])[0],
+                                       rtol=1e-5, atol=1e-8)
+            np.testing.assert_allclose(_np(a["conv"])[i], _np(b["conv"])[0],
+                                       rtol=1e-5, atol=1e-8)
+
+
 def test_mamba_generate_compiled_matches_eager_xla():
     from minidiff_tpu.models import generate_compiled_ssm
     from minidiff_tpu.models.ssm import _SSM_DECODE_CACHE
