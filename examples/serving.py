@@ -100,6 +100,25 @@ def main() -> None:
     assert (spec_toks == base).all(), "speculative must equal greedy"
     print("speculative == greedy: verified")
 
+    # 7) continuous batching: staggered requests share one slot pool and
+    # decode token-identical to their solo runs
+    from minidiff_tpu.models import DecodeServer
+
+    srv = DecodeServer(target, params, max_batch=4, window=SEQ)
+    rng = np.random.RandomState(4)
+    reqs = [list(rng.randint(1, VOCAB, size=n)) for n in (5, 11, 8)]
+    slots = [srv.submit(p, max_new_tokens=NEW) for p in reqs]
+    t0 = time.perf_counter()
+    while srv.active():
+        srv.step()
+    dt = time.perf_counter() - t0
+    for p, s in zip(reqs, slots):
+        solo = generate_compiled(target, params,
+                                 md.Tensor(np.asarray([p])), NEW)
+        assert srv.collect(s) == list(np.asarray(solo._data)[0, len(p):])
+    print(f"continuous batching         {dt*1e3:8.1f} ms   "
+          f"3 staggered requests == solo decodes")
+
 
 if __name__ == "__main__":
     main()
