@@ -180,6 +180,49 @@ class NumpyBackend:
         return (acc * np.asarray(s, xd.dtype)).astype(xd.dtype)
 
     @staticmethod
+    def quantize_int4(w: np.ndarray, group: int = 128):
+        """(K, N) float -> (packed int8 (K/2, N) split-half nibbles,
+        s f32 (K/group, N)) — the oracle for kernels/quant.py int4."""
+        if np.ndim(w) != 2:
+            raise ValueError("quantize_int4 expects a 2-D weight matrix")
+        k, n = np.shape(w)
+        if k % 2 or k % group:
+            raise ValueError(
+                f"K={k} must be even and divisible by group={group}")
+        w32 = np.asarray(w, np.float32)
+        wg = w32.reshape(k // group, group, n)
+        amax = np.max(np.abs(wg), axis=1)
+        s = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(w32 / np.repeat(s, group, axis=0)), -7, 7)
+        q = q.astype(np.int32)
+        lo, hi = q[: k // 2], q[k // 2:]
+        packed = (((hi << 4) | (lo & 0xF)) & 0xFF).astype(np.uint8)
+        return packed.view(np.int8), s
+
+    @staticmethod
+    def unpack_int4(p: np.ndarray) -> np.ndarray:
+        """(K/2, N) packed int8 -> (K, N) int8 in [-7, 7] (split-half)."""
+        pi = np.asarray(p, np.int32)
+        lo = (pi << 28) >> 28
+        hi = (pi << 24) >> 28
+        return np.concatenate([lo, hi], axis=0).astype(np.int8)
+
+    @staticmethod
+    def dequant_matmul4(x: np.ndarray, p: np.ndarray,
+                        s: np.ndarray) -> np.ndarray:
+        """x (..., K) @ (unpacked int4 * group scales) at x's precision."""
+        pi = np.asarray(p, np.int32)
+        lo = (pi << 28) >> 28
+        hi = (pi << 24) >> 28
+        q = np.concatenate([lo, hi], axis=0)
+        k = q.shape[0]
+        groups = np.shape(s)[0]
+        xd = np.asarray(x)
+        w = q.astype(xd.dtype) * np.repeat(np.asarray(s, xd.dtype),
+                                           k // groups, axis=0)
+        return np.matmul(xd, w).astype(xd.dtype)
+
+    @staticmethod
     def quantize_int8_rows(x: np.ndarray):
         """(..., hd) float -> (q int8, s f32 (...,)) per-row symmetric."""
         x32 = np.asarray(x, np.float32)

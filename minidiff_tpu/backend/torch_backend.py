@@ -369,6 +369,46 @@ class TorchBackend:
         return (acc * s.to(x.dtype)).to(x.dtype)
 
     @staticmethod
+    def quantize_int4(w, group: int = 128):
+        w = _t(w)
+        if w.ndim != 2:
+            raise ValueError("quantize_int4 expects a 2-D weight matrix")
+        k, n = w.shape
+        if k % 2 or k % group:
+            raise ValueError(
+                f"K={k} must be even and divisible by group={group}")
+        w32 = w.to(torch.float32)
+        amax = torch.max(torch.abs(w32.reshape(k // group, group, n)),
+                         dim=1).values
+        s = torch.where(amax > 0, amax / 7.0, torch.ones_like(amax))
+        q = torch.clamp(
+            torch.round(w32 / torch.repeat_interleave(s, group, dim=0)),
+            -7, 7).to(torch.int32)
+        lo, hi = q[: k // 2], q[k // 2:]
+        packed = (((hi << 4) | (lo & 0xF)) & 0xFF).to(torch.uint8)
+        return packed.view(torch.int8), s
+
+    @staticmethod
+    def unpack_int4(p):
+        pi = _t(p).to(torch.int32)
+        lo = (pi << 28) >> 28
+        hi = (pi << 24) >> 28
+        return torch.cat([lo, hi], dim=0).to(torch.int8)
+
+    @staticmethod
+    def dequant_matmul4(x, p, s):
+        x, p, s = _t(x), _t(p), _t(s)
+        pi = p.to(torch.int32)
+        lo = (pi << 28) >> 28
+        hi = (pi << 24) >> 28
+        q = torch.cat([lo, hi], dim=0)
+        k = q.shape[0]
+        groups = s.shape[0]
+        w = q.to(x.dtype) * torch.repeat_interleave(
+            s.to(x.dtype), k // groups, dim=0)
+        return torch.matmul(x, w).to(x.dtype)
+
+    @staticmethod
     def quantize_int8_rows(x):
         x32 = _t(x).to(torch.float32)
         amax = torch.max(torch.abs(x32), dim=-1).values

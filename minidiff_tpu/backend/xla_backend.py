@@ -211,6 +211,27 @@ class XlaBackend:
         return _q.dequant_matmul(x, q, s)
 
     @staticmethod
+    def quantize_int4(w: jax.Array, group: int = 128):
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.quantize_int4(w, group=group)
+
+    @staticmethod
+    def unpack_int4(p: jax.Array) -> jax.Array:
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.unpack_int4(p)
+
+    @staticmethod
+    def dequant_matmul4(x: jax.Array, p: jax.Array,
+                        s: jax.Array) -> jax.Array:
+        # packed-nibble weights + group scales; fused per-group MXU dots on
+        # TPU, einsum fallback elsewhere — kernels/quant.py
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.dequant_matmul4(x, p, s)
+
+    @staticmethod
     def quantize_int8_rows(x: jax.Array):
         from minidiff_tpu.kernels import quant as _q
 

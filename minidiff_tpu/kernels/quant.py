@@ -260,3 +260,119 @@ def dequant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     if mp != m:
         out = out[:m]
     return out.reshape(lead + (n,))
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only: packed nibbles + group-wise scales
+# ---------------------------------------------------------------------------
+#
+# int8 halves the weight stream; int4 halves it AGAIN (decode latency is
+# the weight byte count).  4-bit symmetric quantization needs finer scale
+# granularity than per-column to hold accuracy, so scales are per
+# (K-group, column) with group size G (default 128, the GPTQ convention).
+# Two weight rows pack into one int8 byte SPLIT-HALF: packed[i] holds
+# original rows i (low nibble) and i + K/2 (high nibble) — unpacking is a
+# concat, not an interleave, which Mosaic lowers cleanly.  The kernel
+# accumulates per-group MXU dots scaled in f32, so the int4 values reach
+# the MXU exactly and HBM only ever sees the packed bytes.
+
+_GROUP4 = 128
+
+
+def quantize_int4(w: jax.Array, group: int = _GROUP4):
+    """(K, N) float -> (packed int8 (K/2, N), s f32 (K/group, N))."""
+    if w.ndim != 2:
+        raise ValueError("quantize_int4 expects a 2-D weight matrix")
+    k, n = w.shape
+    if k % 2 or k % group:
+        raise ValueError(f"K={k} must be even and divisible by group={group}")
+    w32 = w.astype(jnp.float32)
+    wg = w32.reshape(k // group, group, n)
+    amax = jnp.max(jnp.abs(wg), axis=1)
+    s = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(w32 / jnp.repeat(s, group, axis=0)), -7, 7)
+    q = q.astype(jnp.int32)
+    lo, hi = q[: k // 2], q[k // 2:]
+    packed = ((hi << 4) | (lo & 0xF)) & 0xFF
+    packed = jax.lax.bitcast_convert_type(
+        packed.astype(jnp.uint8), jnp.int8)
+    return packed, s
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """(K/2, N) int8 -> (K, N) int8 in [-7, 7] (split-half layout)."""
+    pi = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(pi, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(pi, 24), 28)
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def _dq4_mm_kernel(x_ref, p_ref, s_ref, o_ref, *, groups, group):
+    pi = p_ref[:].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(pi, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(pi, 24), 28)
+    q = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)  # (K, bn)
+    x = x_ref[:]
+    acc = None
+    for g in range(groups):
+        # per-group dot keeps int4 values exact on the MXU; the f32 scale
+        # applies to the group's partial product
+        part = jnp.dot(x[:, g * group:(g + 1) * group],
+                       q[g * group:(g + 1) * group],
+                       preferred_element_type=jnp.float32)
+        part = part * s_ref[g].astype(jnp.float32)
+        acc = part if acc is None else acc + part
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "group", "interpret"))
+def _pallas_dequant_matmul4(x: jax.Array, p: jax.Array, s: jax.Array,
+                            bn: int = _BN, group: int = _GROUP4,
+                            interpret: bool = False) -> jax.Array:
+    m, k = x.shape
+    _, n = p.shape
+    groups = k // group
+    return pl.pallas_call(
+        functools.partial(_dq4_mm_kernel, groups=groups, group=group),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda j: (0, 0)),
+            pl.BlockSpec((k // 2, bn), lambda j: (0, j)),
+            pl.BlockSpec((groups, bn), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda j: (0, j)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x, p, s.astype(jnp.float32))
+
+
+def _jnp_dequant_matmul4(x: jax.Array, p: jax.Array,
+                         s: jax.Array) -> jax.Array:
+    k = 2 * p.shape[0]
+    groups = s.shape[0]
+    group = k // groups
+    q = unpack_int4(p)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    xg = x.reshape(x.shape[:-1] + (groups, group)).astype(acc_dtype)
+    qg = q.reshape(groups, group, q.shape[-1]).astype(acc_dtype)
+    out = jnp.einsum("...gk,gkn,gn->...n", xg, qg, s.astype(acc_dtype))
+    return out.astype(x.dtype)
+
+
+def dequant_matmul4(x: jax.Array, p: jax.Array, s: jax.Array) -> jax.Array:
+    """x (..., K) @ unpack4(p (K/2, N)) * s (K/G, N) -> (..., N)."""
+    k = 2 * p.shape[0]
+    n = p.shape[1]
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= int(d)
+    group = k // s.shape[0]
+    if (_pallas_eligible(m, k, n, x.dtype) and group % 128 == 0
+            and k % group == 0):
+        out = _pallas_dequant_matmul4(x.reshape(m, k), p, s, group=group)
+        return out.reshape(lead + (n,))
+    return _jnp_dequant_matmul4(x, p, s)

@@ -54,6 +54,9 @@ class Linear(Module):
             # weight-only int8 (models.quant.quantize_for_serving): the
             # fused dequant-matmul keeps the weight stream int8 in HBM
             out = md.dequant_matmul(x, params["w_q"], params["w_s"])
+        elif "w_q4" in params:
+            # int4: packed nibbles + group scales — half the int8 stream
+            out = md.dequant_matmul4(x, params["w_q4"], params["w_s4"])
         else:
             out = x @ params["w"]
         if "lora_a" in params:

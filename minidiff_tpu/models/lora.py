@@ -61,6 +61,10 @@ def _weight_shape(node: dict):
     if _is_tensor(wq) and wq.ndim == 2:
         # quantized base: adapters run in the scale dtype (f32/bf16)
         return wq.shape, node["w_s"].dtype
+    wp = node.get("w_q4")
+    if _is_tensor(wp) and wp.ndim == 2:
+        # int4 base: packed rows count half of K
+        return (2 * wp.shape[0], wp.shape[1]), node["w_s4"].dtype
     return None, None
 
 

@@ -35,7 +35,8 @@ import minidiff_tpu.backend as backend
 if TYPE_CHECKING:
     from typing import Any
 
-__all__ = ["quantize_int8", "quantize_for_serving", "quantized_bytes"]
+__all__ = ["quantize_int8", "quantize_int4", "quantize_for_serving",
+           "quantized_bytes"]
 
 
 def quantize_int8(w: "md.Tensor") -> "tuple[md.Tensor, md.Tensor]":
@@ -49,6 +50,17 @@ def quantize_int8(w: "md.Tensor") -> "tuple[md.Tensor, md.Tensor]":
         return md.Tensor(q), md.Tensor(s)
 
 
+def quantize_int4(w: "md.Tensor", group: int = 128):
+    """(K, N) float -> (packed int8 (K/2, N), s f32 (K/group, N)).
+
+    4-bit symmetric with GROUP-wise scales (per-column is too coarse at
+    4 bits); two K-rows pack per byte split-half.  See kernels/quant.py.
+    """
+    with md.no_grad():
+        p, s = backend.get_backend().quantize_int4(w._data, group=group)
+        return md.Tensor(p), md.Tensor(s)
+
+
 def _is_quantizable(key: str, value: "Any", min_elements: int) -> bool:
     if key != "w" or not isinstance(value, md.Tensor):
         return False
@@ -57,26 +69,39 @@ def _is_quantizable(key: str, value: "Any", min_elements: int) -> bool:
     return value.size >= min_elements
 
 
-def quantize_for_serving(params: "Any", min_elements: int = 128 * 128) -> "Any":
-    """Rewrite a parameter tree for int8 weight-only serving.
+def quantize_for_serving(params: "Any", min_elements: int = 128 * 128,
+                         bits: int = 8, group: int = 128) -> "Any":
+    """Rewrite a parameter tree for int8/int4 weight-only serving.
 
     Every dict holding a quantizable ``"w"`` (2-D, >= ``min_elements``
-    params) gets it replaced by ``"w_q"``/``"w_s"``; all other leaves pass
-    through untouched (biases, norms, embeddings).  Returns a new tree —
-    the input is not mutated, so the full-precision parameters remain
-    usable (e.g. for continued training).
+    params) gets it replaced by ``"w_q"``/``"w_s"`` (int8) or
+    ``"w_q4"``/``"w_s4"`` (``bits=4``: packed nibbles + ``group``-wise
+    scales — half the int8 stream again); all other leaves pass through
+    untouched (biases, norms, embeddings).  A weight whose K dimension
+    int4 cannot tile (odd or not divisible by ``group``) falls back to
+    int8 in the same tree.  Returns a new tree — the input is not mutated,
+    so the full-precision parameters remain usable.
     """
+    assert bits in (8, 4), bits
     if isinstance(params, dict):
         out = {}
         for k, v in params.items():
             if _is_quantizable(k, v, min_elements):
-                q, s = quantize_int8(v)
-                out["w_q"], out["w_s"] = q, s
+                kdim = v.shape[0]
+                if bits == 4 and kdim % 2 == 0 and kdim % group == 0:
+                    p, s = quantize_int4(v, group=group)
+                    out["w_q4"], out["w_s4"] = p, s
+                else:
+                    q, s = quantize_int8(v)
+                    out["w_q"], out["w_s"] = q, s
             else:
-                out[k] = quantize_for_serving(v, min_elements)
+                out[k] = quantize_for_serving(v, min_elements, bits=bits,
+                                              group=group)
         return out
     if isinstance(params, (list, tuple)):
-        return type(params)(quantize_for_serving(v, min_elements) for v in params)
+        return type(params)(
+            quantize_for_serving(v, min_elements, bits=bits, group=group)
+            for v in params)
     return params
 
 

@@ -1011,6 +1011,34 @@ dequant_matmul = wrapping.create_ternary_op_func(
     grad_z=None,
     tensor_only=True,
 )
+
+
+# int4 sibling: x (..., K) @ (unpack4(p (K/2, N)) * s (K/group, N)).
+# Packed nibbles with GROUP-wise scales (4-bit needs finer granularity
+# than per-column); same differentiability contract as dequant_matmul —
+# grad in x only, through the frozen dequantized weight.
+def _dequant_matmul4_grad_x(x, p, s, grad):
+    import minidiff_tpu.backend as _backend
+
+    with md.no_grad():
+        # the weight is a quantization constant (no cotangent), so the raw
+        # backend unpack wrapped as a fresh Tensor is tape-legitimate
+        q = md.Tensor(_backend.get_backend().unpack_int4(p._data))
+        group = q.shape[0] // s.shape[0]
+        # accumulate at the grad x scale promoted dtype (f64 under the x64
+        # oracle, f32 for bf16 grads) — mirrors _dequant_matmul_grad_x
+        wdt = (s.reshape((-1,))[:1] * grad.reshape((-1,))[:1]).dtype
+        w = q.astype(wdt) * md.repeat(s.astype(wdt), group, axis=0)
+    return matmul_nt(grad.astype(wdt), w).astype(x.dtype)
+
+
+dequant_matmul4 = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("dequant_matmul4")),
+    grad_x=_dequant_matmul4_grad_x,
+    grad_y=None,
+    grad_z=None,
+    tensor_only=True,
+)
 mod = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("mod")),
     grad_x=lambda x, y, grad: md.where(x % y == 0, 0, grad),
@@ -1605,6 +1633,7 @@ __all__ = [
     "matmul_nt",
     "matmul_tn",
     "dequant_matmul",
+    "dequant_matmul4",
     "sdpa_int8_cache",
     "maximum",
     "minimum",

