@@ -146,8 +146,9 @@ def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
     L = min(model.max_seq_len,
             -(-(total + 1) // _DECODE_BLOCK) * _DECODE_BLOCK)
 
-    raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
-    p_dtype = raw_params["tok_emb"].dtype
+    # only the dtype enters the cache key — the full tree unwrap happens
+    # once per CALL in generate_compiled, not here (hot-path cost)
+    p_dtype = params["tok_emb"]._data.dtype
     prompt_raw = prompt._data
 
     # One compiled program per (model, shapes): rebuilding the jitted

@@ -22,7 +22,6 @@ from typing import TYPE_CHECKING
 
 import minidiff_tpu as md
 from minidiff_tpu.models import functional as F
-from minidiff_tpu.models.mlp import make_train_step
 from minidiff_tpu.models.optim import SGD
 
 if TYPE_CHECKING:
@@ -76,23 +75,31 @@ def make_distill_step(
 ):
     """``step(params, opt_state, x, y) -> (params, opt_state, loss)``.
 
-    The teacher's logits are recomputed inside the step under ``no_grad``
-    (constants to the tape), so the whole thing compiles into ONE XLA
-    program.  For sequence models whose apply returns (B, S, V), logits
-    and labels are flattened to (B*S, V)/(B*S,) before the loss.
+    The teacher forward runs inside the same compiled objective under
+    ``no_grad`` (one XLA program; the teacher contributes no backward),
+    and the teacher parameters enter the jitted program as TRACED inputs
+    — closed-over concrete arrays would be baked into the executable as
+    constants, doubling its size and forcing a retrace per teacher
+    checkpoint.  For sequence models whose apply returns (B, S, V),
+    logits and labels flatten to (B*S, V)/(B*S,) before the loss.
     ``trainable`` freezes everything else (e.g. LoRA-distillation)."""
     optimizer = optimizer or SGD(0.1)
 
-    def apply_fn(p, x):
-        # the make_train_step contract: apply_fn may return extra outputs,
-        # which loss_fn receives whole — thread the batch through so the
-        # teacher forward happens INSIDE the objective (one XLA program)
-        return student.apply(p, x), x
+    if trainable is None:
+        def split(p):
+            return p, None
 
-    def loss_fn(out, y):
-        student_logits, x = out
-        with md.no_grad():
-            teacher_logits = teacher.apply(teacher_params, x)
+        def rejoin(t, f):
+            return t
+    else:
+        from minidiff_tpu.models.lora import combine_params, partition_params
+
+        def split(p):
+            return partition_params(p, trainable)
+
+        rejoin = combine_params
+
+    def _loss(student_logits, teacher_logits, y):
         sl, tl = student_logits, teacher_logits
         if sl.ndim == 3:
             b, s, v = sl.shape
@@ -102,5 +109,25 @@ def make_distill_step(
         return kd_loss(sl, tl, labels=y, temperature=temperature,
                        alpha=alpha)
 
-    return make_train_step(student, optimizer, loss_fn=loss_fn, jit=jit,
-                           apply_fn=apply_fn, trainable=trainable)
+    def full_step(params, opt_state, x, y, tp):
+        train, frozen = split(params)
+
+        def objective(t):
+            logits = student.apply(rejoin(t, frozen), x)
+            with md.no_grad():
+                teacher_logits = teacher.apply(tp, x)
+            return _loss(logits, teacher_logits, y)
+
+        loss, grads = md.value_and_grad(objective)(train)
+        train, opt_state = optimizer.update(train, grads, opt_state)
+        return rejoin(train, frozen), opt_state, loss
+
+    import minidiff_tpu.backend as backend
+
+    compiled = (md.jit(full_step)
+                if jit and backend.backend_name() == "xla" else full_step)
+
+    def step(params, opt_state, x, y):
+        return compiled(params, opt_state, x, y, teacher_params)
+
+    return step

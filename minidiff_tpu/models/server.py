@@ -36,8 +36,7 @@ import numpy as np
 
 import minidiff_tpu as md
 from minidiff_tpu.models import functional as F
-from minidiff_tpu.models.speculative import _chunk_step, _prefill  # noqa: F401
-from minidiff_tpu.models.speculative import _write_rows
+from minidiff_tpu.models.speculative import _chunk_step  # noqa: F401
 
 if TYPE_CHECKING:
     from typing import Any, Dict, List, Optional, Sequence
@@ -115,7 +114,10 @@ class _ServerBase:
     # -- host API ------------------------------------------------------------
 
     def active(self) -> bool:
-        return len(self._free) < self.max_batch
+        """True while any slot is still decoding (finished-but-uncollected
+        slots do not count — they wait for ``collect``)."""
+        return any(s not in self._free and self._budget[s] > 0
+                   for s in range(self.max_batch))
 
     def submit(self, prompt: "Sequence[int]", max_new_tokens: int,
                seed: int = 0) -> int:
@@ -124,7 +126,9 @@ class _ServerBase:
         import jax.numpy as jnp
 
         if not self._free:
-            raise RuntimeError("no free slots — step() until one releases")
+            raise RuntimeError(
+                "no free slots — step() until a request finishes and "
+                "collect() it (collect releases the slot)")
         prompt = list(prompt)
         s0 = len(prompt)
         assert s0 >= 1 and max_new_tokens >= 1
@@ -151,8 +155,6 @@ class _ServerBase:
         self._steps[slot] = 1
         if self.eos_id is not None and tok == self.eos_id:
             self._budget[slot] = 0
-        if self._budget[slot] == 0:
-            self._free.append(slot)
         return slot
 
     def _fold(self, slot: int) -> np.ndarray:
@@ -173,7 +175,10 @@ class _ServerBase:
                 if s not in self._free and self._budget[s] > 0]
         if not live:
             return {}
-        keys = np.stack([self._fold(s) for s in range(self.max_batch)])
+        if self.greedy:  # keys are never read by greedy argmax
+            keys = np.zeros((self.max_batch, 2), np.uint32)
+        else:
+            keys = np.stack([self._fold(s) for s in range(self.max_batch)])
         self._state, nxt = self._step_fn(
             self._params_raw, self._state, jnp.asarray(self._tok),
             jnp.asarray(self._pos), jnp.asarray(keys))
@@ -189,16 +194,21 @@ class _ServerBase:
             self._budget[s] -= 1
             if self.eos_id is not None and tok == self.eos_id:
                 self._budget[s] = 0
-            if self._budget[s] == 0:
-                self._free.append(s)
         return emitted
 
     def done(self, slot: int) -> bool:
         return self._budget[slot] == 0 and slot in self._out
 
     def collect(self, slot: int) -> "List[int]":
-        """Generated tokens for ``slot`` (first token included)."""
-        return list(self._out[slot])
+        """Generated tokens for ``slot`` (first token included).
+
+        Collecting a FINISHED request releases its slot for reuse — a
+        slot is never recycled under an uncollected output, so stale
+        handles cannot observe another request's tokens."""
+        out = list(self._out[slot])
+        if self._budget[slot] == 0 and slot not in self._free:
+            self._free.append(slot)
+        return out
 
 
 class DecodeServer(_ServerBase):
@@ -219,6 +229,11 @@ class DecodeServer(_ServerBase):
     def _resolve_window(self, window):
         w = int(window or self.model.max_seq_len)
         assert w % _BUCKET == 0, "window must be a 128 multiple"
+        # positions beyond max_seq_len would clamp the pos_emb gather
+        # (silently wrong tokens for non-rope models) — refuse up front
+        assert w <= self.model.max_seq_len, (
+            f"window {w} exceeds model.max_seq_len "
+            f"{self.model.max_seq_len}")
         return w
 
     def _alloc_state(self):

@@ -496,6 +496,17 @@ def _scan_shift(t, axis):
 _linear_scan_r_memo: dict = {}
 
 
+def clear_fused_memos() -> None:
+    """Drop the single-entry fused-backward memos (sdpa, layernorm,
+    rmsnorm, xent, linear_scan).  Entries only matter WITHIN one backward
+    sweep — the engine calls this as each sweep finishes so the pinned
+    operand/result buffers (potentially hundreds of MB of activations on
+    eager backends) do not outlive the step that used them."""
+    for memo in (_linear_scan_r_memo, _sdpa_fused_memo, _ln_fused_memo,
+                 _rms_fused_memo, _xent_fused_memo):
+        memo.clear()
+
+
 def _linear_scan_cotangent(a, b, grad, axis):
     """r_t = g_t + a_{t+1} r_{t+1}: ANOTHER first-order linear recurrence,
     run in reverse — flip time, shift the decay one slot (r's step t uses

@@ -231,32 +231,41 @@ class OpNode:
             for tensor in traversal_path:
                 tensor.grad = None
 
-        with md.enable_grad(allow_higher_order):
-            self.update_grads(seed_grad, output=root_output)
-            for tensor in reversed(traversal_path):
-                if tensor.is_leaf:
-                    continue
-                grad = tensor.grad
-                if grad is None:
-                    # reachable only through None-VJP slots (e.g. where's
-                    # condition, getitem keys): nothing to propagate
-                    continue
-                node = tensor.op_node
-                node.update_grads(grad, output=tensor)
-                if not retain_grads:
-                    tensor.grad = None
+        try:
+            with md.enable_grad(allow_higher_order):
+                self.update_grads(seed_grad, output=root_output)
+                for tensor in reversed(traversal_path):
+                    if tensor.is_leaf:
+                        continue
+                    grad = tensor.grad
+                    if grad is None:
+                        # reachable only through None-VJP slots (e.g. where's
+                        # condition, getitem keys): nothing to propagate
+                        continue
+                    node = tensor.op_node
+                    node.update_grads(grad, output=tensor)
+                    if not retain_grads:
+                        tensor.grad = None
 
-                if cleanup_mode == "keep":
-                    continue
-                if cleanup_mode == "destroy":
+                    if cleanup_mode == "keep":
+                        continue
+                    if cleanup_mode == "destroy":
+                        tensor.wipe()
+                        continue
+                    # prune: free this subgraph once nothing else references
+                    # it
+                    if tensor.graph_refs > 0:
+                        continue
+                    for child in node.tensor_inputs:
+                        child.graph_refs -= 1
                     tensor.wipe()
-                    continue
-                # prune: free this subgraph once nothing else references it
-                if tensor.graph_refs > 0:
-                    continue
-                for child in node.tensor_inputs:
-                    child.graph_refs -= 1
-                tensor.wipe()
+        finally:
+            # fused-backward memos (sdpa/norm/xent/linear_scan) only carry
+            # state BETWEEN the grad calls of one sweep; dropping them here
+            # releases the pinned operand/result buffers with the step
+            from minidiff_tpu.ops.definitions import clear_fused_memos
+
+            clear_fused_memos()
 
     def __repr__(self) -> str:
         return f"{self.op_name}({', '.join(str(x) for x in self.op_inputs)})"

