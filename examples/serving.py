@@ -82,6 +82,11 @@ def main() -> None:
           f"{quantized_bytes(qp)/1e6:.1f} MB int8")
     show("compiled greedy, int8 W",
          lambda: generate_compiled(target, qp, prompt, NEW))
+    qp4 = quantize_for_serving(params, bits=4)
+    print(f"int4: {quantized_bytes(qp4)/1e6:.1f} MB (packed nibbles, "
+          f"group-128 scales)")
+    show("compiled greedy, int4 W",
+         lambda: generate_compiled(target, qp4, prompt, NEW))
     # 5) ... plus int8 KV cache: the whole decode HBM stream is int8
     show("compiled greedy, int8 W+KV",
          lambda: generate_compiled(target, qp, prompt, NEW, kv_quant=True))
