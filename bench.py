@@ -224,7 +224,7 @@ def _decode_throughput() -> dict:
                                  T.NEW, kv_quant=True)._data
 
     t_qkv, _, qkv_ratio = T.chain_time_pair(run_int8kv, run_int8, prompt_np)
-    return {
+    out = {
         "decode_tok_per_s": round(T.BATCH * T.NEW / t_fw, 1),
         "decode_ms_per_token": round(t_fw / T.NEW * 1e3, 3),
         "decode_twin_ms_per_token": round(t_twin / T.NEW * 1e3, 3),
@@ -235,6 +235,52 @@ def _decode_throughput() -> dict:
         "decode_int8kv_tok_per_s": round(T.BATCH * T.NEW / t_qkv, 1),
         "decode_int8kv_speedup_vs_int8": round(qkv_ratio, 4),
     }
+
+    # int4 weight-only (packed nibbles + group scales, dequant_matmul4):
+    # half the int8 weight stream again; paired against int8
+    try:
+        q4params = quantize_for_serving(params, bits=4)
+
+        def run_int4(prompt_j):
+            return generate_compiled(model, q4params, md.Tensor(prompt_j),
+                                     T.NEW)._data
+
+        t_q4, _, q4_ratio = T.chain_time_pair(run_int4, run_int8, prompt_np)
+        out["decode_int4_tok_per_s"] = round(T.BATCH * T.NEW / t_q4, 1)
+        out["decode_int4_speedup_vs_int8"] = round(q4_ratio, 4)
+    except Exception as e:  # never let a detail row sink the headline
+        out["decode_int4_error"] = str(e)[:120]
+
+    # Mamba SSM compiled decode (O(1) state, no KV cache) at the same
+    # d/L/batch — absolute throughput, not a ratio (different model class)
+    try:
+        from minidiff_tpu.models import MambaLM, generate_compiled_ssm
+
+        ssm = MambaLM(vocab_size=T.VOCAB, dim=T.DIM, num_layers=T.LAYERS,
+                      d_state=16, dtype=md.bfloat16)
+        sparams = ssm.init()
+        sp = md.Tensor(prompt_np)
+        o = generate_compiled_ssm(ssm, sparams, sp, T.NEW)  # compile
+        import time as _time
+
+        lats = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            float(jnp.sum(o._data).astype(jnp.float32))
+            lats.append(_time.perf_counter() - t0)
+        lat = sorted(lats)[2]
+
+        best = None
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            o = generate_compiled_ssm(ssm, sparams, sp, T.NEW)
+            float(jnp.sum(o._data).astype(jnp.float32))
+            dt = max(_time.perf_counter() - t0 - lat, 1e-9)
+            best = dt if best is None else min(best, dt)
+        out["decode_ssm_tok_per_s"] = round(T.BATCH * T.NEW / best, 1)
+    except Exception as e:
+        out["decode_ssm_error"] = str(e)[:120]
+    return out
 
 
 def main() -> None:
