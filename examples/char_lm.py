@@ -42,7 +42,7 @@ CORPUS = (
 SEQ = 32
 
 
-def main(steps: int = 120) -> None:
+def main(steps: int = 120, arch: str = "transformer") -> None:
     md.set_backend("xla")
     np.random.seed(0)
 
@@ -54,9 +54,17 @@ def main(steps: int = 120) -> None:
     print(f"tokenizer: vocab {tok.vocab_size}, corpus {len(ids)} tokens, "
           f"{n} sequences")
 
-    model = TransformerLM(vocab_size=tok.vocab_size, dim=64, num_heads=4,
-                          num_layers=2, max_seq_len=32, rope=True,
-                          tie_embeddings=True)
+    if arch == "mamba":
+        from minidiff_tpu.models import MambaLM
+
+        # same pipeline, attention-free: the sequence mixer is the
+        # md.linear_scan selective state space (O(1)-state decode)
+        model = MambaLM(vocab_size=tok.vocab_size, dim=64, num_layers=2,
+                        d_state=8)
+    else:
+        model = TransformerLM(vocab_size=tok.vocab_size, dim=64, num_heads=4,
+                              num_layers=2, max_seq_len=32, rope=True,
+                              tie_embeddings=True)
     params = model.init()
     opt = Adam(3e-3)
     state = opt.init(params)
@@ -83,16 +91,25 @@ def main(steps: int = 120) -> None:
     params, state, at, _ = load_train_state(buf, params, state)
     print(f"checkpoint round-trip at step {at}")
 
-    ppl = perplexity(model, params, md.Tensor(x[:32]), batch_size=16)
-    print(f"train perplexity: {ppl:.2f}")
+    # prompt with corpus tokenization: encoding a standalone fragment can
+    # produce token boundaries the model never saw (e.g. "brown" without
+    # its following space) — take the first corpus tokens instead
+    pids = np.asarray(ids[:6])[None, :].astype(np.int32)
+    prompt = tok.decode(pids[0])
+    if arch == "mamba":
+        from minidiff_tpu.models import generate_compiled_ssm
 
-    prompt = "the quick brown"
-    pids = tok.encode(prompt)[None, :].astype(np.int32)
-    out = generate_compiled(model, params, md.Tensor(pids), 12)
+        out = generate_compiled_ssm(model, params, md.Tensor(pids), 12)
+    else:
+        ppl = perplexity(model, params, md.Tensor(x[:32]), batch_size=16)
+        print(f"train perplexity: {ppl:.2f}")
+        out = generate_compiled(model, params, md.Tensor(pids), 12)
     print(f"prompt:    {prompt!r}")
     print(f"generated: {tok.decode(out[0])!r}")
 
 
 if __name__ == "__main__":
     n = int(sys.argv[sys.argv.index("--steps") + 1]) if "--steps" in sys.argv else 120
-    main(n)
+    arch = (sys.argv[sys.argv.index("--model") + 1]
+            if "--model" in sys.argv else "transformer")
+    main(n, arch)
