@@ -13,6 +13,7 @@ from minidiff_tpu.models.optim import (  # noqa: F401
     EMA,
     SGD,
     Adafactor,
+    Adam8bit,
     Adam,
     AdamW,
     Lion,

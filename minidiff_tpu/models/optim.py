@@ -100,6 +100,131 @@ class Adam(Optimizer):
             return new_params, {"m": m, "v": v, "t": t}
 
 
+def _blocks(x: "md.Tensor", block: int):
+    flat = x.reshape((-1,)).astype(md.float32)
+    n = flat.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        flat = md.concat((flat, md.zeros((pad,)).astype(md.float32)), axis=0)
+    return flat.reshape((nb, block)), n
+
+
+def _q8_block(x: "md.Tensor", block: int):
+    """Blockwise SYMMETRIC int8: (q (nb, block), s (nb, 1), n).  Right for
+    zero-centred values (first moment): resolution amax/127 per block."""
+    blocks, n = _blocks(x, block)
+    amax = md.max(md.absolute(blocks), axis=1, keepdims=True)
+    s = md.where(amax > 0, amax / 127.0, md.ones_like(amax))
+    # round-half-up in framework ops (no dedicated round op)
+    q = md.clip(md.floor(blocks / s + 0.5), -127, 127).astype(md.int8)
+    return q, s, n
+
+
+def _dq8_block(q: "md.Tensor", s: "md.Tensor", n: int, shape):
+    flat = (q.astype(md.float32) * s).reshape((-1,))
+    return flat[:n].reshape(shape)
+
+
+_LOG_TINY = 1e-16
+
+
+def _q8_log_block(x: "md.Tensor", block: int):
+    """Blockwise LOG-UNIFORM int8 for NONNEGATIVE values (second moment):
+    (q (nb, block), s (nb, 2) = [log-min, log-step], n).
+
+    Linear symmetric quantization collapses a block's small entries to
+    ZERO when it also holds large ones — and a zeroed second moment makes
+    1/(sqrt(v)+eps) explode (observed: loss 1.06 -> 3.17 one step after a
+    collapse).  Log-spacing keeps RELATIVE resolution uniform across the
+    block (~e^(range/254) multiplicative error), so no magnitude ever
+    rounds to zero."""
+    blocks, n = _blocks(x, block)
+    lg = md.log(blocks + _LOG_TINY)
+    lmin = md.min(lg, axis=1, keepdims=True)
+    lmax = md.max(lg, axis=1, keepdims=True)
+    step = md.maximum((lmax - lmin) / 254.0,
+                      md.full_like(lmin, 1e-12))
+    q = md.clip(md.floor((lg - lmin) / step + 0.5) - 127.0, -127, 127)
+    s = md.concat((lmin, step), axis=1)  # (nb, 2)
+    return q.astype(md.int8), s, n
+
+
+def _dq8_log_block(q: "md.Tensor", s: "md.Tensor", n: int, shape):
+    lmin = s[:, 0:1]
+    step = s[:, 1:2]
+    flat = (md.exp(lmin + (q.astype(md.float32) + 127.0) * step)
+            - _LOG_TINY).reshape((-1,))
+    return md.maximum(flat[:n], md.zeros((n,))).reshape(shape)
+
+
+class Adam8bit(Adam):
+    """Adam with BLOCKWISE int8 moment storage (the bitsandbytes idea).
+
+    Full-precision Adam keeps two f32 moments per parameter — 8 bytes of
+    optimizer HBM per weight, often more than the bf16 weights themselves.
+    Here m and v live as int8 with one f32 scale per ``block`` values
+    (~1.02 bytes/value at the default 2048): the update dequantizes, does
+    the exact Adam math in f32, and requantizes — all inside the one
+    compiled train step, so the extra work is a few fused elementwise
+    passes while the persistent state shrinks ~4x.  Quantization noise is
+    bounded by amax/254 per block per step; the parity test trains to the
+    same loss trajectory as f32 Adam within tolerance.
+    """
+
+    def __init__(self, lr: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-8, block: int = 2048):
+        super().__init__(lr, b1, b2, eps)
+        self.block = block
+
+    def init(self, params: "Any") -> "Any":
+        def zq(p):
+            q, s, _ = _q8_block(md.zeros_like(p), self.block)
+            return {"q": q, "s": s}
+
+        def zql(p):
+            q, s, _ = _q8_log_block(md.zeros_like(p), self.block)
+            return {"q": q, "s": s}
+
+        return {
+            "m": _tree_map(zq, params),
+            "v": _tree_map(zql, params),
+            "t": md.Tensor(0.0),
+        }
+
+    def update(self, params, grads, state):
+        with md.no_grad():
+            t = state["t"] + 1.0
+            step = self.lr * md.sqrt(1 - self.b2**t) / (1 - self.b1**t)
+
+            def upd(p, g, mq, vq):
+                m = _dq8_block(mq["q"], mq["s"], p.size, p.shape)
+                v = _dq8_log_block(vq["q"], vq["s"], p.size, p.shape)
+                g32 = g.astype(md.float32)
+                m = self.b1 * m + (1 - self.b1) * g32
+                v = self.b2 * v + (1 - self.b2) * g32 * g32
+                new_p = (p - (step * m / (md.sqrt(v) + self.eps)).astype(
+                    p.dtype)).detach(allow_grad=True)
+                qm, sm, _ = _q8_block(m, self.block)
+                qv, sv, _ = _q8_log_block(v, self.block)
+                return new_p, {"q": qm, "s": sm}, {"q": qv, "s": sv}
+
+            def is_moment(x):
+                return isinstance(x, dict) and "q" in x and "s" in x
+
+            flat_p, tdef = jax.tree.flatten(params, is_leaf=_is_tensor)
+            flat_g = jax.tree.flatten(grads, is_leaf=_is_tensor)[0]
+            mdef = jax.tree.structure(state["m"], is_leaf=is_moment)
+            flat_m = jax.tree.flatten(state["m"], is_leaf=is_moment)[0]
+            flat_v = jax.tree.flatten(state["v"], is_leaf=is_moment)[0]
+            outs = [upd(p, g, mq, vq)
+                    for p, g, mq, vq in zip(flat_p, flat_g, flat_m, flat_v)]
+            new_params = jax.tree.unflatten(tdef, [o[0] for o in outs])
+            new_m = jax.tree.unflatten(mdef, [o[1] for o in outs])
+            new_v = jax.tree.unflatten(mdef, [o[2] for o in outs])
+            return new_params, {"m": new_m, "v": new_v, "t": t}
+
+
 class AdamW(Adam):
     """Adam with decoupled weight decay (applied to params, not grads)."""
 

@@ -406,3 +406,80 @@ def test_ema_init_is_detached_copy(backend):
     assert e["w"].op_node is None
     np.testing.assert_allclose(np.asarray(e["w"].detach()),
                                np.asarray(p["w"].detach()))
+
+
+# ---------------------------------------------------------------------------
+# Adam8bit: blockwise-quantized optimizer states
+# ---------------------------------------------------------------------------
+
+
+def _np(t):
+    import minidiff_tpu.backend as backend_mod
+
+    return np.asarray(backend_mod.get_backend().as_numpy(t._data))
+
+
+def test_adam8bit_moment_roundtrip(backend):
+    from minidiff_tpu.models.optim import (_dq8_block, _dq8_log_block,
+                                           _q8_block, _q8_log_block)
+
+    rng = np.random.default_rng(50)
+    x = md.Tensor(rng.standard_normal((13, 7)))  # non-multiple of block
+    q, s, n = _q8_block(x, 32)
+    back = _np(_dq8_block(q, s, n, (13, 7)))
+    amax = np.abs(_np(x)).max()
+    assert np.abs(back - _np(x)).max() <= amax / 127 + 1e-9
+    # log quantization of a WIDE-dynamic-range nonnegative tensor: small
+    # values must survive (the linear scheme zeroed them — regression)
+    v = md.Tensor(np.concatenate([rng.uniform(1e-10, 1e-9, 50),
+                                  rng.uniform(0.1, 1.0, 14)]))
+    ql, sl, nl = _q8_log_block(v, 64)
+    vb = _np(_dq8_log_block(ql, sl, nl, (64,)))
+    assert (vb[:50] > 0).all()
+    rel = np.abs(vb - _np(v)) / _np(v)
+    assert rel.max() < 0.15, rel.max()  # ~e^(range/254) multiplicative
+
+
+def test_adam8bit_tracks_full_adam(backend):
+    from minidiff_tpu.models import MLP, make_train_step
+    from minidiff_tpu.models.optim import Adam, Adam8bit
+
+    np.random.seed(1)
+    model = MLP(in_features=8, hidden=(32,), num_classes=4)
+    params = model.init()
+    x = md.Tensor(np.random.randn(32, 8))
+    y = md.Tensor(np.random.randint(0, 4, (32,)))
+
+    def clone(tree):
+        import jax
+
+        return jax.tree.map(
+            lambda t: md.Tensor(_np(t).copy(), allow_grad=True), tree,
+            is_leaf=lambda z: isinstance(z, md.Tensor))
+
+    p1, p2 = clone(params), clone(params)
+    o1, o2 = Adam(5e-3), Adam8bit(5e-3, block=64)
+    s1, s2 = o1.init(p1), o2.init(p2)
+    st1 = make_train_step(model, o1)
+    st2 = make_train_step(model, o2)
+    for _ in range(40):
+        p1, s1, l1 = st1(p1, s1, x, y)
+        p2, s2, l2 = st2(p2, s2, x, y)
+    assert float(_np(l2)) < 1.0
+    assert abs(float(_np(l1)) - float(_np(l2))) < 0.1
+
+    def nbytes(t):
+        total = 0
+
+        def walk(z):
+            nonlocal total
+            if isinstance(z, dict):
+                [walk(v) for v in z.values()]
+            elif isinstance(z, (list, tuple)):
+                [walk(v) for v in z]
+            elif z is not None:
+                total += _np(z).nbytes
+        walk(t)
+        return total
+
+    assert nbytes(s2) < 0.5 * nbytes(s1)
