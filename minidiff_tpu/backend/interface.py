@@ -43,8 +43,9 @@ Functional random:  key_from_seed, key_fold_in, key_split, key_uniform,
     compiled program that takes the key as an input stays random per call —
     the stateful fns above become trace-time constants under jit)
 IO:                 save, load
-Collectives:        psum, ppermute (SPMD axis collectives; identity /
-    self-edge-only on the single-device numpy backend)
+Collectives:        psum, ppermute, pmean, all_gather, psum_scatter,
+    all_to_all, axis_size (SPMD axis collectives; single-device semantics —
+    identity / self-edge-only / unit axis size — on the numpy backend)
 Functional:         vmap
 Properties:         tensor_shape, tensor_size, tensor_ndim, tensor_dtype,
     tensor_item, repr, len, array_interface, array
@@ -97,7 +98,8 @@ REQUIRED_ATTRS = [
     # io
     "save", "load",
     # collectives
-    "psum", "ppermute",
+    "psum", "ppermute", "pmean", "all_gather", "psum_scatter", "all_to_all",
+    "axis_size",
     # functional
     "vmap",
     # properties

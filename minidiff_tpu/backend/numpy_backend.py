@@ -514,6 +514,34 @@ class NumpyBackend:
             return x
         return np.zeros_like(x)
 
+    @staticmethod
+    def pmean(x: np.ndarray, axis_name: str) -> np.ndarray:
+        return x
+
+    @staticmethod
+    def all_gather(x: np.ndarray, axis_name: str, axis: int = 0,
+                   tiled: bool = True) -> np.ndarray:
+        # world size 1: tiled concat of one shard is the shard itself;
+        # untiled inserts a unit group axis (matching jax.lax.all_gather)
+        return x if tiled else np.expand_dims(x, axis)
+
+    @staticmethod
+    def psum_scatter(x: np.ndarray, axis_name: str,
+                     scatter_dimension: int = 0,
+                     tiled: bool = True) -> np.ndarray:
+        # world size 1: the sum is the local value and the single device
+        # keeps the whole (tiled) slice / drops the unit axis (untiled)
+        return x if tiled else np.squeeze(x, axis=scatter_dimension)
+
+    @staticmethod
+    def all_to_all(x: np.ndarray, axis_name: str, split_axis: int,
+                   concat_axis: int) -> np.ndarray:
+        return x  # one device exchanges one chunk with itself
+
+    @staticmethod
+    def axis_size(axis_name: str) -> int:
+        return 1
+
     # ---- functional ----
     @staticmethod
     def vmap(fun: Callable) -> Callable:

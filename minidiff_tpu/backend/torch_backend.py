@@ -808,6 +808,27 @@ class TorchBackend:
             return x
         return torch.zeros_like(_t(x))
 
+    @staticmethod
+    def pmean(x, axis_name: str):
+        return x
+
+    @staticmethod
+    def all_gather(x, axis_name: str, axis: int = 0, tiled: bool = True):
+        return x if tiled else torch.unsqueeze(_t(x), axis)
+
+    @staticmethod
+    def psum_scatter(x, axis_name: str, scatter_dimension: int = 0,
+                     tiled: bool = True):
+        return x if tiled else torch.squeeze(_t(x), scatter_dimension)
+
+    @staticmethod
+    def all_to_all(x, axis_name: str, split_axis: int, concat_axis: int):
+        return x
+
+    @staticmethod
+    def axis_size(axis_name: str) -> int:
+        return 1
+
     # ---- functional ----
     @staticmethod
     def vmap(fun: "Callable") -> "Callable":

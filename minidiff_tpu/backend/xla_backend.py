@@ -576,6 +576,33 @@ class XlaBackend:
     def ppermute(x: jax.Array, axis_name: str, perm: Any) -> jax.Array:
         return jax.lax.ppermute(x, axis_name, perm=[tuple(p) for p in perm])
 
+    @staticmethod
+    def pmean(x: jax.Array, axis_name: str) -> jax.Array:
+        return jax.lax.pmean(x, axis_name)
+
+    @staticmethod
+    def all_gather(x: jax.Array, axis_name: str, axis: int = 0,
+                   tiled: bool = True) -> jax.Array:
+        return jax.lax.all_gather(x, axis_name, axis=axis, tiled=tiled)
+
+    @staticmethod
+    def psum_scatter(x: jax.Array, axis_name: str,
+                     scatter_dimension: int = 0,
+                     tiled: bool = True) -> jax.Array:
+        return jax.lax.psum_scatter(
+            x, axis_name, scatter_dimension=scatter_dimension, tiled=tiled)
+
+    @staticmethod
+    def all_to_all(x: jax.Array, axis_name: str, split_axis: int,
+                   concat_axis: int) -> jax.Array:
+        return jax.lax.all_to_all(x, axis_name, split_axis=split_axis,
+                                  concat_axis=concat_axis, tiled=True)
+
+    @staticmethod
+    def axis_size(axis_name: str) -> int:
+        # static mesh property at trace time (shard_map binds the axis env)
+        return jax.lax.psum(1, axis_name)
+
     # ---- functional ----
     @staticmethod
     def vmap(fun: Callable) -> Callable:

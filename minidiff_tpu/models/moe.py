@@ -88,12 +88,18 @@ class MoEFeedForward(Module):
         return max(1, math.ceil(self.capacity_factor * self.k * tokens
                                 / self.num_experts))
 
-    def apply_with_aux(self, params, x) -> "Tuple[md.Tensor, md.Tensor]":
-        b, s, d = x.shape
-        e, t = self.num_experts, b * s
-        c = self.capacity(t)
-        xt = x.reshape((t, d))
+    def compute_routing(self, params, xt, c):
+        """Route flat tokens ``xt`` (T, d) into capacity slots.
 
+        Returns ``(dispatch, combine, aux)``: the (T, E, C) one-hot dispatch
+        mask (f32, non-diff), the gate-weighted (T, E, C) combine weights
+        (diff through the router softmax), and the Switch load-balancing
+        aux loss.  Shared by the single-device ``apply_with_aux`` and the
+        expert-parallel all_to_all path (parallel/moe_ep.py), which differ
+        only in where the dispatched slots are contracted.
+        """
+        t = xt.shape[0]
+        e = self.num_experts
         probs = F.softmax(xt @ params["router"]["w"], axis=-1)  # (T, E)
 
         # ALL position/queue arithmetic runs in f32 regardless of model
@@ -127,6 +133,18 @@ class MoEFeedForward(Module):
             combine = comb if combine is None else combine + comb
             remaining = remaining * (1 - oh.astype(probs.dtype))
 
+        frac = md.mean(first_choice, axis=0).astype(probs.dtype)  # f_e
+        mean_prob = md.mean(probs, axis=0)    # P_e
+        aux = md.sum(frac * mean_prob) * float(e)
+        return dispatch, combine, aux
+
+    def apply_with_aux(self, params, x) -> "Tuple[md.Tensor, md.Tensor]":
+        b, s, d = x.shape
+        t = b * s
+        c = self.capacity(t)
+        xt = x.reshape((t, d))
+        dispatch, combine, aux = self.compute_routing(params, xt, c)
+
         # dispatch: (T, E, C) x (T, d) -> (E, C, d); one MXU contraction
         dispatch = dispatch.astype(xt.dtype)
         expert_in = md.tensordot(dispatch, xt, axes=([0], [0]))
@@ -136,10 +154,6 @@ class MoEFeedForward(Module):
                + md.expand_dims(params["experts"]["b2"], 1))  # (E, C, d)
         # combine: (T, E, C) x (E, C, d) -> (T, d)
         y = md.tensordot(combine, out, axes=([1, 2], [0, 1]))
-
-        frac = md.mean(first_choice, axis=0).astype(probs.dtype)  # f_e
-        mean_prob = md.mean(probs, axis=0)    # P_e
-        aux = md.sum(frac * mean_prob) * float(e)
         return y.reshape((b, s, d)), aux
 
     def apply(self, params, x):

@@ -889,6 +889,65 @@ ppermute = wrapping.create_unary_op_func(
     grad=ppermute_grad,
     propagate_kwargs=True,
 )
+
+_axis_size = backend_fn("axis_size")
+
+
+def pmean_grad(x, grad, axis_name):
+    # forward divides the replicated psum by the axis size; with psum's
+    # pass-through cotangent convention the mean's 1/n rides the backward too
+    return grad / float(_axis_size(axis_name))
+
+
+pmean = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("pmean")),
+    grad=pmean_grad,
+    propagate_kwargs=True,
+)
+
+
+def all_gather_grad(x, grad, axis_name, axis=0, tiled=True):
+    # every device's output row i came from device i's shard, so the shard's
+    # cotangent is the matching slice of grad summed over devices — exactly
+    # a reduce-scatter (jax transposes all_gather the same way)
+    return psum_scatter(grad, axis_name=axis_name, scatter_dimension=axis,
+                        tiled=tiled)
+
+
+all_gather = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("all_gather")),
+    grad=all_gather_grad,
+    propagate_kwargs=True,
+)
+
+
+def psum_scatter_grad(x, grad, axis_name, scatter_dimension=0, tiled=True):
+    # device i's input chunk j contributes (weight 1) to device j's output,
+    # so the input cotangent is every device's grad chunk re-assembled:
+    # an all-gather along the scattered dimension
+    return all_gather(grad, axis_name=axis_name, axis=scatter_dimension,
+                      tiled=tiled)
+
+
+psum_scatter = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("psum_scatter")),
+    grad=psum_scatter_grad,
+    propagate_kwargs=True,
+)
+
+
+def all_to_all_grad(x, grad, axis_name, split_axis, concat_axis):
+    # the exchange is a permutation of chunks across (device, split-chunk);
+    # its transpose is the inverse exchange: swap the split/concat roles
+    return all_to_all(grad, axis_name=axis_name, split_axis=concat_axis,
+                      concat_axis=split_axis)
+
+
+all_to_all = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("all_to_all")),
+    grad=all_to_all_grad,
+    propagate_kwargs=True,
+)
 tan = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("tan")),
     grad=lambda x, grad: grad * (1 / cos(x) ** 2),
@@ -1622,6 +1681,10 @@ __all__ = [
     "topk",
     "psum",
     "ppermute",
+    "pmean",
+    "all_gather",
+    "psum_scatter",
+    "all_to_all",
     "tan",
     "tanh",
     "transpose",

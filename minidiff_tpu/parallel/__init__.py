@@ -10,6 +10,11 @@ from minidiff_tpu.parallel.mesh import (  # noqa: F401
     transformer_sharding_rules,
 )
 from minidiff_tpu.parallel.train import make_sharded_train_step  # noqa: F401
+from minidiff_tpu.parallel.moe_ep import (  # noqa: F401
+    make_moe_ep_train_step,
+    moe_ep_ffn,
+    moe_ep_param_specs,
+)
 from minidiff_tpu.parallel.pipeline import (  # noqa: F401
     make_pipeline_train_step,
     stack_stage_params,
