@@ -129,6 +129,7 @@ def make_pipeline_train_step(
     optimizer: "Optional[Optimizer]" = None,
     loss_fn: "Callable" = lm_loss,
     init_params: "Any" = None,
+    remat: bool = False,
 ):
     """Returns (step, stacked_params, opt_state).
 
@@ -138,6 +139,13 @@ def make_pipeline_train_step(
     split into ``n_micro`` equal microbatches along B inside the step.
     ``init_params`` (unstacked TransformerLM tree) seeds the stacked params;
     omitted, a fresh ``model.init()`` is used.
+
+    ``remat=True`` wraps every (tick, block) forward in ``md.remat``: GPipe
+    holds all ``n_micro`` in-flight microbatches' activations until the
+    backward sweep, so per-block intermediates dominate peak memory; remat
+    keeps only the block BOUNDARY activations and recomputes the interiors
+    inside the VJP — the schedule-free TPU answer to 1F1B's memory win
+    (same peak-activation scaling, no handwritten interleave).
     """
     pp = mesh.shape["pp"]
     assert len(model.blocks) % pp == 0, "num_layers must divide over pp stages"
@@ -194,7 +202,18 @@ def make_pipeline_train_step(
                     local = jax.tree.map(
                         lambda w: w[0], p["stages"][j], is_leaf=_is_tensor
                     )
-                    h = model.blocks[j].apply(local, h)
+                    if remat:
+                        flat, treedef = jax.tree.flatten(
+                            local, is_leaf=_is_tensor)
+
+                        def _seg(h, *leaves, _blk=model.blocks[j],
+                                 _treedef=treedef):
+                            return _blk.apply(
+                                jax.tree.unflatten(_treedef, list(leaves)), h)
+
+                        h = md.remat(_seg)(h, *flat)
+                    else:
+                        h = model.blocks[j].apply(local, h)
                 if t >= pp - 1:
                     i = t - (pp - 1)
                     z = model.ln_f.apply(p["shared"]["ln_f"], h)

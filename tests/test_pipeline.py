@@ -173,3 +173,32 @@ def test_pipeline_with_mixed_precision_state_specs():
         params, state, loss = step(params, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0], losses
+
+
+@needs_8
+def test_pipeline_remat_matches_plain():
+    """remat=True recomputes block interiors in the VJP; losses and the
+    updated params must match the un-remat'd pipeline bit-for-bit."""
+    np.random.seed(5)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=4,
+                          max_seq_len=8)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(4, 8, 16, 1))
+    mesh = parallel.make_mesh({"pp": 2})
+
+    step_a, pa, sa = parallel.make_pipeline_train_step(
+        model, mesh, n_micro=2, optimizer=SGD(0.1), init_params=init)
+    step_b, pb, sb = parallel.make_pipeline_train_step(
+        model, mesh, n_micro=2, optimizer=SGD(0.1), init_params=init,
+        remat=True)
+    for _ in range(2):
+        pa, sa, la = step_a(pa, sa, x, y)
+        pb, sb, lb = step_b(pb, sb, x, y)
+        np.testing.assert_allclose(float(la.item()), float(lb.item()),
+                                   rtol=1e-12)
+    ua = parallel.unstack_stage_params(pa, 2)
+    ub = parallel.unstack_stage_params(pb, 2)
+    for blk_a, blk_b in zip(ua["blocks"], ub["blocks"]):
+        np.testing.assert_allclose(
+            np.asarray(blk_a["fc1"]["w"]), np.asarray(blk_b["fc1"]["w"]),
+            rtol=1e-12, atol=1e-12)
