@@ -47,8 +47,8 @@ def _path_str(path) -> str:
     return "/".join(parts) or "."
 
 
-def save_pytree(file: "Any", tree: "Any") -> None:
-    """Write every Tensor/array leaf of ``tree`` into one compressed .npz."""
+def _snapshot_arrays(tree: "Any") -> dict:
+    """Pull every leaf to a host numpy array NOW (device sync point)."""
     import jax
 
     leaves_with_paths, _ = jax.tree_util.tree_flatten_with_path(
@@ -61,7 +61,12 @@ def save_pytree(file: "Any", tree: "Any") -> None:
             arrays[key] = np.asarray(backend.as_numpy(leaf._data))
         else:
             arrays[key] = np.asarray(leaf)
-    np.savez_compressed(file, **arrays)
+    return arrays
+
+
+def save_pytree(file: "Any", tree: "Any") -> None:
+    """Write every Tensor/array leaf of ``tree`` into one compressed .npz."""
+    np.savez_compressed(file, **_snapshot_arrays(tree))
 
 
 def _restore_like(arrays: dict, like: "Any") -> "Any":
@@ -168,3 +173,113 @@ def load_train_state(file: "Any", like_params: "Any",
     params = tree["params"]
     opt_state = tree.get("opt_state") if like_opt_state is not None else None
     return params, opt_state, meta["step"], meta["extra"]
+
+
+# ---------------------------------------------------------------------------
+# async rotating checkpoints: the training loop never stalls on host IO
+# ---------------------------------------------------------------------------
+
+
+class AsyncCheckpointer:
+    """Non-blocking, atomic, rotating train-state checkpoints.
+
+    ``save(step, params, ...)`` pulls every leaf to HOST memory on the
+    calling thread (one device->host DMA — after it returns, the training
+    loop may freely donate/overwrite the device arrays), then compresses and
+    writes on a background thread so device compute overlaps the disk IO.
+    Writes are atomic (tmp file + os.replace), ordered (one worker), and
+    rotated (``keep`` newest retained).
+
+    >>> ckpt = AsyncCheckpointer("ckpts", keep=3)
+    >>> ckpt.save(step, params, opt_state)        # returns immediately
+    >>> ...
+    >>> ckpt.wait()                               # join + re-raise IO errors
+    >>> params, opt_state, step, extra = ckpt.restore_latest(
+    ...     like_params, like_opt_state)
+    """
+
+    def __init__(self, directory: "Any", keep: int = 3):
+        import concurrent.futures
+        import os
+
+        assert keep >= 1, keep
+        self.directory = str(directory)
+        self.keep = keep
+        os.makedirs(self.directory, exist_ok=True)
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+        self._pending: list = []
+
+    def _path(self, step: int) -> str:
+        import os
+
+        return os.path.join(self.directory, f"step-{int(step):012d}.npz")
+
+    def _write(self, step: int, arrays: dict) -> None:
+        import os
+
+        final = self._path(step)
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(fh, **arrays)
+        os.replace(tmp, final)  # readers never observe a partial file
+        for old in self.steps()[:-self.keep]:
+            try:
+                os.remove(self._path(old))
+            except FileNotFoundError:
+                pass
+
+    def save(self, step: int, params: "Any", opt_state: "Any" = None,
+             extra: "Optional[dict]" = None) -> None:
+        import json
+
+        tree = {"params": params}
+        if opt_state is not None:
+            tree["opt_state"] = opt_state
+        meta = {"step": int(step), "extra": extra or {}}
+        tree["_meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        ).copy()
+        arrays = _snapshot_arrays(tree)  # device sync happens HERE
+        self._pending.append(self._pool.submit(self._write, step, arrays))
+
+    def wait(self) -> None:
+        """Block until every queued write finished; re-raise the first
+        background failure (a checkpoint that silently never hit disk is
+        worse than a crashed run)."""
+        pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
+
+    def steps(self) -> "list":
+        """Sorted step numbers currently on disk."""
+        import os
+        import re
+
+        out = []
+        for name in os.listdir(self.directory):
+            m = re.fullmatch(r"step-(\d+)\.npz", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def restore_latest(self, like_params: "Any",
+                       like_opt_state: "Any" = None):
+        """(params, opt_state, step, extra) from the newest checkpoint."""
+        self.wait()
+        steps = self.steps()
+        if not steps:
+            raise FileNotFoundError(
+                f"no checkpoints under {self.directory!r}")
+        return load_train_state(self._path(steps[-1]), like_params,
+                                like_opt_state)
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self) -> "AsyncCheckpointer":
+        return self
+
+    def __exit__(self, *exc: "Any") -> None:
+        self.close()
