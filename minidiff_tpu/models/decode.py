@@ -111,6 +111,7 @@ def _block_decode_step(blk, params, x, cache, pos_t, mask):
 def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
                    max_new_tokens: int, greedy: bool = True,
                    temperature: float = 1.0, top_k: "Any" = None,
+                   top_p: "Any" = None, min_p: "Any" = None,
                    kv_quant: bool = False):
     """The jitted ``(raw_params, prompt_raw, seed_uint32) -> (B, new)``
     program behind ``generate_compiled``, cached per (model, shapes,
@@ -159,6 +160,8 @@ def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
     # fresh trace+compile per request
     key = (id(model), b, s0, max_new_tokens, str(p_dtype),
            str(prompt_raw.dtype), greedy, float(temperature), top_k,
+           None if top_p is None else float(top_p),
+           None if min_p is None else float(min_p),
            kv_quant)
     cached = _decode_cache.get(key)
     if cached is not None:
@@ -238,10 +241,8 @@ def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
                 nxt = md.argmax(logits, axis=-1)
             else:
                 scaled = logits / max(float(temperature), 1e-6)
-                if top_k is not None and top_k < logits.shape[-1]:
-                    vals, _ = md.topk(scaled, top_k, axis=-1)
-                    scaled = md.where(scaled >= vals[:, -1:], scaled,
-                                      md.full_like(scaled, -1e30))
+                scaled = F.truncate_logits(scaled, top_k=top_k,
+                                           top_p=top_p, min_p=min_p)
                 # Gumbel-max draw from a per-position key: deterministic in
                 # (seed, i), independent across steps
                 step_key = jax.random.fold_in(
@@ -290,16 +291,17 @@ def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
 def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
                       max_new_tokens: int, greedy: bool = True,
                       temperature: float = 1.0, top_k: "Any" = None,
+                      top_p: "Any" = None, min_p: "Any" = None,
                       seed: int = 0, kv_quant: bool = False) -> "md.Tensor":
     """KV-cached decoding, the whole loop as one lax.scan program.
 
     Greedy mode is token-for-token identical to
     ``transformer.generate(greedy=True)`` / ``generate_cached``.  With
     ``greedy=False``, each step draws a Gumbel-max sample at ``temperature``
-    (optionally truncated to the ``top_k`` highest logits via ``md.topk``)
-    from a per-step key folded out of ``seed`` — deterministic per seed,
-    still ONE compiled program.  prompt (B, S0) int ->
-    (B, S0 + max_new_tokens).
+    (optionally truncated by ``top_k`` / nucleus ``top_p`` / ``min_p`` via
+    ``functional.truncate_logits``) from a per-step key folded out of
+    ``seed`` — deterministic per seed, still ONE compiled program.
+    prompt (B, S0) int -> (B, S0 + max_new_tokens).
 
     ``kv_quant=True`` stores the KV cache as int8 lines with per-row f32
     scales and reads it through the fused ``md.sdpa_int8_cache`` kernel —
@@ -309,7 +311,8 @@ def generate_compiled(model: "TransformerLM", params, prompt: "md.Tensor",
     """
     program = decode_program(model, params, prompt, max_new_tokens,
                              greedy=greedy, temperature=temperature,
-                             top_k=top_k, kv_quant=kv_quant)
+                             top_k=top_k, top_p=top_p, min_p=min_p,
+                             kv_quant=kv_quant)
     raw_params = jax.tree.map(lambda t: t._data, params, is_leaf=_is_tensor)
     # mask into uint32 range: PRNGKey folding only uses 32 bits, and
     # negative / 64-bit seeds (request hashes) must not crash

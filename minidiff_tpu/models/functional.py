@@ -109,6 +109,52 @@ def apply_rope(x: "md.Tensor", positions: "md.Tensor",
     return out.reshape((b, h, s, hd))
 
 
+def truncate_logits(logits: "md.Tensor",
+                    top_k: "Optional[int]" = None,
+                    top_p: "Optional[float]" = None,
+                    min_p: "Optional[float]" = None) -> "md.Tensor":
+    """Sampling truncation over (..., V) logits in framework ops.
+
+    Applies, in order (HuggingFace's processor order): top-k (keep the k
+    highest logits), top-p / nucleus (keep the smallest prefix of the
+    probability-sorted vocabulary whose mass reaches ``top_p``), and min-p
+    (keep tokens whose probability is at least ``min_p`` times the max
+    token's).  Removed entries become -1e30, so a Gumbel-max or softmax draw
+    downstream never selects them.  Every branch is trace-friendly (static
+    shapes, no host sync): the per-row thresholds are reductions, the masks
+    are ``md.where`` — the same code serves the eager samplers, the compiled
+    decode scan, and the continuous-batching server.
+
+    The argmax token always survives (top-p keeps the first sorted token
+    unconditionally; min-p's threshold is <= the max probability), so the
+    result always has at least one finite entry per row.
+    """
+    neg = None
+    if top_k is not None and top_k < logits.shape[-1]:
+        vals, _ = md.topk(logits, top_k, axis=-1)
+        neg = md.full_like(logits, -1e30)
+        logits = md.where(logits >= vals[..., -1:], logits, neg)
+    if top_p is not None and float(top_p) < 1.0:
+        probs = softmax(logits.astype(md.float32), axis=-1)
+        desc = md.flip(md.sort(probs, axis=-1), axis=-1)
+        cum = md.cumsum(desc, axis=-1)
+        # keep sorted position j iff the mass strictly BEFORE it is < top_p;
+        # position 0 has zero mass before it, so the argmax always survives
+        keep = (cum - desc) < float(top_p)
+        # per-row probability threshold = smallest kept probability (probs
+        # are <= 1, so 2.0 marks dropped slots out of the min)
+        thresh = md.min(md.where(keep, desc, md.full_like(desc, 2.0)),
+                        axis=-1, keepdims=True)
+        neg = md.full_like(logits, -1e30) if neg is None else neg
+        logits = md.where(probs >= thresh, logits, neg)
+    if min_p is not None and float(min_p) > 0.0:
+        probs = softmax(logits.astype(md.float32), axis=-1)
+        mx = md.max(probs, axis=-1, keepdims=True)
+        neg = md.full_like(logits, -1e30) if neg is None else neg
+        logits = md.where(probs >= float(min_p) * mx, logits, neg)
+    return logits
+
+
 def mse(pred: "md.Tensor", target: "md.Tensor") -> "md.Tensor":
     return md.mean((pred - target) ** 2)
 

@@ -62,6 +62,8 @@ class _ServerBase:
     def __init__(self, model, params, max_batch: int = 8,
                  window: "Optional[int]" = None, greedy: bool = True,
                  temperature: float = 1.0, top_k: "Optional[int]" = None,
+                 top_p: "Optional[float]" = None,
+                 min_p: "Optional[float]" = None,
                  eos_id: "Optional[int]" = None):
         import jax
 
@@ -73,6 +75,8 @@ class _ServerBase:
         self.greedy = greedy
         self.temperature = float(temperature)
         self.top_k = top_k
+        self.top_p = top_p
+        self.min_p = min_p
         self.eos_id = eos_id
         self._params_raw = jax.tree.map(lambda t: t._data, params,
                                         is_leaf=_is_tensor)
@@ -98,11 +102,11 @@ class _ServerBase:
         with md.no_grad():
             if self.greedy:
                 return md.argmax(logits, axis=-1)
+            from minidiff_tpu.models import functional as F
+
             scaled = logits / max(self.temperature, 1e-6)
-            if self.top_k is not None and self.top_k < logits.shape[-1]:
-                vals, _ = md.topk(scaled, self.top_k, axis=-1)
-                scaled = md.where(scaled >= vals[:, -1:], scaled,
-                                  md.full_like(scaled, -1e30))
+            scaled = F.truncate_logits(scaled, top_k=self.top_k,
+                                       top_p=self.top_p, min_p=self.min_p)
             import jax.numpy as jnp
 
             u = jax.vmap(lambda k: jax.random.uniform(

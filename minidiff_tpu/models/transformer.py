@@ -364,19 +364,17 @@ def synthetic_lm_batches(batch: int, seq_len: int, vocab: int, steps: int,
 
 
 def _sample_next(last: "md.Tensor", greedy: bool, temperature: float,
-                 top_k: "Optional[int]") -> "md.Tensor":
+                 top_k: "Optional[int]",
+                 top_p: "Optional[float]" = None,
+                 min_p: "Optional[float]" = None) -> "md.Tensor":
     """Next-token choice from (B, V) logits: argmax, or Gumbel-max sampling
-    with temperature and optional top-k truncation."""
+    with temperature and optional top-k / top-p / min-p truncation (shared
+    ``functional.truncate_logits`` — the same masks the compiled decode scan
+    and the continuous-batching server apply)."""
     if greedy:
         return md.argmax(last, axis=-1)
     logits = last / py_max(float(temperature), 1e-6)
-    if top_k is not None and top_k < logits.shape[-1]:
-        # k-th largest per row via device top-k — no host round-trip, so
-        # the sampling step stays traceable
-        vals, _ = md.topk(logits, top_k, axis=-1)
-        kth = vals[:, -1:]
-        logits = md.where(logits >= kth, logits,
-                          md.full_like(logits, -1e30))
+    logits = F.truncate_logits(logits, top_k=top_k, top_p=top_p, min_p=min_p)
     noise = -md.log(-md.log(md.rand(*logits.shape) + 1e-9) + 1e-9)
     return md.argmax(logits + noise.astype(logits.dtype), axis=-1)
 
@@ -384,14 +382,16 @@ def _sample_next(last: "md.Tensor", greedy: bool, temperature: float,
 def generate(model: "TransformerLM", params, prompt: "md.Tensor",
              max_new_tokens: int, greedy: bool = True,
              temperature: float = 1.0,
-             top_k: "Optional[int]" = None) -> "md.Tensor":
+             top_k: "Optional[int]" = None,
+             top_p: "Optional[float]" = None,
+             min_p: "Optional[float]" = None) -> "md.Tensor":
     """Autoregressive decoding: append argmax (or sampled) next tokens.
 
     Runs the full forward per step under no_grad (each step is one
     md.jit-able forward; use ``generate_cached`` for O(S)-per-token decode).
     ``prompt`` is (B, S0) int; returns (B, S0 + max_new_tokens).
     Sampling: ``greedy=False`` draws Gumbel-max samples at ``temperature``,
-    optionally truncated to the ``top_k`` highest logits.
+    optionally truncated by top-k / nucleus top-p / min-p.
     """
     tokens = prompt
     with md.no_grad():
@@ -400,7 +400,8 @@ def generate(model: "TransformerLM", params, prompt: "md.Tensor",
             if window.shape[1] > model.max_seq_len:
                 window = window[:, -model.max_seq_len:]
             logits = model.apply(params, window)  # (B, S, V)
-            nxt = _sample_next(logits[:, -1, :], greedy, temperature, top_k)
+            nxt = _sample_next(logits[:, -1, :], greedy, temperature, top_k,
+                               top_p=top_p, min_p=min_p)
             tokens = md.concatenate(
                 [tokens, md.expand_dims(nxt, -1).astype(tokens.dtype)], axis=-1
             )
