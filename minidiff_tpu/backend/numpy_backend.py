@@ -348,16 +348,28 @@ class NumpyBackend:
 
     @staticmethod
     def sdpa(q: np.ndarray, k: np.ndarray, v: np.ndarray,
-             causal: bool = False, scale=None, mask=None) -> np.ndarray:
+             causal: bool = False, scale=None, mask=None,
+             window=None, sinks: int = 0) -> np.ndarray:
         # composed reference softmax attention (the oracle for the TPU flash
         # kernel behind XlaBackend.sdpa).  ``mask``: optional boolean,
-        # broadcastable to (..., Sq, Sk); True = attend.
+        # broadcastable to (..., Sq, Sk); True = attend.  ``window``/
+        # ``sinks``: sliding-window attention band + StreamingLLM sinks
+        # (requires causal), matching kernels/attention.py semantics.
         if scale is None:
             scale = 1.0 / np.sqrt(q.shape[-1])
+        if window is not None and not causal:
+            raise ValueError("sliding-window attention requires causal=True")
         s = np.matmul(q, np.swapaxes(k, -1, -2)).astype(np.float64) * scale
         if causal:
             sq, sk = s.shape[-2], s.shape[-1]
-            cm = np.arange(sq)[:, None] >= np.arange(sk)[None, :]
+            rows = np.arange(sq)[:, None]
+            cols = np.arange(sk)[None, :]
+            cm = rows >= cols
+            if window is not None and (int(window) < sq or int(window) < sk):
+                live = rows - cols < int(window)
+                if sinks:
+                    live = live | (cols < int(sinks))
+                cm = cm & live
             s = np.where(cm, s, -1e30)
         if mask is not None:
             s = np.where(np.asarray(mask, bool), s, -1e30)

@@ -509,14 +509,24 @@ class TorchBackend:
         return (xa * rsig * g.to(acc)).to(x.dtype)
 
     @staticmethod
-    def sdpa(q, k, v, causal: py_bool = False, scale=None, mask=None):
+    def sdpa(q, k, v, causal: py_bool = False, scale=None, mask=None,
+             window=None, sinks: int = 0):
         q, k, v = _t(q), _t(k), _t(v)
         if scale is None:
             scale = 1.0 / float(q.shape[-1]) ** 0.5
+        if window is not None and not causal:
+            raise ValueError("sliding-window attention requires causal=True")
         s = torch.matmul(q.double(), k.double().transpose(-1, -2)) * scale
         if causal:
             sq, sk = s.shape[-2], s.shape[-1]
-            cm = torch.arange(sq)[:, None] >= torch.arange(sk)[None, :]
+            rows = torch.arange(sq)[:, None]
+            cols = torch.arange(sk)[None, :]
+            cm = rows >= cols
+            if window is not None and (int(window) < sq or int(window) < sk):
+                live = rows - cols < int(window)
+                if sinks:
+                    live = live | (cols < int(sinks))
+                cm = cm & live
             s = torch.where(cm, s, torch.full_like(s, -1e30))
         if mask is not None:
             s = torch.where(_t(mask).bool(), s, torch.full_like(s, -1e30))

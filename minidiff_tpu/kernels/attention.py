@@ -80,11 +80,35 @@ def _pad_flash_inputs(qf, kf, vf, kvm, b):
     return qf, kf, vf, kvm
 
 
-def _causal_mask(s, qi, ki, bq, bk):
-    """Mask s (bq, bk) so query row r attends only to key cols <= global r."""
+def _causal_mask(s, qi, ki, bq, bk, window=None, sinks=0):
+    """Mask s (bq, bk) so query row r attends only to key cols <= global r.
+
+    With ``window`` (sliding-window attention), col must also sit inside the
+    last ``window`` positions (r - c < window) — except the first ``sinks``
+    columns, which stay visible to every row (StreamingLLM attention sinks).
+    """
     rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    return jnp.where(rows >= cols, s, _NEG_INF)
+    keep = rows >= cols
+    if window is not None:
+        live = rows - cols < window
+        if sinks:
+            live = live | (cols < sinks)
+        keep = keep & live
+    return jnp.where(keep, s, _NEG_INF)
+
+
+def _block_live(qi, ki, bq, bk, window, sinks):
+    """Whether the (qi, ki) block holds ANY visible (row, col) pair under
+    causal + window + sink masking — dead blocks skip their MXU work, which
+    is where sliding-window attention's FLOP savings come from."""
+    causal_live = ki * bk <= qi * bq + bq - 1
+    if window is None:
+        return causal_live
+    band = ki * bk + bk - 1 >= qi * bq - (window - 1)
+    if sinks:
+        band = band | (ki * bk < sinks)
+    return causal_live & band
 
 
 def _apply_kv_mask(s, mask_ref):
@@ -103,7 +127,8 @@ def _apply_kv_mask(s, mask_ref):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
-                scale, causal, bq, bk, has_mask=False):
+                scale, causal, bq, bk, has_mask=False,
+                window=None, sinks=0):
     if has_mask:
         mask_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     else:
@@ -126,7 +151,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
             preferred_element_type=jnp.float32,
         ) * jnp.float32(scale)  # (bq, bk)
         if causal:
-            s = _causal_mask(s, qi, ki, bq, bk)
+            s = _causal_mask(s, qi, ki, bq, bk, window=window, sinks=sinks)
         if mask_ref is not None:
             s = _apply_kv_mask(s, mask_ref)
 
@@ -150,8 +175,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
         acc_scr[:] = acc_scr[:] * alpha[:, :1] + pv
 
     if causal:
-        # blocks strictly above the diagonal contribute nothing
-        @pl.when(ki * bk <= qi * bq + bq - 1)
+        # blocks strictly above the diagonal — and, under sliding-window
+        # masking, blocks entirely below the (window | sink) band —
+        # contribute nothing; skipping them is the window's FLOP savings
+        @pl.when(_block_live(qi, ki, bq, bk, window, sinks))
         def _():
             _step()
     else:
@@ -160,14 +187,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
     @pl.when(ki == pl.num_programs(2) - 1)
     def _flush():
         # l is >= 1 wherever any key is visible (softmax includes the
-        # diagonal under causal masking), so the divide is safe.
+        # diagonal under causal masking, and the diagonal is always inside
+        # the sliding window), so the divide is safe.
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
         lse_ref[0] = (m_scr[:, 0] + jnp.log(l_scr[:, 0]))[None, :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "causal", "bq", "bk", "h"))
-def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1):
+    jax.jit,
+    static_argnames=("scale", "causal", "bq", "bk", "h", "window", "sinks"))
+def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1,
+               window=None, sinks=0):
     """``mask``: optional (B, Sk) int32 key-padding rows (nonzero = attend),
     shared across the ``h`` heads folded into q's leading B*H axis."""
     bh, s, d = q.shape
@@ -175,7 +205,7 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1):
     grid = (bh, s // bq, sk // bk)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk,
-        has_mask=mask is not None)
+        has_mask=mask is not None, window=window, sinks=sinks)
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
@@ -222,14 +252,14 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1):
 
 
 def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
-                    mask_ref=None):
+                    mask_ref=None, window=None, sinks=0):
     """Shared blockwise recompute: P from lse, then dS. All f32."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * jnp.float32(scale)  # (bq, bk)
     if causal:
-        s = _causal_mask(s, qi, ki, bq, bk)
+        s = _causal_mask(s, qi, ki, bq, bk, window=window, sinks=sinks)
     if mask_ref is not None:
         s = _apply_kv_mask(s, mask_ref)
     p = jnp.exp(s - lse[:, :1])  # (bq, bk); masked entries exp(-inf)→0
@@ -242,7 +272,8 @@ def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
-                    scale, causal, bq, bk, has_mask=False):
+                    scale, causal, bq, bk, has_mask=False,
+                    window=None, sinks=0):
     if has_mask:
         mask_ref, dk_ref, dv_ref, dk_scr, dv_scr = refs
     else:
@@ -265,7 +296,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
         delta = delta_ref[0][0][:, None]
         p, ds = _recompute_p_ds(
             q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
-            mask_ref=mask_ref)
+            mask_ref=mask_ref, window=window, sinks=sinks)
         # dv += P^T @ dO ; dk += dS^T @ Q  (contract over the q-block rows)
         dv_scr[:] += jax.lax.dot_general(
             p, do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -275,7 +306,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
             preferred_element_type=jnp.float32)
 
     if causal:
-        @pl.when(qi * bq + bq - 1 >= ki * bk)
+        @pl.when(_block_live(qi, ki, bq, bk, window, sinks))
         def _():
             _step()
     else:
@@ -288,7 +319,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
-                   scale, causal, bq, bk, has_mask=False):
+                   scale, causal, bq, bk, has_mask=False,
+                   window=None, sinks=0):
     if has_mask:
         mask_ref, dq_ref, dq_scr = refs
     else:
@@ -310,11 +342,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
         delta = delta_ref[0][0][:, None]
         _, ds = _recompute_p_ds(
             q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
-            mask_ref=mask_ref)
+            mask_ref=mask_ref, window=window, sinks=sinks)
         dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     if causal:
-        @pl.when(ki * bk <= qi * bq + bq - 1)
+        @pl.when(_block_live(qi, ki, bq, bk, window, sinks))
         def _():
             _step()
     else:
@@ -326,15 +358,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "causal", "bq", "bk", "h"))
+    jax.jit,
+    static_argnames=("scale", "causal", "bq", "bk", "h", "window", "sinks"))
 def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
-               mask=None, h=1):
+               mask=None, h=1, window=None, sinks=0):
     bh, s, d = q.shape
     sk = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
     kernel_kw = dict(scale=scale, causal=causal, bq=bq, bk=bk,
-                     has_mask=mask is not None)
+                     has_mask=mask is not None, window=window, sinks=sinks)
     dkv_in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # q
         pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),   # k
@@ -401,10 +434,10 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
 # ---------------------------------------------------------------------------
 
 
-def _blocks_for(kind: str, q, k, causal: bool):
+def _blocks_for(kind: str, q, k, causal: bool, window=None, sinks=0):
     """Autotuned (bq, bk) for this shape if known, else static table pick."""
     key = _attn_key(q.shape[0], q.shape[1], k.shape[1], q.shape[2],
-                    q.dtype, causal)
+                    q.dtype, causal, window, sinks)
     dec = _attn_cache.get(key)
     if dec is not None and dec != "composed":
         return dec[0] if kind == "fwd" else dec[1]
@@ -412,52 +445,58 @@ def _blocks_for(kind: str, q, k, causal: bool):
     return _pick_blocks(table, q.shape[1], k.shape[1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, mask, scale, causal, h=1):
-    bq, bk = _blocks_for("fwd", q, k, causal)
-    o, _ = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, mask, scale, causal, h=1, window=None, sinks=0):
+    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks)
+    o, _ = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h,
+                      window=window, sinks=sinks)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, mask, scale, causal, h):
-    bq, bk = _blocks_for("fwd", q, k, causal)
-    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h)
+def _flash_vjp_fwd(q, k, v, mask, scale, causal, h, window, sinks):
+    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks)
+    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h,
+                        window=window, sinks=sinks)
     return o, (q, k, v, mask, o, lse)
 
 
-def _flash_vjp_bwd(scale, causal, h, residuals, do):
+def _flash_vjp_bwd(scale, causal, h, window, sinks, residuals, do):
     q, k, v, mask, o, lse = residuals
-    bq, bk = _blocks_for("bwd", q, k, causal)
+    bq, bk = _blocks_for("bwd", q, k, causal, window, sinks)
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, scale, causal,
-                            bq=bq, bk=bk, mask=mask, h=h)
+                            bq=bq, bk=bk, mask=mask, h=h,
+                            window=window, sinks=sinks)
     return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_aux(q, k, v, mask, scale, causal, h=1):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_aux(q, k, v, mask, scale, causal, h=1, window=None, sinks=0):
     """Flash forward returning (o, lse) — lse is a non-differentiable aux
     residual the dispatcher stashes for the tape's backward.  Still a
     custom_vjp so jax AD through backend sdpa (e.g. md.scan's jax.vjp over
     a step built from md ops) keeps working; the lse cotangent is ignored."""
-    bq, bk = _blocks_for("fwd", q, k, causal)
-    return _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h)
+    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks)
+    return _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h,
+                      window=window, sinks=sinks)
 
 
-def _flash_aux_vjp_fwd(q, k, v, mask, scale, causal, h):
-    bq, bk = _blocks_for("fwd", q, k, causal)
-    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h)
+def _flash_aux_vjp_fwd(q, k, v, mask, scale, causal, h, window, sinks):
+    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks)
+    o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h,
+                        window=window, sinks=sinks)
     return (o, lse), (q, k, v, mask, o, lse)
 
 
-def _flash_aux_vjp_bwd(scale, causal, h, residuals, cts):
+def _flash_aux_vjp_bwd(scale, causal, h, window, sinks, residuals, cts):
     q, k, v, mask, o, lse = residuals
     do, _ = cts  # lse is aux: its cotangent is discarded
-    bq, bk = _blocks_for("bwd", q, k, causal)
+    bq, bk = _blocks_for("bwd", q, k, causal, window, sinks)
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, scale, causal,
-                            bq=bq, bk=bk, mask=mask, h=h)
+                            bq=bq, bk=bk, mask=mask, h=h,
+                            window=window, sinks=sinks)
     return dq, dk, dv, None
 
 
@@ -505,20 +544,22 @@ _residual_stash: "_OrderedDict" = _OrderedDict()
 _STASH_MAX = 64
 
 
-def _stash_residuals(qf, kf, vf, mask, o, lse) -> None:
+def _stash_residuals(qf, kf, vf, mask, o, lse, window=None, sinks=0) -> None:
     # only worth pinning when a backward can follow; no_grad forwards
     # (decode, eval) must not accumulate dead activations in the stash
     import minidiff_tpu as _md
 
     if not _md.grad_allowed_():
         return
-    key = (id(qf), id(kf), id(vf), 0 if mask is None else id(mask))
+    key = (id(qf), id(kf), id(vf), 0 if mask is None else id(mask),
+           window, sinks)
     _residual_stash[key] = ((qf, kf, vf, mask), o, lse)
     while len(_residual_stash) > _STASH_MAX:
         _residual_stash.popitem(last=False)
 
 
-def flash_grads(q, k, v, do, scale, causal, mask=None):
+def flash_grads(q, k, v, do, scale, causal, mask=None, window=None,
+                sinks=0):
     """Fused (dq, dk, dv) for (B, H, S, D) operands via the flash kernels.
 
     Serves the TAPE's sdpa VJPs (ops/definitions.py): the dK/dV and dQ
@@ -543,18 +584,20 @@ def flash_grads(q, k, v, do, scale, causal, mask=None):
     if qf.shape[1] != s:
         dof = jnp.pad(dof, ((0, 0), (0, qf.shape[1] - s), (0, 0)))
 
-    key = (id(q), id(k), id(v), 0 if mask is None else id(mask))
+    key = (id(q), id(k), id(v), 0 if mask is None else id(mask),
+           window, sinks)
     hit = _residual_stash.pop(key, None)
     if hit is not None:
         _, o, lse = hit  # padded (o, lse) from the padded forward
-        bq, bk = _blocks_for("bwd", qf, kf, causal)
+        bq, bk = _blocks_for("bwd", qf, kf, causal, window, sinks)
         dqf, dkf, dvf = _flash_bwd(
             qf, kf, vf, o, lse, dof, scale, causal, bq=bq, bk=bk,
-            mask=kvmp, h=h,
+            mask=kvmp, h=h, window=window, sinks=sinks,
         )
     else:
         _, vjp_fn = jax.vjp(
-            lambda a, b_, c: _flash(a, b_, c, kvmp, scale, causal, h),
+            lambda a, b_, c: _flash(a, b_, c, kvmp, scale, causal, h,
+                                    window, sinks),
             qf, kf, vf,
         )
         dqf, dkf, dvf = vjp_fn(dof)
@@ -565,16 +608,20 @@ def flash_grads(q, k, v, do, scale, causal, mask=None):
     )
 
 
-def flash_grads_decision(q, k, v, causal, mask=None) -> bool:
+def flash_grads_decision(q, k, v, causal, mask=None, window=None,
+                         sinks=0) -> bool:
     """True when the fused flash backward should serve this (4-D) shape —
     same eligibility AND same autotuner verdict as the forward dispatch."""
     if not _flash_eligible(q, k, v):
+        return False
+    if window is not None and not causal:
         return False
     b, h, s, d = q.shape
     sk = k.shape[2]
     if mask is not None and not _kv_mask_shape_ok(jnp.shape(mask), b, sk):
         return False
-    return _attn_decision(b * h, s, sk, d, q.dtype, bool(causal)) != "composed"
+    return _attn_decision(b * h, s, sk, d, q.dtype, bool(causal),
+                          window=window, sinks=sinks) != "composed"
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +629,7 @@ def flash_grads_decision(q, k, v, causal, mask=None) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _composed_sdpa(q, k, v, scale, causal, mask=None):
+def _composed_sdpa(q, k, v, scale, causal, mask=None, window=None, sinks=0):
     # softmax in AT LEAST f32 (bf16 scores lose the max-subtraction), but
     # never downcast — f64 inputs keep f64 so the fd oracle stays sharp
     acc = jnp.promote_types(q.dtype, jnp.float32)
@@ -596,7 +643,13 @@ def _composed_sdpa(q, k, v, scale, causal, mask=None):
         sq, sk = s.shape[-2], s.shape[-1]
         rows = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-        s = jnp.where(rows >= cols, s, _NEG_INF)
+        keep = rows >= cols
+        if window is not None:
+            live = rows - cols < window
+            if sinks:
+                live = live | (cols < sinks)
+            keep = keep & live
+        s = jnp.where(keep, s, _NEG_INF)
     if mask is not None:
         s = jnp.where(jnp.asarray(mask, bool), s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
@@ -627,7 +680,27 @@ def _flash_eligible(q, k, v) -> bool:
     )
 
 
-def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
+def _normalize_window(window, sinks, sq, sk, causal):
+    """Validate/canonicalize sliding-window args: window requires causal;
+    a window covering every causal position is the same program as no
+    window (so it canonicalizes to None and reuses that autotune entry)."""
+    if window is None:
+        return None, 0
+    window = int(window)
+    sinks = int(sinks)
+    if not causal:
+        raise ValueError("sliding-window attention requires causal=True")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if sinks < 0:
+        raise ValueError(f"sinks must be >= 0, got {sinks}")
+    if window >= sq and window >= sk:
+        return None, 0
+    return window, sinks
+
+
+def sdpa(q, k, v, causal: bool = False, scale=None, mask=None,
+         window=None, sinks=0):
     """Scaled dot-product attention over (B, H, S, D) (3-D treated as H=1).
 
     Backend entry point for the ``md.sdpa`` op: flash kernel on TPU when
@@ -635,6 +708,12 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
     True = attend, broadcastable over the score shape) rides into the flash
     kernels when it is key-padding-shaped (value depends only on (batch,
     key) — see ``_as_kv_mask``); any other mask forces the composed path.
+
+    ``window`` (requires causal) restricts each query to the last ``window``
+    key positions — Mistral-style sliding-window attention; ``sinks`` keeps
+    the first N keys visible to every query (StreamingLLM attention sinks).
+    Inside the flash kernels the band skips dead blocks, so long-sequence
+    windowed attention costs O(S*W) score FLOPs, not O(S^2).
     """
     q = jnp.asarray(q)
     k = jnp.asarray(k)
@@ -645,6 +724,8 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     scale = float(scale)
+    window, sinks = _normalize_window(
+        window, sinks, q.shape[-2], k.shape[-2], causal)
     use_flash = False
     kvm = None
     if _flash_eligible(q, k, v):
@@ -654,7 +735,8 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
             kvm = _as_kv_mask(mask, b, sk)
         if mask is None or kvm is not None:
             use_flash = _attn_decision(
-                b * h, s, sk, d, q.dtype, bool(causal)) != "composed"
+                b * h, s, sk, d, q.dtype, bool(causal),
+                window=window, sinks=sinks) != "composed"
     if use_flash:
         qf, kf, vf, kvmp = _pad_flash_inputs(
             q.reshape(b * h, s, d),
@@ -663,13 +745,14 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
             kvm,
             b,
         )
-        out_f, lse = _flash_aux(qf, kf, vf, kvmp, scale, bool(causal), h)
+        out_f, lse = _flash_aux(qf, kf, vf, kvmp, scale, bool(causal), h,
+                                window, sinks)
         # record residuals so the tape's backward (flash_grads) skips the
         # flash-forward recompute; keyed by the UN-reshaped operand ids the
         # grad functions will present (mask keyed by the RAW object — the
         # same unwrapped kwarg value the tape's grad functions unwrap to);
         # the stashed (o, lse) are the PADDED ones the backward kernels eat
-        _stash_residuals(q, k, v, mask, out_f, lse)
+        _stash_residuals(q, k, v, mask, out_f, lse, window, sinks)
         out = out_f[:, :s].reshape(b, h, s, d)
     else:
         if mask is not None:
@@ -678,7 +761,8 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None):
                 # (B, Sq, Sk): insert the head axis so the batch axis never
                 # right-aligns against H in the (B, H, Sq, Sk) score shape
                 mask = mask[:, None]
-        out = _composed_sdpa(q, k, v, scale, bool(causal), mask=mask)
+        out = _composed_sdpa(q, k, v, scale, bool(causal), mask=mask,
+                             window=window, sinks=sinks)
     return out[:, 0] if squeeze else out
 
 
@@ -696,11 +780,11 @@ import os as _os
 _attn_cache: dict = {}
 
 
-def _attn_key(bh, s, sk, d, dtype, causal):
-    return (bh, s, sk, d, str(dtype), bool(causal))
+def _attn_key(bh, s, sk, d, dtype, causal, window=None, sinks=0):
+    return (bh, s, sk, d, str(dtype), bool(causal), window, sinks)
 
 
-def _attn_autotune(bh, s, sk, d, dtype, causal):
+def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
     import numpy as np
 
     from minidiff_tpu.kernels.matmul import (
@@ -774,7 +858,8 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
     # an extra standalone forward would bias the race toward flash)
     comp_g = jax.value_and_grad(
         lambda q, k, v: jnp.sum(
-            _composed_sdpa(q, k, v, scale, causal).astype(jnp.float32)
+            _composed_sdpa(q, k, v, scale, causal, window=window,
+                           sinks=sinks).astype(jnp.float32)
             * do.astype(jnp.float32)
         ),
         argnums=(0, 1, 2),
@@ -789,7 +874,7 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
         bq, bk = blocks
         fwd = functools.partial(
             _flash_fwd, scale=scale, causal=causal, bq=bq, bk=bk,
-            mask=kvmp, h=1)
+            mask=kvmp, h=1, window=window, sinks=sinks)
         try:
             t = _race(lambda qx, fwd=fwd: fwd(qx, kp, vp), qp)
         except Exception:
@@ -800,7 +885,7 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
         return "composed"
     o_best, lse = _flash_fwd(
         qp, kp, vp, scale, causal, bq=best_f[0], bk=best_f[1],
-        mask=kvmp, h=1)
+        mask=kvmp, h=1, window=window, sinks=sinks)
 
     # best flash bwd blocks (using the best fwd's residuals)
     best_b, best_b_t = None, float("inf")
@@ -810,7 +895,7 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
         bq, bk = blocks
         bwd = functools.partial(
             _flash_bwd, scale=scale, causal=causal, bq=bq, bk=bk,
-            mask=kvmp, h=1)
+            mask=kvmp, h=1, window=window, sinks=sinks)
         try:
             t = _race(
                 lambda dox, bwd=bwd: bwd(qp, kp, vp, o_best, lse, dox), dop)
@@ -830,8 +915,8 @@ def _attn_autotune(bh, s, sk, d, dtype, causal):
     return (best_f, best_b)
 
 
-def _attn_decision(bh, s, sk, d, dtype, causal):
-    key = _attn_key(bh, s, sk, d, dtype, causal)
+def _attn_decision(bh, s, sk, d, dtype, causal, window=None, sinks=0):
+    key = _attn_key(bh, s, sk, d, dtype, causal, window, sinks)
     if key not in _attn_cache:
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _attn_cache[key] = (
@@ -842,6 +927,7 @@ def _attn_decision(bh, s, sk, d, dtype, causal):
             from minidiff_tpu.kernels.matmul import run_outside_trace
 
             _attn_cache[key] = run_outside_trace(
-                lambda: _attn_autotune(bh, s, sk, d, dtype, causal)
+                lambda: _attn_autotune(bh, s, sk, d, dtype, causal,
+                                       window=window, sinks=sinks)
             )
     return _attn_cache[key]

@@ -137,6 +137,10 @@ def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
     b, s0 = prompt.shape
     assert s0 >= 1, "generate_compiled needs a non-empty prompt to prefill"
     assert max_new_tokens >= 1, "max_new_tokens must be >= 1"
+    if kv_quant and model.window is not None:
+        raise NotImplementedError(
+            "kv_quant decode does not support sliding-window models yet "
+            "(sdpa_int8_cache masks by position only)")
     total = s0 + max_new_tokens - 1
     assert total <= model.max_seq_len, "prompt + new tokens exceed max_seq_len"
     # STATIC cache window: this program only ever touches positions
@@ -207,7 +211,7 @@ def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
                 cv[:, :, :ss, :] = vv.astype(p_dtype)
                 caches.append({"k": ck, "v": cv})
             o = md.sdpa(qq, attn.expand_kv(kk), attn.expand_kv(vv),
-                        causal=True)
+                        causal=True, window=model.window, sinks=model.sinks)
             xh = F.block_finish(blk, bp, xh, o)
         xh = model.ln_f.apply(p["ln_f"], xh)
         logits = model.lm_head(p, xh[:, -1:, :])[:, 0, :]  # (B, V)
@@ -220,7 +224,15 @@ def decode_program(model: "TransformerLM", params, prompt: "md.Tensor",
             caches = jax.tree.map(md.Tensor, caches_raw)
             tok = md.Tensor(tok_raw).reshape((b, 1))
             pos_t = md.Tensor(i)
-            mask = md.Tensor(jnp.arange(L)) <= pos_t  # (L,) bool
+            idx = md.Tensor(jnp.arange(L))
+            mask = idx <= pos_t  # (L,) bool
+            if model.window is not None:
+                # sliding window: only the last `window` cache rows (plus
+                # the sink rows) stay visible — matches the training mask
+                vis = md.greater(idx, pos_t - model.window)
+                if model.sinks:
+                    vis = md.logical_or(vis, md.less(idx, model.sinks))
+                mask = md.logical_and(mask, vis)
 
             x = p["tok_emb"][tok]
             if not model.rope:

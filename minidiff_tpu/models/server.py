@@ -70,6 +70,10 @@ class _ServerBase:
         import minidiff_tpu.backend as backend
 
         assert backend.backend_name() == "xla", "DecodeServer needs xla"
+        if getattr(model, "window", None) is not None:
+            raise NotImplementedError(
+                "DecodeServer does not support sliding-window models yet "
+                "(slot masks are position-only)")
         self.model = model
         self.max_batch = max_batch
         self.greedy = greedy

@@ -68,6 +68,10 @@ def generate_speculative(target: "TransformerLM", target_params,
     import minidiff_tpu.backend as backend
 
     be = backend.get_backend()
+    if target.window is not None or draft.window is not None:
+        raise NotImplementedError(
+            "speculative decoding does not support sliding-window models "
+            "yet (the verification chunk mask is position-only)")
     prompt_np = np.asarray(be.as_numpy(prompt._data))
     b, s0 = prompt_np.shape
     # non-RoPE models index a fixed pos_emb table, so no forward (draft
@@ -195,6 +199,10 @@ def generate_speculative_compiled(
     """
     b, s0 = prompt.shape
     assert s0 >= 1 and max_new_tokens >= 1 and k >= 1
+    if target.window is not None or draft.window is not None:
+        raise NotImplementedError(
+            "speculative decoding does not support sliding-window models "
+            "yet (the verification chunk mask is position-only)")
     c = k + 1
     # chunks overhang up to k positions past the last emitted token, so the
     # cache window and (for non-RoPE models) the pos_emb table must cover it

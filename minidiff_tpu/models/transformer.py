@@ -90,7 +90,8 @@ class MultiHeadAttention(Module):
     def __init__(self, dim: int, num_heads: int, causal: bool = True,
                  dtype: "Optional[Any]" = None,
                  num_kv_heads: "Optional[int]" = None,
-                 rope: bool = False, rope_base: float = 10000.0):
+                 rope: bool = False, rope_base: float = 10000.0,
+                 window: "Optional[int]" = None, sinks: int = 0):
         assert dim % num_heads == 0, (dim, num_heads)
         self.dim = dim
         self.num_heads = num_heads
@@ -100,6 +101,16 @@ class MultiHeadAttention(Module):
         assert num_heads % self.num_kv_heads == 0, (num_heads, num_kv_heads)
         self.rope = rope
         self.rope_base = rope_base
+        # sliding-window attention (Mistral-style, requires causal) with
+        # optional StreamingLLM attention sinks: each query sees the last
+        # `window` positions plus the first `sinks` tokens.  The flash
+        # kernels skip dead blocks, so long-context training costs
+        # O(S*window) score FLOPs instead of O(S^2).
+        if window is not None:
+            assert causal, "sliding-window attention requires causal=True"
+            assert int(window) >= 1, window
+        self.window = None if window is None else int(window)
+        self.sinks = int(sinks)
         if self.num_kv_heads == num_heads:
             self.qkv = Linear(dim, 3 * dim, bias=False, dtype=dtype)
         else:
@@ -153,7 +164,8 @@ class MultiHeadAttention(Module):
             q = F.apply_rope(q, pos, self.rope_base)
             k = F.apply_rope(k, pos, self.rope_base)
         o = md.sdpa(q, self.expand_kv(k), self.expand_kv(v),
-                    causal=self.causal)  # (b, h, s, hd)
+                    causal=self.causal, window=self.window,
+                    sinks=self.sinks)  # (b, h, s, hd)
         o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
         return self.out.apply(params["out"], o)
 
@@ -165,11 +177,12 @@ class TransformerBlock(Module):
                  causal: bool = True, dtype: "Optional[Any]" = None,
                  num_kv_heads: "Optional[int]" = None, rope: bool = False,
                  dropout: float = 0.0, norm: str = "layer",
-                 mlp: str = "gelu"):
+                 mlp: str = "gelu", window: "Optional[int]" = None,
+                 sinks: int = 0):
         self.ln1 = _make_norm(norm, dim, dtype)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        dtype=dtype, num_kv_heads=num_kv_heads,
-                                       rope=rope)
+                                       rope=rope, window=window, sinks=sinks)
         self.ln2 = _make_norm(norm, dim, dtype)
         if mlp not in ("gelu", "swiglu"):
             raise ValueError(
@@ -235,7 +248,8 @@ class TransformerLM(Module):
                  dtype: "Optional[Any]" = None, remat_blocks: bool = False,
                  num_kv_heads: "Optional[int]" = None, rope: bool = False,
                  tie_embeddings: bool = False, dropout: float = 0.0,
-                 norm: str = "layer", mlp: str = "gelu"):
+                 norm: str = "layer", mlp: str = "gelu",
+                 window: "Optional[int]" = None, sinks: int = 0):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
@@ -246,10 +260,15 @@ class TransformerLM(Module):
         # embeddings inside attention (no pos_emb parameter at all)
         self.rope = rope
         self.dropout = float(dropout)
+        # sliding-window attention + attention sinks (see
+        # MultiHeadAttention): every block shares one (window, sinks) config
+        self.window = None if window is None else int(window)
+        self.sinks = int(sinks)
         self.blocks = [
             TransformerBlock(dim, num_heads, mlp_ratio, causal=True,
                              dtype=dtype, num_kv_heads=num_kv_heads, rope=rope,
-                             dropout=dropout, norm=norm, mlp=mlp)
+                             dropout=dropout, norm=norm, mlp=mlp,
+                             window=window, sinks=sinks)
             for _ in range(num_layers)
         ]
         self.ln_f = _make_norm(norm, dim, dtype)
@@ -443,8 +462,15 @@ def _mha_step(attn: "MultiHeadAttention", params, x, cache, pos: int):
     keys = attn.expand_kv(cache["k"][:, :, : pos + 1, :].astype(q.dtype))
     vals = attn.expand_kv(cache["v"][:, :, : pos + 1, :].astype(q.dtype))
     # q attends over all cached positions <= pos: plain softmax attention
-    # (q-length 1 — the flash kernel has nothing to tile here)
-    o = md.sdpa(q, keys, vals, causal=False)
+    # (q-length 1 — the flash kernel has nothing to tile here).  Sliding
+    # window: drop cached keys older than `window` except the sink tokens.
+    vis = None
+    if attn.window is not None and pos + 1 > attn.window:
+        idx = md.arange(pos + 1)
+        vis = md.greater(idx, pos - attn.window)
+        if attn.sinks:
+            vis = md.logical_or(vis, md.less(idx, attn.sinks))
+    o = md.sdpa(q, keys, vals, causal=False, mask=vis)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, 1, d))
     return attn.out.apply(params["out"], o)
 

@@ -1188,13 +1188,21 @@ def _sdpa_scale(q: "md.Tensor", scale: "Optional[float]") -> float:
     return float(scale) if scale is not None else 1.0 / float(q.shape[-1]) ** 0.5
 
 
-def _sdpa_probs(q, k, causal, scale, mask=None):
+def _sdpa_probs(q, k, causal, scale, mask=None, window=None, sinks=0):
     s = md.matmul(q, md.swapaxes(k, -1, -2)) * _sdpa_scale(q, scale)
     if causal:
         sq, sk = int(s.shape[-2]), int(s.shape[-1])
-        cm = md.greater_equal(
-            md.reshape(md.arange(sq), (sq, 1)), md.reshape(md.arange(sk), (1, sk))
-        )
+        rows = md.reshape(md.arange(sq), (sq, 1))
+        cols = md.reshape(md.arange(sk), (1, sk))
+        cm = md.greater_equal(rows, cols)
+        if window is not None:
+            # sliding window: only the last `window` positions are visible,
+            # except the first `sinks` keys (attention sinks) which every
+            # query keeps — matches kernels/attention.py _causal_mask
+            live = md.less(rows - cols, int(window))
+            if sinks:
+                live = md.logical_or(live, md.less(cols, int(sinks)))
+            cm = md.logical_and(cm, live)
         s = md.where(cm, s, -1e30)
     if mask is not None:
         if not isinstance(mask, md.Tensor):
@@ -1205,8 +1213,8 @@ def _sdpa_probs(q, k, causal, scale, mask=None):
     return e / md.sum(e, axis=-1, keepdims=True)
 
 
-def _sdpa_ds(q, k, v, grad, causal, scale, mask=None):
-    p = _sdpa_probs(q, k, causal, scale, mask)
+def _sdpa_ds(q, k, v, grad, causal, scale, mask=None, window=None, sinks=0):
+    p = _sdpa_probs(q, k, causal, scale, mask, window=window, sinks=sinks)
     dp = md.matmul_nt(grad, v)
     return p, p * (dp - md.sum(dp * p, axis=-1, keepdims=True))
 
@@ -1222,7 +1230,19 @@ def _sdpa_ds(q, k, v, grad, causal, scale, mask=None):
 _sdpa_fused_memo: dict = {}
 
 
-def _sdpa_fused(q, k, v, grad, causal, scale, mask):
+def _sdpa_norm_window(q, k, causal, window, sinks):
+    """Mirror the backend dispatcher's canonicalization
+    (kernels/attention.py _normalize_window) so the composed VJP masks and
+    the fused-kernel eligibility agree on the SAME effective window."""
+    if window is None:
+        return None, 0
+    sq, sk = int(q.shape[-2]), int(k.shape[-2])
+    if int(window) >= sq and int(window) >= sk:
+        return None, 0
+    return int(window), int(sinks)
+
+
+def _sdpa_fused(q, k, v, grad, causal, scale, mask, window=None, sinks=0):
     if md.grad_allowed_():
         return None  # higher-order backward must re-tape the composed form
     import minidiff_tpu.backend as _backend
@@ -1236,42 +1256,49 @@ def _sdpa_fused(q, k, v, grad, causal, scale, mask):
     # id matches the residual-stash key recorded at forward time
     mraw = mask._data if isinstance(mask, md.Tensor) else mask
     key = (id(q), id(k), id(v), id(grad), bool(causal), scale,
-           0 if mraw is None else id(mraw))
+           0 if mraw is None else id(mraw), window, sinks)
     if _sdpa_fused_memo.get("key") != key:
         from minidiff_tpu.kernels import attention as _att
 
-        if not _att.flash_grads_decision(qr, kr, vr, causal, mask=mraw):
+        if not _att.flash_grads_decision(qr, kr, vr, causal, mask=mraw,
+                                         window=window, sinks=sinks):
             return None
         _sdpa_fused_memo["key"] = key
         _sdpa_fused_memo["refs"] = (q, k, v, grad, mraw)
         _sdpa_fused_memo["val"] = _att.flash_grads(
             qr, kr, vr, grad._data, _sdpa_scale(q, scale), bool(causal),
-            mask=mraw,
+            mask=mraw, window=window, sinks=sinks,
         )
     return _sdpa_fused_memo["val"]
 
 
-def sdpa_grad_q(q, k, v, grad, causal=False, scale=None, mask=None):
-    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask)
+def sdpa_grad_q(q, k, v, grad, causal=False, scale=None, mask=None,
+                window=None, sinks=0):
+    window, sinks = _sdpa_norm_window(q, k, causal, window, sinks)
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks)
     if fused is not None:
         return md.Tensor(fused[0])
-    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask)
+    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask, window, sinks)
     return md.matmul(ds, k) * _sdpa_scale(q, scale)
 
 
-def sdpa_grad_k(q, k, v, grad, causal=False, scale=None, mask=None):
-    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask)
+def sdpa_grad_k(q, k, v, grad, causal=False, scale=None, mask=None,
+                window=None, sinks=0):
+    window, sinks = _sdpa_norm_window(q, k, causal, window, sinks)
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks)
     if fused is not None:
         return md.Tensor(fused[1])
-    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask)
+    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask, window, sinks)
     return md.matmul_tn(ds, q) * _sdpa_scale(q, scale)
 
 
-def sdpa_grad_v(q, k, v, grad, causal=False, scale=None, mask=None):
-    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask)
+def sdpa_grad_v(q, k, v, grad, causal=False, scale=None, mask=None,
+                window=None, sinks=0):
+    window, sinks = _sdpa_norm_window(q, k, causal, window, sinks)
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks)
     if fused is not None:
         return md.Tensor(fused[2])
-    p = _sdpa_probs(q, k, causal, scale, mask)
+    p = _sdpa_probs(q, k, causal, scale, mask, window, sinks)
     return md.matmul_tn(p, grad)
 
 

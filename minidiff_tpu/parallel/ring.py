@@ -326,6 +326,10 @@ def make_ring_train_step(model, mesh, optimizer=None, init_params=None,
     from minidiff_tpu.parallel.pipeline import _state_specs
 
     sp = mesh.shape[axis_name]
+    if getattr(model, "window", None) is not None:
+        raise NotImplementedError(
+            "ring attention does not support sliding-window models yet "
+            "(the ring recurrence assumes the full causal mask)")
     optimizer = optimizer or SGD(0.1)
     params0 = init_params or model.init()
     opt_state = optimizer.init(params0)
