@@ -1,0 +1,349 @@
+"""HuggingFace checkpoint interop: convert ``transformers`` causal-LM
+weights into ``TransformerLM`` parameter trees.
+
+A user of a torch-based stack can lift a GPT-2 or LLaMA-family checkpoint
+straight onto this framework's TPU-native serving/training paths (compiled
+decode, int8/int4 quantization, LoRA, speculative decoding, tensor-parallel
+sharding rules) with one call:
+
+    model, params = from_hf(hf_model)          # auto-detects the family
+    out = generate_compiled(model, params, prompt, 64)
+
+The conversions are exact (logits match the torch forward to numerical
+precision; tests pin float64 agreement at 1e-10):
+
+* **GPT-2** maps 1:1 — learned positional embeddings, pre-LN LayerNorm with
+  bias, biased fused c_attn/c_proj projections, tanh-approximate GELU
+  (``functional.gelu`` IS HF's ``gelu_new``), tied head.  HF's Conv1D
+  stores weights (in, out), our Linear layout — no transpose.  Only the
+  fused QKV column order changes: HF groups [q|k|v] each head-major, we
+  keep HEAD-major (h, 3, hd) so TP shards hold whole heads
+  (transformer.py project_qkv).
+* **LLaMA / Mistral / Qwen-style** (RMSNorm + SwiGLU + RoPE + GQA) maps
+  with two layout moves: torch Linear weights (out, in) transpose to our
+  (in, out), and q/k output columns permute per head from HF's rotate-half
+  RoPE order (pairs (i, i+half)) to our interleaved order (pairs
+  (2i, 2i+1)) — same frequencies, so attention is bit-equivalent.  Gate
+  and up projections interleave PAIR-major into our fused fc1 (the layout
+  that keeps silu(a)*b collective-free under TP).
+
+The reference has no model zoo or checkpoint interop at all (SURVEY.md §1
+"no L6"); this module is framework-completion beyond parity.  torch is
+imported lazily so the module costs nothing unless used.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+import minidiff_tpu as md
+from minidiff_tpu.models.transformer import TransformerLM
+
+if TYPE_CHECKING:
+    from typing import Any, Dict, Optional, Tuple
+
+__all__ = ["from_hf", "from_hf_gpt2", "from_hf_llama", "to_hf_state_dict"]
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor -> float64 numpy (conversions are exact in f64; the
+    caller casts the finished tree to the serving dtype)."""
+    return np.asarray(t.detach().cpu().to(dtype=_torch().float64).numpy())
+
+
+def _torch():
+    import torch
+
+    return torch
+
+
+def _tensor(a: np.ndarray, dtype) -> "md.Tensor":
+    return md.Tensor(np.ascontiguousarray(a), allow_grad=True, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# GPT-2
+# ---------------------------------------------------------------------------
+
+
+def _gpt2_qkv(w: np.ndarray, b: "Optional[np.ndarray]", h: int):
+    """HF c_attn (d, 3d) columns are [q|k|v], each head-major (h, hd).
+    Ours are HEAD-major (h, 3, hd).  Swap the (3, h) factors."""
+    d = w.shape[0]
+    hd = d // h
+    w = w.reshape(d, 3, h, hd).transpose(0, 2, 1, 3).reshape(d, 3 * d)
+    if b is not None:
+        b = b.reshape(3, h, hd).transpose(1, 0, 2).reshape(3 * d)
+    return w, b
+
+
+def from_hf_gpt2(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
+    """GPT2LMHeadModel -> (TransformerLM, params).  Exact: same tanh-GELU,
+    pre-LN, learned absolute positions, tied head."""
+    cfg = hf_model.config
+    sd = {k: _np(v) for k, v in hf_model.state_dict().items()}
+    h = cfg.n_head
+    inner = cfg.n_inner if cfg.n_inner is not None else 4 * cfg.n_embd
+    model = TransformerLM(
+        vocab_size=cfg.vocab_size, dim=cfg.n_embd, num_heads=h,
+        num_layers=cfg.n_layer, max_seq_len=cfg.n_positions,
+        mlp_hidden=inner, tie_embeddings=True, attn_bias=True,
+        mlp_bias=True, norm="layer", norm_eps=float(cfg.layer_norm_epsilon),
+        dtype=dtype,
+    )
+    blocks = []
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}."
+        qkv_w, qkv_b = _gpt2_qkv(sd[p + "attn.c_attn.weight"],
+                                 sd[p + "attn.c_attn.bias"], h)
+        blocks.append({
+            "ln1": {"g": _tensor(sd[p + "ln_1.weight"], dtype),
+                    "b": _tensor(sd[p + "ln_1.bias"], dtype)},
+            "attn": {
+                "qkv": {"w": _tensor(qkv_w, dtype), "b": _tensor(qkv_b, dtype)},
+                "out": {"w": _tensor(sd[p + "attn.c_proj.weight"], dtype),
+                        "b": _tensor(sd[p + "attn.c_proj.bias"], dtype)},
+            },
+            "ln2": {"g": _tensor(sd[p + "ln_2.weight"], dtype),
+                    "b": _tensor(sd[p + "ln_2.bias"], dtype)},
+            "fc1": {"w": _tensor(sd[p + "mlp.c_fc.weight"], dtype),
+                    "b": _tensor(sd[p + "mlp.c_fc.bias"], dtype)},
+            "fc2": {"w": _tensor(sd[p + "mlp.c_proj.weight"], dtype),
+                    "b": _tensor(sd[p + "mlp.c_proj.bias"], dtype)},
+        })
+    params = {
+        "tok_emb": _tensor(sd["transformer.wte.weight"], dtype),
+        "pos_emb": _tensor(sd["transformer.wpe.weight"], dtype),
+        "blocks": blocks,
+        "ln_f": {"g": _tensor(sd["transformer.ln_f.weight"], dtype),
+                 "b": _tensor(sd["transformer.ln_f.bias"], dtype)},
+    }
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# LLaMA family (also Mistral/Qwen-shaped state dicts)
+# ---------------------------------------------------------------------------
+
+
+def _rope_perm(hd: int) -> np.ndarray:
+    """Column permutation taking HF rotate-half feature order to our
+    interleaved-pair order: ours[2i] = hf[i], ours[2i+1] = hf[i + hd/2].
+    Applying it to BOTH q and k projection columns leaves the attention
+    scores invariant while making our interleaved RoPE compute exactly
+    HF's rotate-half rotation (same per-pair frequencies)."""
+    half = hd // 2
+    perm = np.empty(hd, dtype=np.int64)
+    perm[0::2] = np.arange(half)
+    perm[1::2] = np.arange(half) + half
+    return perm
+
+
+def _permute_heads(w: np.ndarray, n_heads: int) -> np.ndarray:
+    """Apply the RoPE column permutation per head to a (d, n_heads*hd)
+    projection weight."""
+    d, cols = w.shape
+    hd = cols // n_heads
+    perm = _rope_perm(hd)
+    return w.reshape(d, n_heads, hd)[:, :, perm].reshape(d, cols)
+
+
+def from_hf_llama(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
+    """LlamaForCausalLM (or any model with the same module names) ->
+    (TransformerLM, params) with rope=True, RMSNorm, SwiGLU, GQA."""
+    cfg = hf_model.config
+    sd = {k: _np(v) for k, v in hf_model.state_dict().items()}
+    h = cfg.num_attention_heads
+    kv = getattr(cfg, "num_key_value_heads", None) or h
+    d = cfg.hidden_size
+    hd = d // h
+    attn_bias = bool(getattr(cfg, "attention_bias", False))
+    tie = bool(getattr(cfg, "tie_word_embeddings", False))
+    model = TransformerLM(
+        vocab_size=cfg.vocab_size, dim=d, num_heads=h,
+        num_layers=cfg.num_hidden_layers,
+        max_seq_len=cfg.max_position_embeddings,
+        mlp_hidden=cfg.intermediate_size, num_kv_heads=kv, rope=True,
+        rope_base=float(getattr(cfg, "rope_theta", 10000.0)),
+        tie_embeddings=tie, attn_bias=attn_bias, mlp_bias=False,
+        norm="rms", norm_eps=float(cfg.rms_norm_eps), mlp="swiglu",
+        dtype=dtype,
+    )
+    perm = _rope_perm(hd)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        # torch Linear stores (out, in): transpose to our (in, out)
+        wq = _permute_heads(sd[p + "self_attn.q_proj.weight"].T, h)
+        wk = _permute_heads(sd[p + "self_attn.k_proj.weight"].T, kv)
+        wv = sd[p + "self_attn.v_proj.weight"].T  # (d, kv*hd)
+        attn: "Dict[str, Any]" = {
+            "out": {"w": _tensor(sd[p + "self_attn.o_proj.weight"].T, dtype)},
+        }
+        if kv == h:
+            # fused qkv, HEAD-major (h, 3, hd) columns
+            qkv = np.stack(
+                [wq.reshape(d, h, hd), wk.reshape(d, h, hd),
+                 wv.reshape(d, h, hd)], axis=2,
+            ).reshape(d, 3 * d)
+            attn["qkv"] = {"w": _tensor(qkv, dtype)}
+        else:
+            # GQA: wq head-major; wkv interleaves (kv, 2, hd) per kv head
+            wkv = np.stack(
+                [wk.reshape(d, kv, hd), wv.reshape(d, kv, hd)], axis=2,
+            ).reshape(d, 2 * kv * hd)
+            attn["wq"] = {"w": _tensor(wq, dtype)}
+            attn["wkv"] = {"w": _tensor(wkv, dtype)}
+        if attn_bias:
+            bq = sd[p + "self_attn.q_proj.bias"].reshape(h, hd)[:, perm]
+            bk = sd[p + "self_attn.k_proj.bias"].reshape(kv, hd)[:, perm]
+            bv = sd[p + "self_attn.v_proj.bias"].reshape(kv, hd)
+            if kv == h:
+                attn["qkv"]["b"] = _tensor(
+                    np.stack([bq, bk, bv], axis=1).reshape(3 * d), dtype)
+            else:
+                attn["wq"]["b"] = _tensor(bq.reshape(d), dtype)
+                attn["wkv"]["b"] = _tensor(
+                    np.stack([bk, bv], axis=1).reshape(2 * kv * hd), dtype)
+            attn["out"]["b"] = _tensor(
+                sd[p + "self_attn.o_proj.bias"]
+                if p + "self_attn.o_proj.bias" in sd else np.zeros(d), dtype)
+        gate = sd[p + "mlp.gate_proj.weight"].T  # (d, I)
+        up = sd[p + "mlp.up_proj.weight"].T
+        inner = gate.shape[1]
+        # PAIR-major fused fc1: gate/value columns adjacent per hidden unit
+        fc1 = np.stack([gate, up], axis=2).reshape(d, 2 * inner)
+        blocks.append({
+            "ln1": {"g": _tensor(sd[p + "input_layernorm.weight"], dtype)},
+            "attn": attn,
+            "ln2": {"g": _tensor(sd[p + "post_attention_layernorm.weight"],
+                                 dtype)},
+            "fc1": {"w": _tensor(fc1, dtype)},
+            "fc2": {"w": _tensor(sd[p + "mlp.down_proj.weight"].T, dtype)},
+        })
+    params: "Dict[str, Any]" = {
+        "tok_emb": _tensor(sd["model.embed_tokens.weight"], dtype),
+        "blocks": blocks,
+        "ln_f": {"g": _tensor(sd["model.norm.weight"], dtype)},
+    }
+    if not tie:
+        params["head"] = {"w": _tensor(sd["lm_head.weight"].T, dtype)}
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# Export: our params -> HF state dict (train/fine-tune here, serve anywhere)
+# ---------------------------------------------------------------------------
+
+
+def _arr(t: "md.Tensor") -> np.ndarray:
+    return np.asarray(t.detach() if hasattr(t, "detach") else t)
+
+
+def to_hf_state_dict(model: "TransformerLM", params) -> "Dict[str, Any]":
+    """Inverse of from_hf_*: a TransformerLM parameter tree -> torch state
+    dict in the matching HF layout (GPT-2 when the model uses learned
+    positions + LayerNorm, LLaMA-family when rope + RMSNorm).  Exact inverse
+    of the import mapping — ``to_hf_state_dict(*from_hf(m))`` reproduces
+    ``m.state_dict()`` bitwise (modulo dtype).  Load with
+    ``hf_model.load_state_dict(sd, strict=False)`` (non-persistent HF
+    buffers like GPT-2's causal-mask ``attn.bias`` are not weights)."""
+    torch = _torch()
+
+    def T(a):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+
+    blk0 = model.blocks[0]
+    h, hd = blk0.attn.num_heads, blk0.attn.head_dim
+    kv = blk0.attn.num_kv_heads
+    d = model.dim
+    sd: "Dict[str, Any]" = {}
+    if not model.rope:  # GPT-2 layout
+        sd["transformer.wte.weight"] = T(_arr(params["tok_emb"]))
+        sd["transformer.wpe.weight"] = T(_arr(params["pos_emb"]))
+        for i, bp in enumerate(params["blocks"]):
+            p = f"transformer.h.{i}."
+            sd[p + "ln_1.weight"] = T(_arr(bp["ln1"]["g"]))
+            sd[p + "ln_1.bias"] = T(_arr(bp["ln1"]["b"]))
+            # HEAD-major (h, 3, hd) -> HF's [q|k|v] grouping
+            w = _arr(bp["attn"]["qkv"]["w"]).reshape(d, h, 3, hd)
+            sd[p + "attn.c_attn.weight"] = T(
+                w.transpose(0, 2, 1, 3).reshape(d, 3 * d))
+            b = _arr(bp["attn"]["qkv"]["b"]).reshape(h, 3, hd)
+            sd[p + "attn.c_attn.bias"] = T(
+                b.transpose(1, 0, 2).reshape(3 * d))
+            sd[p + "attn.c_proj.weight"] = T(_arr(bp["attn"]["out"]["w"]))
+            sd[p + "attn.c_proj.bias"] = T(_arr(bp["attn"]["out"]["b"]))
+            sd[p + "ln_2.weight"] = T(_arr(bp["ln2"]["g"]))
+            sd[p + "ln_2.bias"] = T(_arr(bp["ln2"]["b"]))
+            sd[p + "mlp.c_fc.weight"] = T(_arr(bp["fc1"]["w"]))
+            sd[p + "mlp.c_fc.bias"] = T(_arr(bp["fc1"]["b"]))
+            sd[p + "mlp.c_proj.weight"] = T(_arr(bp["fc2"]["w"]))
+            sd[p + "mlp.c_proj.bias"] = T(_arr(bp["fc2"]["b"]))
+        sd["transformer.ln_f.weight"] = T(_arr(params["ln_f"]["g"]))
+        sd["transformer.ln_f.bias"] = T(_arr(params["ln_f"]["b"]))
+        sd["lm_head.weight"] = sd["transformer.wte.weight"]
+        return sd
+
+    # LLaMA-family layout
+    inv = np.argsort(_rope_perm(hd))
+    sd["model.embed_tokens.weight"] = T(_arr(params["tok_emb"]))
+    for i, bp in enumerate(params["blocks"]):
+        p = f"model.layers.{i}."
+        ap = bp["attn"]
+        if "qkv" in ap:
+            w = _arr(ap["qkv"]["w"]).reshape(d, h, 3, hd)
+            wq, wk, wv = w[:, :, 0], w[:, :, 1], w[:, :, 2]
+        else:
+            wq = _arr(ap["wq"]["w"]).reshape(d, h, hd)
+            wkv = _arr(ap["wkv"]["w"]).reshape(d, kv, 2, hd)
+            wk, wv = wkv[:, :, 0], wkv[:, :, 1]
+        sd[p + "self_attn.q_proj.weight"] = T(
+            wq[:, :, inv].reshape(d, h * hd).T)
+        sd[p + "self_attn.k_proj.weight"] = T(
+            wk[:, :, inv].reshape(d, kv * hd).T)
+        sd[p + "self_attn.v_proj.weight"] = T(wv.reshape(d, kv * hd).T)
+        sd[p + "self_attn.o_proj.weight"] = T(_arr(ap["out"]["w"]).T)
+        if ("qkv" in ap and "b" in ap["qkv"]) or (
+                "wq" in ap and "b" in ap["wq"]):
+            if "qkv" in ap:
+                b = _arr(ap["qkv"]["b"]).reshape(h, 3, hd)
+                bq, bk, bv = b[:, 0], b[:, 1], b[:, 2]
+            else:
+                bq = _arr(ap["wq"]["b"]).reshape(h, hd)
+                bkv = _arr(ap["wkv"]["b"]).reshape(kv, 2, hd)
+                bk, bv = bkv[:, 0], bkv[:, 1]
+            sd[p + "self_attn.q_proj.bias"] = T(bq[:, inv].reshape(h * hd))
+            sd[p + "self_attn.k_proj.bias"] = T(bk[:, inv].reshape(kv * hd))
+            sd[p + "self_attn.v_proj.bias"] = T(bv.reshape(kv * hd))
+            if "b" in ap["out"]:
+                sd[p + "self_attn.o_proj.bias"] = T(_arr(ap["out"]["b"]))
+        fc1 = _arr(bp["fc1"]["w"])
+        inner = fc1.shape[1] // 2
+        pair = fc1.reshape(d, inner, 2)
+        sd[p + "mlp.gate_proj.weight"] = T(pair[:, :, 0].T)
+        sd[p + "mlp.up_proj.weight"] = T(pair[:, :, 1].T)
+        sd[p + "mlp.down_proj.weight"] = T(_arr(bp["fc2"]["w"]).T)
+        sd[p + "input_layernorm.weight"] = T(_arr(bp["ln1"]["g"]))
+        sd[p + "post_attention_layernorm.weight"] = T(_arr(bp["ln2"]["g"]))
+    sd["model.norm.weight"] = T(_arr(params["ln_f"]["g"]))
+    if model.tie_embeddings:
+        sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+    else:
+        sd["lm_head.weight"] = T(_arr(params["head"]["w"]).T)
+    return sd
+
+
+def from_hf(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
+    """Auto-detecting converter: dispatches on the checkpoint's module
+    names (GPT-2's ``transformer.h`` vs LLaMA-family ``model.layers``)."""
+    keys = hf_model.state_dict().keys()
+    if any(k.startswith("transformer.h.") for k in keys):
+        return from_hf_gpt2(hf_model, dtype=dtype)
+    if any(k.startswith("model.layers.") for k in keys):
+        return from_hf_llama(hf_model, dtype=dtype)
+    raise ValueError(
+        "unrecognized checkpoint layout: expected GPT-2 ('transformer.h.*') "
+        "or LLaMA-family ('model.layers.*') module names")

@@ -66,11 +66,11 @@ class RMSNorm(Module):
         return md.rmsnorm(x, params["g"], eps=self.eps)
 
 
-def _make_norm(kind: str, dim: int, dtype):
+def _make_norm(kind: str, dim: int, dtype, eps: "Optional[float]" = None):
     if kind == "layer":
-        return LayerNorm(dim, dtype=dtype)
+        return LayerNorm(dim, dtype=dtype, **({} if eps is None else {"eps": eps}))
     if kind == "rms":
-        return RMSNorm(dim, dtype=dtype)
+        return RMSNorm(dim, dtype=dtype, **({} if eps is None else {"eps": eps}))
     raise ValueError(f"unknown norm kind {kind!r} (expected 'layer'/'rms')")
 
 
@@ -91,7 +91,8 @@ class MultiHeadAttention(Module):
                  dtype: "Optional[Any]" = None,
                  num_kv_heads: "Optional[int]" = None,
                  rope: bool = False, rope_base: float = 10000.0,
-                 window: "Optional[int]" = None, sinks: int = 0):
+                 window: "Optional[int]" = None, sinks: int = 0,
+                 bias: bool = False):
         assert dim % num_heads == 0, (dim, num_heads)
         self.dim = dim
         self.num_heads = num_heads
@@ -111,13 +112,16 @@ class MultiHeadAttention(Module):
             assert int(window) >= 1, window
         self.window = None if window is None else int(window)
         self.sinks = int(sinks)
+        # bias=True adds biases to every attention projection (GPT-2-style
+        # checkpoints; see models/hf.py) — default off keeps existing
+        # checkpoints and the bias-free TP layout untouched
         if self.num_kv_heads == num_heads:
-            self.qkv = Linear(dim, 3 * dim, bias=False, dtype=dtype)
+            self.qkv = Linear(dim, 3 * dim, bias=bias, dtype=dtype)
         else:
-            self.wq = Linear(dim, dim, bias=False, dtype=dtype)
+            self.wq = Linear(dim, dim, bias=bias, dtype=dtype)
             self.wkv = Linear(dim, 2 * self.num_kv_heads * self.head_dim,
-                              bias=False, dtype=dtype)
-        self.out = Linear(dim, dim, bias=False, dtype=dtype)
+                              bias=bias, dtype=dtype)
+        self.out = Linear(dim, dim, bias=bias, dtype=dtype)
 
     def init(self):
         if self.num_kv_heads == self.num_heads:
@@ -178,22 +182,29 @@ class TransformerBlock(Module):
                  num_kv_heads: "Optional[int]" = None, rope: bool = False,
                  dropout: float = 0.0, norm: str = "layer",
                  mlp: str = "gelu", window: "Optional[int]" = None,
-                 sinks: int = 0):
-        self.ln1 = _make_norm(norm, dim, dtype)
+                 sinks: int = 0, rope_base: float = 10000.0,
+                 attn_bias: bool = False, mlp_bias: bool = True,
+                 norm_eps: "Optional[float]" = None,
+                 mlp_hidden: "Optional[int]" = None):
+        self.ln1 = _make_norm(norm, dim, dtype, eps=norm_eps)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        dtype=dtype, num_kv_heads=num_kv_heads,
-                                       rope=rope, window=window, sinks=sinks)
-        self.ln2 = _make_norm(norm, dim, dtype)
+                                       rope=rope, rope_base=rope_base,
+                                       window=window, sinks=sinks,
+                                       bias=attn_bias)
+        self.ln2 = _make_norm(norm, dim, dtype, eps=norm_eps)
         if mlp not in ("gelu", "swiglu"):
             raise ValueError(
                 f"unknown mlp kind {mlp!r} (expected 'gelu'/'swiglu')")
         self.mlp = mlp
-        hidden = mlp_ratio * dim
+        # mlp_hidden overrides the ratio for checkpoints whose intermediate
+        # size is not an integer multiple of dim (LLaMA-style)
+        hidden = mlp_hidden if mlp_hidden is not None else mlp_ratio * dim
         # SwiGLU: fc1 projects to gate+value (2*hidden, fused column-wise so
         # a tp shard holds matching gate/value columns), h = silu(a) * b
         self.fc1 = Linear(dim, (2 if mlp == "swiglu" else 1) * hidden,
-                          dtype=dtype)
-        self.fc2 = Linear(hidden, dim, dtype=dtype)
+                          bias=mlp_bias, dtype=dtype)
+        self.fc2 = Linear(hidden, dim, bias=mlp_bias, dtype=dtype)
         self.hidden = hidden
         self.dropout = float(dropout)
 
@@ -249,7 +260,10 @@ class TransformerLM(Module):
                  num_kv_heads: "Optional[int]" = None, rope: bool = False,
                  tie_embeddings: bool = False, dropout: float = 0.0,
                  norm: str = "layer", mlp: str = "gelu",
-                 window: "Optional[int]" = None, sinks: int = 0):
+                 window: "Optional[int]" = None, sinks: int = 0,
+                 rope_base: float = 10000.0, attn_bias: bool = False,
+                 mlp_bias: bool = True, norm_eps: "Optional[float]" = None,
+                 mlp_hidden: "Optional[int]" = None):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
@@ -268,10 +282,12 @@ class TransformerLM(Module):
             TransformerBlock(dim, num_heads, mlp_ratio, causal=True,
                              dtype=dtype, num_kv_heads=num_kv_heads, rope=rope,
                              dropout=dropout, norm=norm, mlp=mlp,
-                             window=window, sinks=sinks)
+                             window=window, sinks=sinks, rope_base=rope_base,
+                             attn_bias=attn_bias, mlp_bias=mlp_bias,
+                             norm_eps=norm_eps, mlp_hidden=mlp_hidden)
             for _ in range(num_layers)
         ]
-        self.ln_f = _make_norm(norm, dim, dtype)
+        self.ln_f = _make_norm(norm, dim, dtype, eps=norm_eps)
         # tie_embeddings: logits = x @ tok_emb^T — no separate head weight;
         # the embedding gets gradient from both its uses through the tape
         self.tie_embeddings = tie_embeddings

@@ -96,12 +96,23 @@ def transformer_sharding_rules(params: "Any") -> "Any":
     attention keys), so every model variant composes.
     """
     def attn_rules(attn_params):
-        rules = {"out": {"w": PartitionSpec("tp", None)}}
+        # column-parallel biases shard with their columns; the row-parallel
+        # out-projection bias replicates (it adds after the all-reduce)
+        def proj(name, spec, bias_spec):
+            r = {"w": spec}
+            if "b" in attn_params[name]:
+                r["b"] = bias_spec
+            return r
+
+        rules = {"out": proj("out", PartitionSpec("tp", None), PartitionSpec())}
         if "qkv" in attn_params:
-            rules["qkv"] = {"w": PartitionSpec(None, "tp")}
+            rules["qkv"] = proj("qkv", PartitionSpec(None, "tp"),
+                                PartitionSpec("tp"))
         else:  # GQA: separate q and kv projections, both column-parallel
-            rules["wq"] = {"w": PartitionSpec(None, "tp")}
-            rules["wkv"] = {"w": PartitionSpec(None, "tp")}
+            rules["wq"] = proj("wq", PartitionSpec(None, "tp"),
+                               PartitionSpec("tp"))
+            rules["wkv"] = proj("wkv", PartitionSpec(None, "tp"),
+                                PartitionSpec("tp"))
         return rules
 
     def norm_rules(norm_params):
@@ -116,8 +127,13 @@ def transformer_sharding_rules(params: "Any") -> "Any":
             "ln2": norm_rules(blk["ln2"]),
             # column-parallel fc1 also covers SwiGLU: its gate/value columns
             # are PAIR-major, so a tp shard holds matching pairs
-            "fc1": {"w": PartitionSpec(None, "tp"), "b": PartitionSpec("tp")},
-            "fc2": {"w": PartitionSpec("tp", None), "b": PartitionSpec()},
+            # (mlp_bias=False drops the b leaves — mirror what exists)
+            "fc1": ({"w": PartitionSpec(None, "tp"), "b": PartitionSpec("tp")}
+                    if "b" in blk["fc1"]
+                    else {"w": PartitionSpec(None, "tp")}),
+            "fc2": ({"w": PartitionSpec("tp", None), "b": PartitionSpec()}
+                    if "b" in blk["fc2"]
+                    else {"w": PartitionSpec("tp", None)}),
         })
     rules = {
         "tok_emb": PartitionSpec(),
