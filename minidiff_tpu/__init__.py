@@ -31,6 +31,7 @@ from minidiff_tpu.caching import (  # noqa: F401
     reuse_graph,
 )
 from minidiff_tpu.func import (  # noqa: F401
+    cond,
     grad,
     hessian,
     hvp,
@@ -41,6 +42,7 @@ from minidiff_tpu.func import (  # noqa: F401
     scan,
     value_and_grad,
     vjp,
+    while_loop,
 )
 from minidiff_tpu.backend import (  # noqa: F401
     available_backends,

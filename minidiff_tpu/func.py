@@ -561,6 +561,151 @@ def scan(step: "Callable"):
     return scanned
 
 
+_cond_counter = __import__("itertools").count()
+
+
+def cond(true_fn: "Callable", false_fn: "Callable"):
+    """Differentiable data-dependent branch that compiles to ``lax.cond``.
+
+    ``cond(true_fn, false_fn)(pred, *operands)`` evaluates ONE branch
+    (both written in framework ops over single Tensors, returning one
+    Tensor of a common shape/dtype).  ``pred`` may be:
+
+    * a scalar bool **Tensor** — the branch choice stays data-dependent
+      inside the compiled program (the TPU-first point: no host sync, no
+      retrace when the predicate flips between calls of one ``md.jit``
+      program);
+    * a Python bool — resolved immediately (at trace time under jit),
+      costing nothing.
+
+    Gradients flow through the TAKEN branch only (the untaken branch's
+    cotangent is zero — ``jax.vjp`` of ``lax.cond`` transposes to a cond
+    over the branch VJPs); ``pred`` itself is non-differentiable.  On the
+    numpy backend the chosen branch simply runs eagerly (full tape,
+    higher-order capable); on xla a higher-order backward through the
+    staged cond raises NotImplementedError, matching md.scan's contract.
+    """
+    cond_id = next(_cond_counter)
+
+    def branched(pred: "Any", *operands: "md.Tensor") -> "md.Tensor":
+        if not isinstance(pred, md.Tensor):
+            return true_fn(*operands) if bool(pred) else false_fn(*operands)
+        if backend.backend_name() != "xla":
+            chosen = true_fn if bool(pred.item()) else false_fn
+            return chosen(*operands)
+
+        import jax
+        import jax.numpy as jnp
+
+        from minidiff_tpu.ops import wrapping
+
+        def raw_fn(pred_r, *op_r):
+            def run(fn):
+                def br(*xs):
+                    with md.no_grad():
+                        return fn(*[md.Tensor(x) for x in xs])._data
+
+                return br
+
+            return jax.lax.cond(
+                jnp.asarray(pred_r).astype(bool).reshape(()),
+                run(true_fn), run(false_fn), *op_r,
+            )
+
+        memo: dict = {}
+
+        def forward(*inputs: "Any") -> "md.Tensor":
+            return md.Tensor(raw_fn(*(t._data for t in inputs)))
+
+        forward._structural_id = ("cond", cond_id)
+        forward.__name__ = "cond"
+
+        def make_grad(i: int):
+            def grad_fn(*args_and_grad: "Any") -> "md.Tensor":
+                if md.grad_allowed_():
+                    raise NotImplementedError(
+                        "md.cond: the lax.cond VJP cannot re-tape, so "
+                        "backward(allow_higher_order=True) through a staged "
+                        "branch is unsupported on the xla backend (the "
+                        "numpy backend's eager branch supports it)"
+                    )
+                *inputs, grad = args_and_grad
+                if memo.get("grad") is not grad:
+                    out, vjp_fn = jax.vjp(raw_fn, *(t._data for t in inputs))
+                    memo["grad"] = grad
+                    memo["cts"] = vjp_fn(grad._data.astype(out.dtype))
+                return md.Tensor(memo["cts"][i])
+
+            return grad_fn
+
+        # slot 0 (pred) is non-differentiable: backprop skips it silently
+        op = wrapping.create_op_func(
+            forward,
+            [None] + [make_grad(i) for i in range(1, 1 + len(operands))],
+            tensor_only=True, op_name="cond",
+        )
+        return op(pred, *operands)
+
+    return branched
+
+
+def while_loop(cond_fn: "Callable", body_fn: "Callable"):
+    """Non-differentiable data-dependent loop compiling to ``lax.while_loop``.
+
+    ``while_loop(cond_fn, body_fn)(init, *params)`` iterates
+    ``carry = body_fn(carry, *params)`` while ``cond_fn(carry, *params)``
+    is true (a scalar bool Tensor) and returns the final carry.  The trip
+    count is data-dependent, so reverse-mode AD is impossible by
+    construction (nothing bounds the tape) — the result joins the graph as
+    a NON-differentiable op, exactly like the reference's
+    ``is_differentiable=False`` ops: backprop skips it silently.  Use
+    ``md.scan`` when you need gradients through a loop.
+
+    On the numpy backend the loop runs as an eager Python ``while`` under
+    no_grad with identical semantics.
+    """
+
+    def looped(init: "md.Tensor", *params: "md.Tensor") -> "md.Tensor":
+        if backend.backend_name() != "xla":
+            with md.no_grad():
+                carry = init
+                while bool(cond_fn(carry, *params).item()):
+                    carry = body_fn(carry, *params)
+            return carry.detach()
+
+        import jax
+
+        from minidiff_tpu.ops import wrapping
+
+        def raw_fn(init_r, *param_r):
+            def as_md(c):
+                return md.Tensor(c), [md.Tensor(p) for p in param_r]
+
+            def cond_r(c):
+                with md.no_grad():
+                    t, ps = as_md(c)
+                    return cond_fn(t, *ps)._data.reshape(())
+
+            def body_r(c):
+                with md.no_grad():
+                    t, ps = as_md(c)
+                    return body_fn(t, *ps)._data
+
+            return jax.lax.while_loop(cond_r, body_r, init_r)
+
+        def forward(*inputs: "Any") -> "md.Tensor":
+            return md.Tensor(raw_fn(*(t._data for t in inputs)))
+
+        forward.__name__ = "while_loop"
+        op = wrapping.create_op_func(
+            forward, [None] * (1 + len(params)), is_differentiable=False,
+            tensor_only=True, op_name="while_loop",
+        )
+        return op(init, *params)
+
+    return looped
+
+
 def lower(fn: "Callable[..., Any]", *args: "Any", **kwargs: "Any"):
     """Trace a Tensor program and return jax's Lowered object for it.
 
@@ -610,4 +755,5 @@ def lower(fn: "Callable[..., Any]", *args: "Any", **kwargs: "Any"):
     return jax.jit(pure).lower(dynamic)
 
 
-__all__ = ["grad", "value_and_grad", "hvp", "jvp", "hessian", "jit", "lower", "remat"]
+__all__ = ["grad", "value_and_grad", "hvp", "jvp", "hessian", "jit", "lower",
+           "remat", "scan", "cond", "while_loop"]
