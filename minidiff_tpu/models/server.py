@@ -70,10 +70,6 @@ class _ServerBase:
         import minidiff_tpu.backend as backend
 
         assert backend.backend_name() == "xla", "DecodeServer needs xla"
-        if getattr(model, "window", None) is not None:
-            raise NotImplementedError(
-                "DecodeServer does not support sliding-window models yet "
-                "(slot masks are position-only)")
         self.model = model
         self.max_batch = max_batch
         self.greedy = greedy
@@ -315,7 +311,8 @@ class DecodeServer(_ServerBase):
                         "v": cache["v"] * (1.0 - sel) + sel * row_v,
                     })
                     o = md.sdpa(q, attn.expand_kv(kk), attn.expand_kv(vv),
-                                causal=True)
+                                causal=True, window=model.window,
+                                sinks=model.sinks)
                     x = F.block_finish(blk, bp, x, o)
                 x = model.ln_f.apply(p["ln_f"], x)
                 logits = model.lm_head(p, x)         # (1, sb, V)

@@ -68,10 +68,6 @@ def generate_speculative(target: "TransformerLM", target_params,
     import minidiff_tpu.backend as backend
 
     be = backend.get_backend()
-    if target.window is not None or draft.window is not None:
-        raise NotImplementedError(
-            "speculative decoding does not support sliding-window models "
-            "yet (the verification chunk mask is position-only)")
     prompt_np = np.asarray(be.as_numpy(prompt._data))
     b, s0 = prompt_np.shape
     # non-RoPE models index a fixed pos_emb table, so no forward (draft
@@ -133,7 +129,10 @@ def _chunk_step(model: "TransformerLM", p, caches, chunk: "md.Tensor",
     chunk (B, c) int; caches: list per layer of {"k","v"} (B, kv, L, hd).
     Returns (new caches, logits (B, c, V)).  Attention covers the full
     cache window under the per-row mask ``l <= pos + i`` (earlier positions
-    plus in-chunk causality in one predicate).
+    plus in-chunk causality in one predicate).  Sliding-window models
+    (``model.window``) tighten the same predicate to the causal band
+    ``pos + i - window < l`` plus the ``sinks`` head rows — one mask, no
+    extra program structure.
     """
     b, c = chunk.shape
     pos2d = pos.reshape((b, 1)) + md.arange(c).reshape((1, c))  # (B, c)
@@ -141,7 +140,13 @@ def _chunk_step(model: "TransformerLM", p, caches, chunk: "md.Tensor",
     if not model.rope:
         x = x + p["pos_emb"][pos2d]
     lid = md.arange(L).reshape((1, 1, 1, L))
-    mask = lid <= pos2d.reshape((b, 1, c, 1))  # (B, 1, c, L)
+    qpos = pos2d.reshape((b, 1, c, 1))
+    mask = lid <= qpos  # (B, 1, c, L)
+    if getattr(model, "window", None) is not None:
+        band = lid > (qpos - model.window)
+        if model.sinks:
+            band = md.logical_or(band, lid < model.sinks)
+        mask = md.logical_and(mask, band)
     new_caches = []
     for blk, bp, cache in zip(model.blocks, p["blocks"], caches):
         attn = blk.attn
@@ -179,7 +184,8 @@ def _prefill(model: "TransformerLM", p, toks: "md.Tensor", L: int,
         ck[:, :, :s, :] = kk.astype(cache_dtype)
         cv[:, :, :s, :] = vv.astype(cache_dtype)
         caches.append({"k": ck, "v": cv})
-        o = md.sdpa(q, attn.expand_kv(kk), attn.expand_kv(vv), causal=True)
+        o = md.sdpa(q, attn.expand_kv(kk), attn.expand_kv(vv), causal=True,
+                    window=model.window, sinks=model.sinks)
         x = F.block_finish(blk, bp, x, o)
     x = model.ln_f.apply(p["ln_f"], x)
     return caches, model.lm_head(p, x[:, -1:, :])[:, 0, :]
@@ -199,10 +205,6 @@ def generate_speculative_compiled(
     """
     b, s0 = prompt.shape
     assert s0 >= 1 and max_new_tokens >= 1 and k >= 1
-    if target.window is not None or draft.window is not None:
-        raise NotImplementedError(
-            "speculative decoding does not support sliding-window models "
-            "yet (the verification chunk mask is position-only)")
     c = k + 1
     # chunks overhang up to k positions past the last emitted token, so the
     # cache window and (for non-RoPE models) the pos_emb table must cover it

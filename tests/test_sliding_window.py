@@ -265,14 +265,62 @@ def test_window_unsupported_paths_raise():
     prompt = md.Tensor(np.random.randint(1, 11, size=(1, 4)))
     with pytest.raises(NotImplementedError):
         generate_compiled(m, p, prompt, 4, kv_quant=True)
+
+
+def test_windowed_speculative_matches_target_greedy():
+    """Speculative decoding (eager AND compiled) over a sliding-window +
+    sinks target stays bit-identical to the target's own greedy decode —
+    the verification chunk mask now carries the causal band."""
+    _xla()
+    np.random.seed(6)
+    tgt = TransformerLM(vocab_size=23, dim=16, num_heads=2, num_layers=2,
+                        max_seq_len=96, window=5, sinks=1)
+    tp = tgt.init()
+    drf = TransformerLM(vocab_size=23, dim=16, num_heads=2, num_layers=1,
+                        max_seq_len=96, window=3)
+    dp = drf.init()
+    prompt = md.Tensor(np.random.randint(1, 23, size=(2, 7)))
+    ref = generate(tgt, tp, prompt, 10, greedy=True)
+    from minidiff_tpu.models.speculative import (
+        generate_speculative, generate_speculative_compiled)
+
+    eager = generate_speculative(tgt, tp, drf, dp, prompt, 10, k=3)
+    np.testing.assert_array_equal(np.asarray(eager.detach()),
+                                  np.asarray(ref.detach()))
+    comp, _rounds = generate_speculative_compiled(tgt, tp, drf, dp,
+                                                  prompt, 10, k=3)
+    np.testing.assert_array_equal(np.asarray(comp.detach()),
+                                  np.asarray(ref.detach()))
+
+
+def test_windowed_server_matches_solo_decode():
+    """Continuous batching serves sliding-window models: staggered
+    requests through DecodeServer decode token-identical to running each
+    alone through generate_compiled."""
+    _xla()
+    np.random.seed(7)
+    m = TransformerLM(vocab_size=19, dim=16, num_heads=2, num_layers=2,
+                      max_seq_len=256, window=6, sinks=2)
+    p = m.init()
     from minidiff_tpu.models import DecodeServer
 
-    with pytest.raises(NotImplementedError):
-        DecodeServer(m, p, max_batch=2, window=128)
-    from minidiff_tpu.models.speculative import generate_speculative
-
-    with pytest.raises(NotImplementedError):
-        generate_speculative(m, p, m, p, prompt, 4)
+    srv = DecodeServer(m, p, max_batch=3, window=128)
+    prompts = [list(np.random.randint(1, 19, size=n)) for n in (5, 9, 3)]
+    budgets = [8, 6, 10]
+    solo = []
+    for pr, nb in zip(prompts, budgets):
+        t = generate_compiled(m, p, md.Tensor(np.asarray([pr])), nb)
+        solo.append(list(np.asarray(t.detach())[0, len(pr):]))
+    slots = [srv.submit(prompts[0], budgets[0])]
+    srv.step()
+    slots.append(srv.submit(prompts[1], budgets[1]))  # staggered arrival
+    srv.step()
+    slots.append(srv.submit(prompts[2], budgets[2]))
+    while srv.active():
+        srv.step()
+    got = [srv.collect(s) for s in slots]
+    for g, ref in zip(got, solo):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(ref))
 
 
 def test_cross_backend_windowed_forward_parity():
