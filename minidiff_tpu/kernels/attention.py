@@ -866,8 +866,14 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
     )
     t_comp = _race(lambda qp: comp_g(qp, k, v), q)
 
-    # best flash fwd blocks
+    # best flash fwd blocks.  A single block config failing to compile can
+    # be a real VMEM limit, but EVERY config failing means the kernel
+    # family cannot lower at this shape — that is a bug signal, not a race
+    # result (VERDICT r2: silent excepts hid exactly that for a round).
+    from minidiff_tpu.kernels.matmul import report_kernel_failure
+
     best_f, best_f_t = None, float("inf")
+    fwd_err = None
     for blocks in _FWD_BLOCKS:
         if sp % blocks[0] or skp % blocks[1]:
             continue
@@ -877,11 +883,17 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
             mask=kvmp, h=1, window=window, sinks=sinks)
         try:
             t = _race(lambda qx, fwd=fwd: fwd(qx, kp, vp), qp)
-        except Exception:
+        except Exception as e:
+            fwd_err = e
             continue
         if t < best_f_t:
             best_f, best_f_t = blocks, t
     if best_f is None:
+        if fwd_err is not None:
+            report_kernel_failure(
+                "flash-fwd",
+                (bh, s, sk, d, str(jnp.dtype(dtype)), causal, window, sinks),
+                fwd_err)
         return "composed"
     o_best, lse = _flash_fwd(
         qp, kp, vp, scale, causal, bq=best_f[0], bk=best_f[1],
@@ -889,6 +901,7 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
 
     # best flash bwd blocks (using the best fwd's residuals)
     best_b, best_b_t = None, float("inf")
+    bwd_err = None
     for blocks in _BWD_BLOCKS:
         if sp % blocks[0] or skp % blocks[1]:
             continue
@@ -899,11 +912,17 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
         try:
             t = _race(
                 lambda dox, bwd=bwd: bwd(qp, kp, vp, o_best, lse, dox), dop)
-        except Exception:
+        except Exception as e:
+            bwd_err = e
             continue
         if t < best_b_t:
             best_b, best_b_t = blocks, t
     if best_b is None:
+        if bwd_err is not None:
+            report_kernel_failure(
+                "flash-bwd",
+                (bh, s, sk, d, str(jnp.dtype(dtype)), causal, window, sinks),
+                bwd_err)
         return "composed"
 
     # flash must beat composed fwd+bwd by >8% — above the chained race's

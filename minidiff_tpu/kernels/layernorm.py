@@ -39,9 +39,13 @@ from jax.experimental import pallas as pl
 from minidiff_tpu.kernels.matmul import _pallas_enabled
 
 _SUPPORTED_DTYPES = (jnp.float32, jnp.bfloat16)
-# widest row block whose f32 working set (x, dy, dx ~ 3 tiles) stays a
-# small slice of VMEM; actual block = largest divisor of R under this
-_MAX_BLOCK_BYTES = 2 * 1024 * 1024
+# widest row block whose f32 working set stays inside the ~16 MB scoped
+# VMEM stack: the BACKWARD kernel holds ~6 f32 tiles (x, dy, xc, xhat, w,
+# dx) plus staging, so a 2 MB tile cap overflowed by 476 KB at
+# (8192, 1024) f32 on v5e (caught by tests_tpu/ the day it was written);
+# 1 MB keeps the worst case near 8 MB.  Actual block = largest
+# power-of-two divisor of R under this.
+_MAX_BLOCK_BYTES = 1024 * 1024
 _MAX_D = 8192
 
 
@@ -90,6 +94,21 @@ def _rms_fwd_kernel(x_ref, g_ref, o_ref, *, eps):
     o_ref[:] = (x * rsig * g_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _pad_partial(row):
+    """(1, d) f32 partial -> (8, d) block, data in row 0, rows 1-7 zero.
+
+    Mosaic requires the second-to-last block dim be divisible by 8 (the f32
+    sublane) or equal to the array dim; a (1, d) block over a (grid, d)
+    partials array is neither once grid > 1 — the exact lowering failure
+    VERDICT r2 found shipped (ln/rms bwd never ran fused on real TPU).
+    Padding each partial to a full sublane tile keeps the grid parallel and
+    costs 7 dead rows per block; the caller sums over axis 0, which folds
+    the zeros away.
+    """
+    return jnp.concatenate(
+        [row, jnp.zeros((7, row.shape[1]), row.dtype)], axis=0)
+
+
 def _rms_bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, *, eps):
     x = x_ref[:].astype(jnp.float32)
     dy = dy_ref[:].astype(jnp.float32)
@@ -98,7 +117,7 @@ def _rms_bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, *, eps):
     w = dy * g_ref[:].astype(jnp.float32)
     m = jnp.mean(w * xhat, axis=1, keepdims=True)
     dx_ref[:] = ((w - xhat * m) * rsig).astype(dx_ref.dtype)
-    dg_ref[:] = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dg_ref[:] = _pad_partial(jnp.sum(dy * xhat, axis=0, keepdims=True))
 
 
 def _bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps, nd):
@@ -110,9 +129,9 @@ def _bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps, nd):
     m1 = jnp.sum(w, axis=1, keepdims=True) * nd
     m2 = jnp.sum(w * xhat, axis=1, keepdims=True) * nd
     dx_ref[:] = ((w - m1 - xhat * m2) * rsig).astype(dx_ref.dtype)
-    # per-row-block partials; the caller sums the (grid, D) strips
-    dg_ref[:] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    db_ref[:] = jnp.sum(dy, axis=0, keepdims=True)
+    # per-row-block partials, sublane-padded; the caller sums the strips
+    dg_ref[:] = _pad_partial(jnp.sum(dy * xhat, axis=0, keepdims=True))
+    db_ref[:] = _pad_partial(jnp.sum(dy, axis=0, keepdims=True))
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "br", "interpret"))
@@ -140,8 +159,8 @@ def _pallas_ln_bwd(x2, g, dy2, eps: float, br: int, interpret: bool = False):
         functools.partial(_bwd_kernel, eps=eps, nd=1.0 / d),
         out_shape=(
             jax.ShapeDtypeStruct((r, d), x2.dtype),
-            jax.ShapeDtypeStruct((grid, d), jnp.float32),
-            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid * 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid * 8, d), jnp.float32),
         ),
         grid=(grid,),
         in_specs=[
@@ -151,8 +170,8 @@ def _pallas_ln_bwd(x2, g, dy2, eps: float, br: int, interpret: bool = False):
         ],
         out_specs=(
             pl.BlockSpec((br, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
+            pl.BlockSpec((8, d), lambda i: (i, 0)),
+            pl.BlockSpec((8, d), lambda i: (i, 0)),
         ),
         interpret=interpret,
     )(x2, g.reshape(1, d), dy2)
@@ -183,7 +202,7 @@ def _pallas_rms_bwd(x2, g, dy2, eps: float, br: int, interpret: bool = False):
         functools.partial(_rms_bwd_kernel, eps=eps),
         out_shape=(
             jax.ShapeDtypeStruct((r, d), x2.dtype),
-            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid * 8, d), jnp.float32),
         ),
         grid=(grid,),
         in_specs=[
@@ -193,7 +212,7 @@ def _pallas_rms_bwd(x2, g, dy2, eps: float, br: int, interpret: bool = False):
         ],
         out_specs=(
             pl.BlockSpec((br, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
+            pl.BlockSpec((8, d), lambda i: (i, 0)),
         ),
         interpret=interpret,
     )(x2, g.reshape(1, d), dy2)
@@ -343,7 +362,14 @@ def _ln_autotune(r: int, d: int, dtype, eps: float,
 
     try:
         t_fused = _race(fused)
-    except Exception:
+    except Exception as e:
+        # _eligible() pre-screened shapes, so a compile failure here is a
+        # lowering BUG, not a race loss — surface it (VERDICT r2: this
+        # except silently hid a never-lowers backward for a full round)
+        from minidiff_tpu.kernels.matmul import report_kernel_failure
+
+        report_kernel_failure(
+            f"{kind}-fused", (r, d, str(jnp.dtype(dtype))), e)
         return False
     return t_fused < 0.92 * t_comp
 
@@ -357,11 +383,16 @@ def _ln_decision(r: int, d: int, dtype, eps: float,
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _ln_cache[key] = True
         else:
-            from minidiff_tpu.kernels.matmul import run_outside_trace
+            from minidiff_tpu.kernels.matmul import (
+                KernelLoweringError,
+                run_outside_trace,
+            )
 
             try:
                 _ln_cache[key] = run_outside_trace(
                     lambda: _ln_autotune(r, d, dtype, eps, kind))
+            except KernelLoweringError:
+                raise  # strict mode: a compile failure must stay loud
             except Exception:
                 _ln_cache[key] = False
     return _ln_cache[key]

@@ -44,6 +44,65 @@ def _pallas_enabled() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# lowering-failure observability
+# ---------------------------------------------------------------------------
+#
+# Every kernel family dispatches through an autotune race with a composed-XLA
+# fallback.  A Pallas candidate that fails to COMPILE is a bug signal, not a
+# race result (VERDICT r2: two kernels shipped that could never lower on real
+# TPU and the silent ``except Exception: return False`` hid both).  Races
+# route compile failures here: warn once per (family, key) and keep the
+# fallback, or raise under MINIDIFF_TPU_STRICT_KERNELS=1.
+
+_KERNEL_FAILURES: "dict[tuple[str, str], str]" = {}
+_FAILURE_WARNED: set = set()
+
+
+class KernelLoweringError(RuntimeError):
+    """A Pallas kernel failed to compile under MINIDIFF_TPU_STRICT_KERNELS=1.
+
+    Distinct class so autotune wrappers can re-raise it while still treating
+    genuine race-infrastructure exceptions as "use the fallback".
+    """
+
+
+def kernel_failures() -> "dict[tuple[str, str], str]":
+    """Snapshot of Pallas compile/lowering failures seen in this process.
+
+    Empty in a healthy install; the real-TPU test tier (tests_tpu/) asserts
+    exactly that after exercising every kernel family.
+    """
+    return dict(_KERNEL_FAILURES)
+
+
+def report_kernel_failure(family: str, key, err: BaseException) -> None:
+    """Record that a Pallas kernel failed to compile (NOT that it lost a race).
+
+    Under ``MINIDIFF_TPU_STRICT_KERNELS=1`` the failure raises immediately
+    (used by the real-TPU test tier); otherwise it warns once per
+    (family, key) and the caller proceeds with its composed-XLA fallback.
+    """
+    import warnings
+
+    tag = (family, str(key))
+    _KERNEL_FAILURES[tag] = f"{type(err).__name__}: {err}"
+    if os.environ.get("MINIDIFF_TPU_STRICT_KERNELS", "0") == "1":
+        raise KernelLoweringError(
+            f"minidiff_tpu: Pallas kernel {family!r} failed to compile for "
+            f"{key} (raising because MINIDIFF_TPU_STRICT_KERNELS=1)"
+        ) from err
+    if tag not in _FAILURE_WARNED:
+        _FAILURE_WARNED.add(tag)
+        warnings.warn(
+            f"minidiff_tpu: Pallas kernel {family!r} failed to compile for "
+            f"{key}; using the composed-XLA fallback. "
+            f"{type(err).__name__}: {err}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
 def _mm_kernel(x_ref, y_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _zero():
@@ -510,9 +569,13 @@ def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
             out = fn(carry0)
             float(jnp.sum(out[-1].astype(jnp.float32)))
             alive.append((tiles, fn))
-        except Exception:
+        except Exception as e:
             if tiles is None:
                 raise
+            # _tiles_fit pre-screens VMEM, so a failing candidate is a
+            # lowering bug, not an expected overflow
+            report_kernel_failure(
+                f"matmul-{variant}", (tiles, m, n, k, str(xdt)), e)
 
     # Interleaved rounds + per-candidate MIN: robust to tunnel-latency drift
     # (a one-sided additive noise, which min strips and medians don't).

@@ -142,7 +142,7 @@ def _make_sdpa_int8_kernel(c: int, scale: float):
         b = pl.program_id(0)
         q = q_ref[0, 0]                                # (gc, hd)
         k = k8_ref[0, 0].astype(q.dtype)               # (L, hd) exact
-        sk = ks_ref[0, 0].astype(jnp.float32)          # (L,)
+        sk = ks_ref[0, 0, 0].astype(jnp.float32)       # (L,)
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -156,7 +156,7 @@ def _make_sdpa_int8_kernel(c: int, scale: float):
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)     # (gc, L) f32
-        sv = vs_ref[0, 0].astype(jnp.float32)          # (L,)
+        sv = vs_ref[0, 0, 0].astype(jnp.float32)       # (L,)
         pv = (p * sv[None, :]).astype(q.dtype)
         v = v8_ref[0, 0].astype(q.dtype)               # (L, hd)
         o_ref[0, 0] = jnp.dot(
@@ -168,18 +168,27 @@ def _make_sdpa_int8_kernel(c: int, scale: float):
 def _pallas_sdpa_int8(q, k8, ks, v8, vs, pos, c: int, scale: float,
                       interpret: bool = False):
     """q (B, kv, g*c, hd); k8/v8 (B, kv, L, hd) int8; ks/vs (B, kv, L) f32;
-    pos (B,) int32.  One grid cell per (batch, kv-head)."""
+    pos (B,) int32.  One grid cell per (batch, kv-head).
+
+    The scale rows ride as (B, kv, 1, L) with (1, 1, 1, L) blocks: a
+    (1, 1, L) block over (B, kv, L) puts a size-1 second-to-last block dim
+    against an array dim of kv, which Mosaic refuses for kv > 1 (the
+    VERDICT r2 bench crash); inserting the singleton axis makes the block
+    dim EQUAL the array dim, which always lowers.
+    """
     bq, kv, gc, hd = q.shape
     L = k8.shape[2]
+    ks4 = ks.reshape(bq, kv, 1, L)
+    vs4 = vs.reshape(bq, kv, 1, L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bq, kv),
         in_specs=[
             pl.BlockSpec((1, 1, gc, hd), lambda b, h, pos: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, L, hd), lambda b, h, pos: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, h, pos: (b, h, 0)),
+            pl.BlockSpec((1, 1, 1, L), lambda b, h, pos: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, L, hd), lambda b, h, pos: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, L), lambda b, h, pos: (b, h, 0)),
+            pl.BlockSpec((1, 1, 1, L), lambda b, h, pos: (b, h, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, gc, hd), lambda b, h, pos: (b, h, 0, 0)),
@@ -189,7 +198,7 @@ def _pallas_sdpa_int8(q, k8, ks, v8, vs, pos, c: int, scale: float,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bq, kv, gc, hd), q.dtype),
         interpret=interpret,
-    )(pos.astype(jnp.int32), q, k8, ks, v8, vs)
+    )(pos.astype(jnp.int32), q, k8, ks4, v8, vs4)
 
 
 def _jnp_sdpa_int8(q, k8, ks, v8, vs, pos, c: int, scale: float):

@@ -205,7 +205,13 @@ def _scan_autotune(bsz: int, t: int, c: int, dtype) -> bool:
     try:
         t_fused = _race(
             lambda bp: _run_padded(a, bp, t, c, bt, cb, t_pad, c_pad))
-    except Exception:
+    except Exception as e:
+        # _tiles() pre-screened the shape: a compile failure is a lowering
+        # bug, not a race loss — surface it
+        from minidiff_tpu.kernels.matmul import report_kernel_failure
+
+        report_kernel_failure(
+            "linear-scan-fused", (bsz, t, c, str(jnp.dtype(dtype))), e)
         return False
     return t_fused < 0.92 * t_assoc
 
@@ -220,11 +226,16 @@ def _scan_decision(bsz: int, t: int, c: int, dtype) -> bool:
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _scan_cache[key] = True
         else:
-            from minidiff_tpu.kernels.matmul import run_outside_trace
+            from minidiff_tpu.kernels.matmul import (
+                KernelLoweringError,
+                run_outside_trace,
+            )
 
             try:
                 _scan_cache[key] = run_outside_trace(
                     lambda: _scan_autotune(bsz, t, c, dtype))
+            except KernelLoweringError:
+                raise  # strict mode: a compile failure must stay loud
             except Exception:
                 _scan_cache[key] = False
     return _scan_cache[key]

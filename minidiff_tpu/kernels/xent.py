@@ -213,7 +213,12 @@ def _xent_autotune(r: int, v: int, dtype) -> bool:
 
     try:
         t_fused = _race(fused)
-    except Exception:
+    except Exception as e:
+        # shapes were pre-screened by _eligible: a compile failure is a
+        # lowering bug, not a race loss — surface it
+        from minidiff_tpu.kernels.matmul import report_kernel_failure
+
+        report_kernel_failure("xent-fused", (r, v, str(jnp.dtype(dtype))), e)
         return False
     return t_fused < 0.92 * t_comp
 
@@ -226,11 +231,16 @@ def _xent_decision(r: int, v: int, dtype) -> bool:
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _xent_cache[key] = True
         else:
-            from minidiff_tpu.kernels.matmul import run_outside_trace
+            from minidiff_tpu.kernels.matmul import (
+                KernelLoweringError,
+                run_outside_trace,
+            )
 
             try:
                 _xent_cache[key] = run_outside_trace(
                     lambda: _xent_autotune(r, v, dtype))
+            except KernelLoweringError:
+                raise  # strict mode: a compile failure must stay loud
             except Exception:
                 _xent_cache[key] = False
     return _xent_cache[key]

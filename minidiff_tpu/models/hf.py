@@ -49,7 +49,12 @@ __all__ = ["from_hf", "from_hf_gpt2", "from_hf_llama", "to_hf_state_dict"]
 
 def _np(t) -> np.ndarray:
     """torch tensor -> float64 numpy (conversions are exact in f64; the
-    caller casts the finished tree to the serving dtype)."""
+    caller casts the finished tree to the serving dtype).
+
+    Called lazily per tensor (ADVICE r2): materializing a whole checkpoint
+    as f64 up front costs 8 bytes/param (~56 GB host RAM for a 7B model);
+    fetching one tensor at a time keeps the peak at one tensor's worth.
+    """
     return np.asarray(t.detach().cpu().to(dtype=_torch().float64).numpy())
 
 
@@ -61,6 +66,21 @@ def _torch():
 
 def _tensor(a: np.ndarray, dtype) -> "md.Tensor":
     return md.Tensor(np.ascontiguousarray(a), allow_grad=True, dtype=dtype)
+
+
+class _LazyF64:
+    """Dict-like view over a torch state dict that converts ONE tensor to
+    f64 numpy per access (ADVICE r2: an up-front ``{k: _np(v)}`` dict holds
+    the entire checkpoint in f64 at once — ~56 GB host RAM at 7B)."""
+
+    def __init__(self, sd):
+        self._sd = sd
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return _np(self._sd[key])
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._sd
 
 
 # ---------------------------------------------------------------------------
@@ -81,9 +101,26 @@ def _gpt2_qkv(w: np.ndarray, b: "Optional[np.ndarray]", h: int):
 
 def from_hf_gpt2(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
     """GPT2LMHeadModel -> (TransformerLM, params).  Exact: same tanh-GELU,
-    pre-LN, learned absolute positions, tied head."""
+    pre-LN, learned absolute positions, tied head.
+
+    Refuses configs whose math this mapping does not reproduce (ADVICE r2:
+    silently-wrong conversions are worse than errors): the exact-erf
+    ``gelu`` activation and the nonstandard attention-scaling flags.
+    """
     cfg = hf_model.config
-    sd = {k: _np(v) for k, v in hf_model.state_dict().items()}
+    act = getattr(cfg, "activation_function", "gelu_new")
+    if act not in ("gelu_new",):
+        raise ValueError(
+            f"from_hf_gpt2: activation_function={act!r} is not the tanh "
+            "GELU this conversion maps exactly; refusing a silently-wrong "
+            "model")
+    for flag in ("scale_attn_by_inverse_layer_idx", "reorder_and_upcast_attn"):
+        if bool(getattr(cfg, flag, False)):
+            raise ValueError(
+                f"from_hf_gpt2: config flag {flag}=True changes the "
+                "attention math; this conversion does not reproduce it")
+    raw = hf_model.state_dict()
+    sd = _LazyF64(raw)
     h = cfg.n_head
     inner = cfg.n_inner if cfg.n_inner is not None else 4 * cfg.n_embd
     model = TransformerLM(
@@ -151,16 +188,44 @@ def _permute_heads(w: np.ndarray, n_heads: int) -> np.ndarray:
 
 
 def from_hf_llama(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
-    """LlamaForCausalLM (or any model with the same module names) ->
-    (TransformerLM, params) with rope=True, RMSNorm, SwiGLU, GQA."""
+    """LlamaForCausalLM (or any model with the same module names:
+    Mistral, Qwen2, ...) -> (TransformerLM, params) with rope=True,
+    RMSNorm, SwiGLU, GQA.
+
+    Config fields that change the math are validated, not ignored
+    (ADVICE r2): ``rope_scaling`` (Llama-3.x) and non-SiLU ``hidden_act``
+    (Gemma-style checkpoints share these module names) raise; Mistral's
+    ``sliding_window`` maps onto ``TransformerLM(window=...)`` — the
+    framework's banded flash kernels compute exactly that mask.
+
+    Attention biases are detected from the STATE DICT, not a config flag:
+    Qwen2 configs have no ``attention_bias`` attribute but their
+    checkpoints carry q/k/v biases (ADVICE r2 found the config-flag probe
+    silently dropped them: 0.44 max logit error on a tiny Qwen2).
+    """
     cfg = hf_model.config
-    sd = {k: _np(v) for k, v in hf_model.state_dict().items()}
+    if getattr(cfg, "rope_scaling", None) is not None:
+        raise ValueError(
+            "from_hf_llama: rope_scaling is set (Llama-3.x style); this "
+            "conversion maps plain RoPE only and the result would be "
+            "silently wrong — refusing")
+    act = getattr(cfg, "hidden_act", "silu")
+    if act not in ("silu",):
+        raise ValueError(
+            f"from_hf_llama: hidden_act={act!r}; this conversion maps the "
+            "SwiGLU (silu) MLP only — refusing a silently-wrong model")
+    raw = hf_model.state_dict()
+    sd = _LazyF64(raw)
     h = cfg.num_attention_heads
     kv = getattr(cfg, "num_key_value_heads", None) or h
     d = cfg.hidden_size
     hd = d // h
-    attn_bias = bool(getattr(cfg, "attention_bias", False))
+    # bias presence comes from the weights themselves (see docstring)
+    attn_bias = "model.layers.0.self_attn.q_proj.bias" in sd
     tie = bool(getattr(cfg, "tie_word_embeddings", False))
+    window = getattr(cfg, "sliding_window", None)
+    if window is not None and not getattr(cfg, "use_sliding_window", True):
+        window = None  # Qwen2 ships the field with the feature disabled
     model = TransformerLM(
         vocab_size=cfg.vocab_size, dim=d, num_heads=h,
         num_layers=cfg.num_hidden_layers,
@@ -169,6 +234,7 @@ def from_hf_llama(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
         rope_base=float(getattr(cfg, "rope_theta", 10000.0)),
         tie_embeddings=tie, attn_bias=attn_bias, mlp_bias=False,
         norm="rms", norm_eps=float(cfg.rms_norm_eps), mlp="swiglu",
+        window=None if window is None else int(window),
         dtype=dtype,
     )
     perm = _rope_perm(hd)

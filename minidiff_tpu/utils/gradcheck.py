@@ -1,9 +1,15 @@
 """Finite-difference oracle: the numerical contract for every op's VJP.
 
-Parity with the reference oracle (minidiff/utils.py:104-197): central
+Same CONTRACT as the reference oracle (minidiff/utils.py:104-197): central
 differences (f(x+h) - f(x-h)) / 2h per element of each differentiable input,
-batched through ``md.vmap`` over tiled + shifted copies, compared against the
-tape's gradients by ``compute_grads``.
+batched through ``md.vmap``, compared against the tape's gradients by
+``compute_grads``, with ``exclude`` skipping non-differentiable inputs.
+
+The construction is different: instead of tiling the input n_elements times
+and shifting one element per copy through a fancy-index walk, the ±h batches
+are built in one broadcasted expression — ``flat + h·I`` where ``I`` is the
+(n, n) identity from an ``arange`` equality — so the whole perturbation
+matrix materializes as two vectorized ops (no per-element index lists).
 
 On the XLA backend the vmapped evaluation is a single jax.vmap over XLA ops —
 all n_elements forward passes compile into one batched executable instead of
@@ -14,8 +20,6 @@ from __future__ import annotations
 
 from copy import deepcopy
 from typing import TYPE_CHECKING
-
-from numpy import ndindex
 
 import minidiff_tpu as md
 
@@ -52,37 +56,26 @@ def calculate_finite_differences(
                 manual_gradients.append(None)
                 continue
 
-            n_dimensions = input_tensor.ndim
-            n_elements = input_tensor.size
-            dummy_axes = (1,) * n_dimensions
-
+            n = input_tensor.size
             step_h = h if h is not None else _default_h(input_tensor)
 
-            left_args = input_tensors[:i]
-            right_args = input_tensors[i + 1 :]
+            def f(perturbed, i=i):
+                return func(*input_tensors[:i], perturbed,
+                            *input_tensors[i + 1:])
 
-            def f(shifted):
-                return func(*left_args, shifted, *right_args)
-
-            vmapped_func = md.vmap(f)
-
-            # Batch of n_elements copies; copy j gets element j shifted ±h.
-            all_indices = md.Tensor(tuple(ndindex(input_tensor.shape)))
-            element_selector = (
-                md.arange(n_elements),
-                *[all_indices[:, d] for d in range(n_dimensions)],
-            )
-
+            # Perturbation batch in one broadcast: row j of ``flat + h·I``
+            # is the input with ONLY element j shifted by +h (and -h below).
             base = input_tensor.detach().copy()
-            plus = md.tile(base, (n_elements, *dummy_axes))
-            minus = md.tile(base, (n_elements, *dummy_axes))
-            plus[element_selector] = plus[element_selector]._data + step_h
-            minus[element_selector] = minus[element_selector]._data - step_h
+            flat = base.reshape((1, n))
+            lane = md.arange(n)
+            bump = (lane.reshape((n, 1)) == lane.reshape((1, n))).astype(
+                base.dtype) * step_h
+            batch_shape = (n,) + tuple(input_tensor.shape)
+            f_plus = md.vmap(f)((flat + bump).reshape(batch_shape))
+            f_minus = md.vmap(f)((flat - bump).reshape(batch_shape))
 
-            forward = vmapped_func(plus)
-            backward = vmapped_func(minus)
-
-            grads = ((forward - backward) / (2 * step_h)).reshape(input_tensor.shape)
+            grads = ((f_plus - f_minus) / (2 * step_h)).reshape(
+                input_tensor.shape)
             manual_gradients.append(grads)
 
     return manual_gradients

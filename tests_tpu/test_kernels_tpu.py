@@ -1,0 +1,314 @@
+"""Every Pallas kernel family, compiled through the real Mosaic compiler.
+
+Each test drives the kernel's own jitted wrapper (non-interpret) at shapes
+with grid > 1 / batch > 1 / kv > 1 and asserts output parity with the jnp
+fallback executed on the same device.  Both of round 2's shipped lowering
+bugs (ln/rms backward partials for grid > 1; sdpa_int8 scale rows for
+kv > 1) fail loudly here within seconds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+DTYPES = (jnp.float32, jnp.bfloat16)
+
+
+def _tol(dtype):
+    return dict(rtol=3e-2, atol=3e-2) if dtype == jnp.bfloat16 else dict(
+        rtol=2e-4, atol=2e-5)
+
+
+def _rand(shape, dtype, seed=0, scale=1.0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+
+
+# ---------------------------------------------------------------------------
+# matmul NN / NT / TN
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("variant", ["nn", "nt", "tn"])
+def test_matmul_variants(variant, dtype):
+    from minidiff_tpu.kernels import matmul as M
+
+    m = n = k = 1024
+    tiles = (256, 256, 512)  # grid (4, 4, 2): multi-tile in every dim
+    if variant == "nn":
+        x, y = _rand((m, k), dtype, 1), _rand((k, n), dtype, 2)
+        got = M._pallas_matmul_2d(x, y, *tiles)
+        want = jnp.matmul(x, y)
+    elif variant == "nt":
+        x, y = _rand((m, k), dtype, 1), _rand((n, k), dtype, 2)
+        got = M._pallas_matmul_nt_2d(x, y, *tiles)
+        want = M._dot_general_nt(x, y)
+    else:
+        x, y = _rand((k, m), dtype, 1), _rand((k, n), dtype, 2)
+        got = M._pallas_matmul_tn_2d(x, y, *tiles)
+        want = M._dot_general_tn(x, y)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        **_tol(dtype))
+
+
+# ---------------------------------------------------------------------------
+# layernorm / rmsnorm fwd + bwd — the round-2 failure shape (grid = 16)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_layernorm_fwd_bwd_grid16(dtype):
+    from minidiff_tpu.kernels import layernorm as L
+
+    r, d = 8192, 1024  # bench shape: _row_block -> 512, grid = 16
+    br = L._row_block(r, d)
+    assert r // br > 1, "shape must exercise a multi-block grid"
+    x = _rand((r, d), dtype, 1)
+    g = _rand((d,), dtype, 2)
+    b = _rand((d,), dtype, 3)
+    dy = _rand((r, d), dtype, 4)
+
+    y = L._pallas_ln_fwd(x, g, b, 1e-5, br)
+    yw = L._jnp_layernorm(x, g, b, 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(yw, np.float32), **_tol(dtype))
+
+    dx, dg, db = L._pallas_ln_bwd(x, g, dy, 1e-5, br)
+    dxw, dgw, dbw = L._jnp_ln_grads(x, g, dy, 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dx, np.float32), np.asarray(dxw, np.float32), **_tol(dtype))
+    # dg/db are f32 row sums over 8192 rows: compare relative to magnitude
+    np.testing.assert_allclose(
+        np.asarray(dg), np.asarray(dgw, np.float32), rtol=2e-2, atol=1e-1)
+    np.testing.assert_allclose(
+        np.asarray(db), np.asarray(dbw, np.float32), rtol=2e-2, atol=1e-1)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_rmsnorm_fwd_bwd_grid16(dtype):
+    from minidiff_tpu.kernels import layernorm as L
+
+    r, d = 8192, 1024
+    br = L._row_block(r, d)
+    assert r // br > 1
+    x = _rand((r, d), dtype, 1)
+    g = _rand((d,), dtype, 2)
+    dy = _rand((r, d), dtype, 3)
+
+    y = L._pallas_rms_fwd(x, g, 1e-6, br)
+    yw = L._jnp_rmsnorm(x, g, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(yw, np.float32), **_tol(dtype))
+
+    dx, dg = L._pallas_rms_bwd(x, g, dy, 1e-6, br)
+    dxw, dgw = L._jnp_rms_grads(x, g, dy, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dx, np.float32), np.asarray(dxw, np.float32), **_tol(dtype))
+    np.testing.assert_allclose(
+        np.asarray(dg), np.asarray(dgw, np.float32), rtol=2e-2, atol=1e-1)
+
+
+def test_ln_dispatch_engages_at_bench_shape():
+    """The public ln_grads path must route through the fused kernel at the
+    bench shape — round 2's bug made the race silently report 'fused loses'
+    forever.  AUTOTUNE=0 forces the decision; strict mode means a lowering
+    failure raises rather than falling back."""
+    from minidiff_tpu.kernels import layernorm as L
+
+    assert L._ln_decision(8192, 1024, jnp.bfloat16, 1e-5) is True
+    x = _rand((8192, 1024), jnp.bfloat16, 1)
+    g = _rand((1024,), jnp.bfloat16, 2)
+    b = _rand((1024,), jnp.bfloat16, 3)
+    dy = _rand((8192, 1024), jnp.bfloat16, 4)
+    dx, dg, db = L.ln_grads(x, g, dy)
+    dxw, dgw, dbw = L._jnp_ln_grads(x, g, dy, 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dx, np.float32), np.asarray(dxw, np.float32),
+        rtol=3e-2, atol=3e-2)
+    y = L.layernorm(x, g, b)
+    assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
+
+
+# ---------------------------------------------------------------------------
+# softmax cross-entropy fwd + bwd
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_xent_fwd_bwd(dtype):
+    from minidiff_tpu.kernels import xent as X
+
+    r, v = 4096, 2048
+    br = X._row_block(r, v)
+    assert r // br > 1
+    z = _rand((r, v), dtype, 1)
+    lab = jnp.asarray(np.random.RandomState(2).randint(0, v, r), jnp.int32)
+    g = _rand((r,), jnp.float32, 3)
+
+    loss = X._pallas_xent_fwd(z, lab, br)
+    lossw = X._jnp_xent(z, lab)
+    np.testing.assert_allclose(
+        np.asarray(loss), np.asarray(lossw, np.float32),
+        rtol=1e-3 if dtype == jnp.bfloat16 else 1e-5, atol=1e-3)
+
+    dz = X._pallas_xent_bwd(z, lab, g, br)
+    dzw = X._jnp_xent_grad(z, lab, g)
+    np.testing.assert_allclose(
+        np.asarray(dz, np.float32), np.asarray(dzw, np.float32), **_tol(dtype))
+
+
+# ---------------------------------------------------------------------------
+# linear scan (single-pass SSM kernel)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_linear_scan(dtype):
+    from minidiff_tpu.kernels import scan as S
+
+    bsz, t, c = 4, 1024, 512  # time grid 1024/256 = 4 blocks, channel 1
+    a = jnp.asarray(
+        np.random.RandomState(1).uniform(0.8, 0.999, (bsz, t, c)), dtype)
+    b = _rand((bsz, t, c), dtype, 2, scale=0.1)
+    tiles = S._tiles(t, c)
+    assert tiles is not None
+    bt, cb, t_pad, c_pad = tiles
+    assert t_pad // bt > 1
+    y = S._run_padded(a, b, t, c, bt, cb, t_pad, c_pad)
+    yw = S._jnp_scan(a, b, 1)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(yw, np.float32),
+        rtol=3e-2 if dtype == jnp.bfloat16 else 1e-4, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# flash attention fwd + bwd (causal / non-causal / masked / windowed)
+# ---------------------------------------------------------------------------
+
+
+def _flash_case(dtype, causal, mask=None, window=None, sinks=0,
+                bh=4, s=256, sk=256, d=128, blocks=(128, 128)):
+    from minidiff_tpu.kernels import attention as A
+
+    q = _rand((bh, s, d), dtype, 1)
+    k = _rand((bh, sk, d), dtype, 2)
+    v = _rand((bh, sk, d), dtype, 3)
+    do = _rand((bh, s, d), dtype, 4)
+    scale = 1.0 / np.sqrt(d)
+    bq, bk = blocks
+    assert s // bq > 1 and sk // bk > 1
+
+    cmask = None if mask is None else mask[:, None, :]  # (bh, 1, sk)
+    o, lse = A._flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask,
+                          h=1, window=window, sinks=sinks)
+    ow = A._composed_sdpa(q, k, v, scale, causal, mask=cmask,
+                          window=window, sinks=sinks)
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(ow, np.float32), **_tol(dtype))
+
+    dq, dk, dv = A._flash_bwd(q, k, v, o, lse, do, scale, causal,
+                              bq=bq, bk=bk, mask=mask, h=1,
+                              window=window, sinks=sinks)
+    gw = jax.grad(
+        lambda q, k, v: jnp.sum(
+            A._composed_sdpa(q, k, v, scale, causal, mask=cmask,
+                             window=window, sinks=sinks).astype(jnp.float32)
+            * do.astype(jnp.float32)),
+        argnums=(0, 1, 2))(q, k, v)
+    for got, want in zip((dq, dk, dv), gw):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            **_tol(dtype))
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_attention(dtype, causal):
+    _flash_case(dtype, causal)
+
+
+def test_flash_attention_kv_mask():
+    # key-padding mask: last 64 keys of each row dead
+    mask = jnp.asarray(
+        np.concatenate([np.ones((4, 192)), np.zeros((4, 64))], axis=1),
+        jnp.int32)
+    _flash_case(jnp.bfloat16, False, mask=mask)
+
+
+def test_flash_attention_window_sinks():
+    _flash_case(jnp.bfloat16, True, window=128, sinks=4)
+
+
+# ---------------------------------------------------------------------------
+# int8 / int4 dequant matmul + int8-KV decode attention (the r2 bench crash)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_dequant_matmul_int8(dtype):
+    from minidiff_tpu.kernels import quant as Q
+
+    x = _rand((8, 1024), dtype, 1)
+    w = _rand((1024, 512), jnp.float32, 2)
+    q, s = Q.quantize_int8(w)
+    got = Q._pallas_dequant_matmul(x, q, s)
+    want = Q._jnp_dequant_matmul(x, q, s)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        **_tol(dtype))
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_dequant_matmul_int4(dtype):
+    from minidiff_tpu.kernels import quant as Q
+
+    x = _rand((8, 1024), dtype, 1)
+    w = _rand((1024, 512), jnp.float32, 2)
+    p, s = Q.quantize_int4(w)
+    got = Q._pallas_dequant_matmul4(x, p, s)
+    want = Q._jnp_dequant_matmul4(x, p, s)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        **_tol(dtype))
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("c", [1, 4])
+def test_sdpa_int8_cache_multi_kv(dtype, c):
+    """kv > 1, B > 1, GQA grouping — the exact configuration whose scale-row
+    BlockSpec could never lower in round 2 (kernels/quant.py)."""
+    from minidiff_tpu.kernels import quant as Q
+
+    B, kv, g, hd, L = 2, 4, 2, 128, 256
+    gc = g * c
+    q = _rand((B, kv, gc, hd), dtype, 1)
+    kf = _rand((B, kv, L, hd), jnp.float32, 2)
+    vf = _rand((B, kv, L, hd), jnp.float32, 3)
+    k8, ks = Q.quantize_int8_rows(kf)
+    v8, vs = Q.quantize_int8_rows(vf)
+    pos = jnp.asarray([37, 151], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    got = Q._pallas_sdpa_int8(q, k8, ks, v8, vs, pos, c, scale)
+    want = Q._jnp_sdpa_int8(q, k8, ks, v8, vs, pos, c, scale)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        **_tol(dtype))
+
+
+# ---------------------------------------------------------------------------
+# the tier's contract: zero recorded compile failures after all of the above
+# ---------------------------------------------------------------------------
+
+
+def test_zzz_no_kernel_compile_failures():
+    """Runs last (alphabetical within file order): every dispatch above
+    compiled through Mosaic without a single recorded lowering failure."""
+    from minidiff_tpu.kernels.matmul import kernel_failures
+
+    assert kernel_failures() == {}
