@@ -59,6 +59,22 @@ def _acc_dtype(dt):
     return dt
 
 
+def _band_allowed(qpos, kpos, window, sinks):
+    """Sliding-window + sinks allow-mask from GLOBAL positions (jnp bool).
+
+    Key j is visible to query i iff j <= i AND (i - j < window OR
+    j < sinks) — exactly ``md.sdpa(window=, sinks=)``'s mask
+    (kernels/attention.py _causal_mask), evaluated blockwise from each
+    chunk's traced global offsets so every ring step computes its own band
+    slice.
+    """
+    ok = kpos <= qpos
+    live = (qpos - kpos) < window
+    if sinks:
+        live = live | (kpos < sinks)
+    return ok & live
+
+
 def ring_attention(
     q: "md.Tensor",
     k: "md.Tensor",
@@ -68,6 +84,8 @@ def ring_attention(
     causal: bool = True,
     scale: "Optional[float]" = None,
     expand_kv=None,
+    window: "Optional[int]" = None,
+    sinks: int = 0,
 ) -> "md.Tensor":
     """Attention over ring-rotated K/V chunks; call inside shard_map.
 
@@ -81,9 +99,17 @@ def ring_attention(
     kv-head K/V to query heads AT USE — the ring rotates the narrow
     (b, kv, s, hd) buffers, so GQA's bandwidth/memory savings survive the
     ppermutes.
+
+    ``window``/``sinks`` (requires causal): banded causal attention —
+    parity with ``md.sdpa(causal=True, window=, sinks=)``.  The mask is
+    positional, so the same rotation schedule runs; band-dead blocks are
+    gated to zero (SPMD programs cannot skip per-device work whose
+    liveness depends on the device index).
     """
     if expand_kv is None:
         expand_kv = lambda t: t  # noqa: E731
+    if window is not None and not causal:
+        raise ValueError("sliding-window ring attention requires causal=True")
     b, h, s, hd = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(hd)
@@ -105,7 +131,12 @@ def ring_attention(
         src = jnp.mod(my - r + sp, sp)
         # QK on the MXU in model dtype; softmax recurrence in acc dtype
         scores = (md.matmul_nt(q, expand_kv(kk)) * scale).astype(acc)
-        if causal:
+        if causal and window is not None:
+            allowed = md.Tensor(
+                _band_allowed(my * s + rows, src * s + cols, window, sinks))
+            scores = md.where(allowed, scores, md.full_like(scores, _NEG))
+            gate = allowed.astype(acc)
+        elif causal:
             past = md.Tensor(my > src)  # whole block in the past: allow all
             diag = md.Tensor(my == src)  # same chunk: intra-chunk triangle
             allowed = md.logical_or(past, md.logical_and(diag, tri))
@@ -182,6 +213,8 @@ def ring_attention_zigzag(
     axis_name: str = "sp",
     scale: "Optional[float]" = None,
     expand_kv=None,
+    window: "Optional[int]" = None,
+    sinks: int = 0,
 ) -> "md.Tensor":
     """Causal ring attention over zig-zag-sharded chunks (see module notes).
 
@@ -189,6 +222,11 @@ def ring_attention_zigzag(
     ``d`` and rows [s/2, s) are chunk ``2sp-1-d``.  Output rows match q's
     layout.  Equals the plain ring / md.sdpa after un-permuting.
     ``expand_kv`` broadcasts GQA kv heads at use (see ring_attention).
+
+    ``window``/``sinks``: banded causal attention.  The zig-zag liveness
+    schedule (which half-pairs carry any causal weight) is unchanged — the
+    band only REMOVES keys — so the same half-block merges run with a
+    positional band gate derived from each half-chunk's global offset.
     """
     if expand_kv is None:
         expand_kv = lambda t: t  # noqa: E731
@@ -202,6 +240,17 @@ def ring_attention_zigzag(
     rows = jnp.arange(s2)[:, None]
     cols = jnp.arange(s2)[None, :]
     tri = md.Tensor(rows >= cols)  # (s2, s2)
+
+    def band(qoff, koff):
+        """Band allow-gate for a half-pair from global chunk offsets, or
+        None when no window is set (gate=None = fully-live fast path).
+        ``kpos <= qpos`` inside _band_allowed already yields the diagonal
+        triangle when qoff == koff, so diagonal pairs need no extra mask.
+        """
+        if window is None:
+            return None
+        return md.Tensor(_band_allowed(
+            qoff * s2 + rows, koff * s2 + cols, window, sinks))
 
     q0, q1 = q[:, :, :s2], q[:, :, s2:]
     acc = _acc_dtype(q.dtype)
@@ -230,22 +279,28 @@ def ring_attention_zigzag(
                 o * alpha
                 + md.matmul(p.astype(q.dtype), expand_kv(vals)).astype(acc))
 
+    gmy = 2 * sp - 1 - my  # global chunk index of the q1/k1 halves
     shift = [(i, (i + 1) % sp) for i in range(sp)]
     kk, vv = k, v
     for r in range(sp):
         k0, k1 = kk[:, :, :s2], kk[:, :, s2:]
         v0, v1 = vv[:, :, :s2], vv[:, :, s2:]
+        src = jnp.mod(my - r + sp, sp)  # global chunk index of k0
+        gsrc = 2 * sp - 1 - src
         if r == 0:
             st0 = merge(st0, md.matmul_nt(q0, expand_kv(k0)) * scale, v0,
-                        gate=tri)
-            st1 = merge(st1, md.matmul_nt(q1, expand_kv(k0)) * scale, v0)
+                        gate=band(my, my) if window is not None else tri)
+            st1 = merge(st1, md.matmul_nt(q1, expand_kv(k0)) * scale, v0,
+                        gate=band(gmy, my))
             st1 = merge(st1, md.matmul_nt(q1, expand_kv(k1)) * scale, v1,
-                        gate=tri)
+                        gate=band(gmy, gmy) if window is not None else tri)
         else:
-            # always-live, fully unmasked: q1 x k0 (chunk 2sp-1-d > any src)
-            st1 = merge(st1, md.matmul_nt(q1, expand_kv(k0)) * scale, v0)
+            # always causally live: q1 x k0 (chunk 2sp-1-d > any src);
+            # with a window the band gate trims it
+            st1 = merge(st1, md.matmul_nt(q1, expand_kv(k0)) * scale, v0,
+                        gate=band(gmy, src))
             # the select pair: (q0 x k0) -> state0 when d >= r, else
-            # (q1 x k1) -> state1; both fully unmasked
+            # (q1 x k1) -> state1; both fully causally unmasked
             cond = md.Tensor(my >= r)
             qB = md.where(cond, q0, q1)
             kB = md.where(cond, k0, k1)
@@ -253,7 +308,10 @@ def ring_attention_zigzag(
             mT = (md.where(cond, st0[0], st1[0]),
                   md.where(cond, st0[1], st1[1]),
                   md.where(cond, st0[2], st1[2]))
-            mTn = merge(mT, md.matmul_nt(qB, expand_kv(kB)) * scale, vB)
+            gateB = band(jnp.where(my >= r, my, gmy),
+                         jnp.where(my >= r, src, gsrc))
+            mTn = merge(mT, md.matmul_nt(qB, expand_kv(kB)) * scale, vB,
+                        gate=gateB)
             st0 = tuple(md.where(cond, n, o_) for n, o_ in zip(mTn, st0))
             st1 = tuple(md.where(cond, o_, n) for n, o_ in zip(mTn, st1))
         if r < sp - 1:
@@ -298,10 +356,12 @@ def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None,
     if zigzag:
         assert attn.causal, "zig-zag layout only helps causal attention"
         o = ring_attention_zigzag(q, k, v, sp, axis_name=axis_name,
-                                  expand_kv=attn.expand_kv)
+                                  expand_kv=attn.expand_kv,
+                                  window=attn.window, sinks=attn.sinks)
     else:
         o = ring_attention(q, k, v, sp, axis_name=axis_name,
-                           causal=attn.causal, expand_kv=attn.expand_kv)
+                           causal=attn.causal, expand_kv=attn.expand_kv,
+                           window=attn.window, sinks=attn.sinks)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
     x = x + attn.out.apply(params["attn"]["out"], o)
 
@@ -326,10 +386,6 @@ def make_ring_train_step(model, mesh, optimizer=None, init_params=None,
     from minidiff_tpu.parallel.pipeline import _state_specs
 
     sp = mesh.shape[axis_name]
-    if getattr(model, "window", None) is not None:
-        raise NotImplementedError(
-            "ring attention does not support sliding-window models yet "
-            "(the ring recurrence assumes the full causal mask)")
     optimizer = optimizer or SGD(0.1)
     params0 = init_params or model.init()
     opt_state = optimizer.init(params0)

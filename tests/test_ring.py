@@ -259,3 +259,120 @@ def test_ring_gqa_kv_width_rotation_matches_single_device():
             np.asarray(params["blocks"][0]["attn"]["wkv"]["w"]),
             np.asarray(p1["blocks"][0]["attn"]["wkv"]["w"]),
             rtol=1e-11, atol=1e-13, err_msg=f"zigzag={zz}")
+
+
+# ---------------------------------------------------------------------------
+# round-3: sliding window (+ sinks) x ring / zig-zag (VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+
+@needs_8
+@pytest.mark.parametrize("sp", [2, 4])
+@pytest.mark.parametrize("window,sinks", [(4, 0), (6, 2), (15, 3)])
+def test_ring_window_matches_sdpa(sp, window, sinks):
+    """Banded causal ring == md.sdpa(window=, sinks=) to machine epsilon."""
+    np.random.seed(9)
+    b, h, S, hd = 2, 2, 16, 8
+    q, k, v = (np.random.randn(b, h, S, hd) for _ in range(3))
+    mesh = parallel.make_mesh({"sp": sp})
+
+    def body(ql, kl, vl):
+        return parallel.ring_attention(
+            md.Tensor(ql), md.Tensor(kl), md.Tensor(vl), sp, causal=True,
+            window=window, sinks=sinks)._data
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(None, None, "sp"),) * 3,
+        out_specs=P(None, None, "sp"), check_vma=False,
+    ))
+    got = np.asarray(f(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    ref = np.asarray(md.sdpa(md.Tensor(q), md.Tensor(k), md.Tensor(v),
+                             causal=True, window=window,
+                             sinks=sinks).detach())
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+@pytest.mark.parametrize("sp", [2, 4, 8])
+@pytest.mark.parametrize("window,sinks", [(4, 0), (6, 2)])
+def test_zigzag_window_matches_sdpa(sp, window, sinks):
+    """Banded causal zig-zag ring == md.sdpa(window=, sinks=)."""
+    np.random.seed(10)
+    b, h, S, hd = 2, 2, 32, 8
+    q, k, v = (np.random.randn(b, h, S, hd) for _ in range(3))
+    order = parallel.zigzag_order(S, sp)
+    inv = np.argsort(order)
+    mesh = parallel.make_mesh({"sp": sp})
+
+    def body(ql, kl, vl):
+        return parallel.ring_attention_zigzag(
+            md.Tensor(ql), md.Tensor(kl), md.Tensor(vl), sp,
+            window=window, sinks=sinks)._data
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(None, None, "sp"),) * 3,
+        out_specs=P(None, None, "sp"), check_vma=False,
+    ))
+    got = np.asarray(f(jnp.asarray(q[:, :, order]),
+                       jnp.asarray(k[:, :, order]),
+                       jnp.asarray(v[:, :, order])))[:, :, inv]
+    ref = np.asarray(md.sdpa(md.Tensor(q), md.Tensor(k), md.Tensor(v),
+                             causal=True, window=window,
+                             sinks=sinks).detach())
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_window_train_step_matches_single_device(zigzag):
+    """A sliding-window+sinks TransformerLM trains sequence-parallel: loss
+    and updated params bit-match the single-device step (the config VERDICT
+    r2 item 5 named as the canonical long-context training setup)."""
+    np.random.seed(11)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=16, window=6, sinks=2)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(4, 16, 16, 1))
+
+    step1 = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, _, loss1 = step1(init, None, x, y)
+
+    mesh = parallel.make_mesh({"sp": 4})
+    step, params, state = parallel.make_ring_train_step(
+        model, mesh, SGD(0.1), init_params=init, zigzag=zigzag)
+    params, state, loss = step(params, state, x, y)
+    np.testing.assert_allclose(float(loss.item()), float(loss1.item()),
+                               rtol=1e-10)
+    for path in [
+        lambda p: p["blocks"][0]["attn"]["qkv"]["w"],
+        lambda p: p["blocks"][1]["fc2"]["w"],
+        lambda p: p["tok_emb"],
+        lambda p: p["head"]["w"],
+    ]:
+        np.testing.assert_allclose(np.asarray(path(params)),
+                                   np.asarray(path(p1)),
+                                   rtol=1e-10, atol=1e-13)
+
+
+@needs_8
+def test_window_rope_gqa_zigzag_train_step():
+    """window x sinks x RoPE x GQA x zig-zag, all at once, vs single device."""
+    np.random.seed(12)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=4, num_kv_heads=2,
+                          num_layers=1, max_seq_len=16, rope=True,
+                          window=5, sinks=1)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(2, 16, 16, 1))
+    step1 = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, _, loss1 = step1(init, None, x, y)
+
+    mesh = parallel.make_mesh({"sp": 4})
+    step, params, state = parallel.make_ring_train_step(
+        model, mesh, SGD(0.1), init_params=init, zigzag=True)
+    params, state, loss = step(params, state, x, y)
+    np.testing.assert_allclose(float(loss.item()), float(loss1.item()),
+                               rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"][0]["attn"]["wq"]["w"]),
+        np.asarray(p1["blocks"][0]["attn"]["wq"]["w"]),
+        rtol=1e-10, atol=1e-13)
