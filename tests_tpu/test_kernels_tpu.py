@@ -27,6 +27,19 @@ def _rand(shape, dtype, seed=0, scale=1.0):
     return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
 
 
+def _assert_err_comparable(got, baseline, ref_f32, dtype, margin=2.0):
+    """``got`` may not err against the HIGHEST-precision oracle ``ref_f32``
+    more than ``margin``x what the device's own composed path does (plus a
+    dtype rounding floor)."""
+    floor = 2e-2 if dtype == jnp.bfloat16 else 3e-6
+    e_got = float(np.max(np.abs(np.asarray(got, np.float32) - ref_f32)))
+    e_base = float(np.max(np.abs(np.asarray(baseline, np.float32) - ref_f32)))
+    scale = float(np.max(np.abs(ref_f32))) + 1e-12
+    assert e_got <= margin * e_base + floor * scale, (
+        f"kernel err {e_got:.3e} vs composed err {e_base:.3e} "
+        f"(scale {scale:.3e})")
+
+
 # ---------------------------------------------------------------------------
 # matmul NN / NT / TN
 # ---------------------------------------------------------------------------
@@ -208,22 +221,31 @@ def _flash_case(dtype, causal, mask=None, window=None, sinks=0,
                           h=1, window=window, sinks=sinks)
     ow = A._composed_sdpa(q, k, v, scale, causal, mask=cmask,
                           window=window, sinks=sinks)
-    np.testing.assert_allclose(
-        np.asarray(o, np.float32), np.asarray(ow, np.float32), **_tol(dtype))
+    # On hardware BOTH paths run f32 dots as single-pass bf16 MXU products
+    # (and round differently), so parity-to-2e-4 is unachievable for f32.
+    # The real accuracy contract: the kernel's error vs a HIGHEST-precision
+    # composed oracle is no worse than ~2x the composed default path's own.
+    with jax.default_matmul_precision("highest"):
+        oref = np.asarray(
+            A._composed_sdpa(q, k, v, scale, causal, mask=cmask,
+                             window=window, sinks=sinks), np.float32)
+    _assert_err_comparable(o, ow, oref, dtype)
 
     dq, dk, dv = A._flash_bwd(q, k, v, o, lse, do, scale, causal,
                               bq=bq, bk=bk, mask=mask, h=1,
                               window=window, sinks=sinks)
-    gw = jax.grad(
-        lambda q, k, v: jnp.sum(
+
+    def composed_loss(q, k, v):
+        return jnp.sum(
             A._composed_sdpa(q, k, v, scale, causal, mask=cmask,
                              window=window, sinks=sinks).astype(jnp.float32)
-            * do.astype(jnp.float32)),
-        argnums=(0, 1, 2))(q, k, v)
-    for got, want in zip((dq, dk, dv), gw):
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(want, np.float32),
-            **_tol(dtype))
+            * do.astype(jnp.float32))
+
+    gw = jax.grad(composed_loss, argnums=(0, 1, 2))(q, k, v)
+    with jax.default_matmul_precision("highest"):
+        gref = jax.grad(composed_loss, argnums=(0, 1, 2))(q, k, v)
+    for got, want, ref in zip((dq, dk, dv), gw, gref):
+        _assert_err_comparable(got, want, np.asarray(ref, np.float32), dtype)
 
 
 @pytest.mark.parametrize("dtype", DTYPES)
