@@ -36,7 +36,7 @@ import numpy as np
 
 import minidiff_tpu as md
 from minidiff_tpu.models import functional as F
-from minidiff_tpu.models.speculative import _chunk_step  # noqa: F401
+from minidiff_tpu.models.speculative import _chunk_step, _prefill  # noqa: F401
 
 if TYPE_CHECKING:
     from typing import Any, Dict, List, Optional, Sequence
@@ -92,6 +92,10 @@ class _ServerBase:
         self._steps = np.zeros(max_batch, np.int64)    # slot-local step count
         self._prefill_cache: dict = {}
         self._step_fn = None
+        self._prefixes: "Dict[int, Any]" = {}   # pid -> (rows, length)
+        self._next_prefix_id = 0
+        self._prefix_fill_cache: dict = {}
+        self._prefix_submit_cache: dict = {}
 
     # -- device programs ---------------------------------------------------
 
@@ -124,9 +128,14 @@ class _ServerBase:
                    for s in range(self.max_batch))
 
     def submit(self, prompt: "Sequence[int]", max_new_tokens: int,
-               seed: int = 0) -> int:
+               seed: int = 0, prefix: "Optional[int]" = None) -> int:
         """Admit a request into a free slot (raises when the pool is full);
-        runs the bucketed prefill and emits the first token."""
+        runs the bucketed prefill and emits the first token.
+
+        ``prefix``: id from :meth:`register_prefix` — the request's tokens
+        continue AFTER the registered prefix (shared system prompt); only
+        the suffix is prefilled, the prefix KV is reused from the one
+        registration-time forward."""
         import jax.numpy as jnp
 
         if not self._free:
@@ -136,6 +145,9 @@ class _ServerBase:
         prompt = list(prompt)
         s0 = len(prompt)
         assert s0 >= 1 and max_new_tokens >= 1
+        if prefix is not None:
+            return self._submit_with_prefix(prompt, max_new_tokens, seed,
+                                            prefix)
         if self.window is not None:
             assert s0 + max_new_tokens <= self.window
         slot = self._free.pop(0)
@@ -160,6 +172,14 @@ class _ServerBase:
         if self.eos_id is not None and tok == self.eos_id:
             self._budget[slot] = 0
         return slot
+
+    def register_prefix(self, tokens: "Sequence[int]") -> int:
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support prefix caching")
+
+    def _submit_with_prefix(self, prompt, max_new_tokens, seed, prefix):
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support prefix caching")
 
     def _fold(self, slot: int) -> np.ndarray:
         """Per-(slot seed, slot step) uint32x2 key material."""
@@ -325,6 +345,130 @@ class DecodeServer(_ServerBase):
 
         return prefill
 
+
+
+    # -- prefix caching (shared system prompts) ------------------------------
+
+    def register_prefix(self, tokens: "Sequence[int]") -> int:
+        """Run the shared prefix ONCE and keep its KV rows on device; later
+        ``submit(suffix, prefix=pid)`` calls prefill only the suffix.
+
+        The stored rows are one (1, kv, window, hd) cache row per block —
+        the memory cost of one extra slot per registered prefix.  Greedy
+        outputs remain token-identical to submitting the concatenated
+        prompt (the tests' contract)."""
+        import jax.numpy as jnp
+
+        tokens = list(tokens)
+        p0 = len(tokens)
+        assert p0 >= 1
+        if self.window is not None:
+            assert p0 + 1 < self.window, "prefix leaves no room to decode"
+        pb = -(-p0 // _BUCKET) * _BUCKET
+        if pb not in self._prefix_fill_cache:
+            self._prefix_fill_cache[pb] = self._build_prefix_fill(pb)
+        padded = np.zeros((1, pb), np.int64)
+        padded[0, :p0] = tokens
+        rows = self._prefix_fill_cache[pb](self._params_raw,
+                                           jnp.asarray(padded))
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = (rows, p0)
+        return pid
+
+    def release_prefix(self, pid: int) -> None:
+        """Free a registered prefix's device rows."""
+        del self._prefixes[pid]
+
+    def _build_prefix_fill(self, pb: int):
+        """(params, toks (1, pb)) -> per-block rows {"k","v"} (1,kv,L,hd)
+        with the prefix KV written at [0, pb).  Pad garbage at [p0, pb) is
+        provably overwritten by the suffix prefill before any live query
+        can read it (suffix buckets are >= 128 > pb - p0)."""
+        import jax
+
+        model, L = self.model, self.window
+        cache_dtype = self._params_raw["tok_emb"].dtype
+
+        @jax.jit
+        def fill(raw_p, toks):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                rows, _ = _prefill(model, p, md.Tensor(toks), L, cache_dtype)
+                return jax.tree.map(lambda t: t._data, rows,
+                                    is_leaf=_is_tensor)
+
+        return fill
+
+    def _submit_with_prefix(self, prompt, max_new_tokens, seed, prefix):
+        import jax.numpy as jnp
+
+        rows, p0 = self._prefixes[prefix]
+        s0 = len(prompt)
+        assert s0 >= 1, "suffix must contain at least one token"
+        if self.window is not None:
+            assert p0 + s0 + max_new_tokens <= self.window
+        slot = self._free.pop(0)
+        sb = -(-s0 // _BUCKET) * _BUCKET
+        if sb not in self._prefix_submit_cache:
+            self._prefix_submit_cache[sb] = self._build_prefix_submit(sb)
+        padded = np.zeros((1, sb), np.int64)
+        padded[0, :s0] = prompt
+        self._seed[slot] = np.uint32(seed & 0xFFFFFFFF)
+        self._steps[slot] = 0
+        kraw = self._fold(slot)
+        self._state, nxt = self._prefix_submit_cache[sb](
+            self._params_raw, self._state, rows, jnp.asarray(padded),
+            jnp.asarray(p0, jnp.int32), jnp.asarray(s0, jnp.int32),
+            jnp.asarray(slot, jnp.int32), jnp.asarray(kraw))
+        tok = int(np.asarray(nxt)[0])
+        self._pos[slot] = p0 + s0
+        self._tok[slot] = tok
+        self._budget[slot] = max_new_tokens - 1
+        self._out[slot] = [tok]
+        self._steps[slot] = 1
+        if self.eos_id is not None and tok == self.eos_id:
+            self._budget[slot] = 0
+        return slot
+
+    def _build_prefix_submit(self, sb: int):
+        """(params, caches, prefix rows, toks (1, sb), p0, s0, slot, key)
+        -> (caches', first token (1,)): the suffix runs as ONE chunk step
+        over the prefix rows (global positions p0..p0+sb-1, in-chunk
+        causality and the prefix KV under one mask predicate), then the
+        combined row swaps into the batched cache by a batch one-hot."""
+        import jax
+
+        model, L, B = self.model, self.window, self.max_batch
+
+        @jax.jit
+        def prefill(raw_p, caches_raw, rows_raw, toks, p0, s0, slot, key):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                caches = jax.tree.map(md.Tensor, caches_raw)
+                rows = jax.tree.map(md.Tensor, rows_raw)
+                new_rows, logits = _chunk_step(
+                    model, p, rows, md.Tensor(toks),
+                    md.Tensor(p0).reshape((1,)), L)     # (1, sb, V)
+                sel_b = (md.arange(B) == md.Tensor(slot))
+                new_caches = []
+                for cache, row in zip(caches, new_rows):
+                    sel = sel_b.reshape((B, 1, 1, 1)).astype(
+                        cache["k"].dtype)
+                    new_caches.append({
+                        "k": cache["k"] * (1.0 - sel)
+                        + sel * row["k"].astype(cache["k"].dtype),
+                        "v": cache["v"] * (1.0 - sel)
+                        + sel * row["v"].astype(cache["v"].dtype),
+                    })
+                last = (md.arange(sb) == (md.Tensor(s0) - 1)).astype(
+                    logits.dtype)                       # (sb,) one-hot
+                lg = md.einsum("j,bjv->bv", last, logits)
+                nxt = self._select(lg, md.Tensor(key).reshape((1, 2)))
+                return (jax.tree.map(lambda t: t._data, new_caches,
+                                     is_leaf=_is_tensor), nxt._data)
+
+        return prefill
 
 
 class SSMDecodeServer(_ServerBase):

@@ -214,3 +214,141 @@ def test_server_long_prompt_buckets():
     _drain(srv)
     assert srv.collect(s1) == _reference(model, params, p_short, 4)
     assert srv.collect(s2) == _reference(model, params, p_long, 4)
+
+
+# ---------------------------------------------------------------------------
+# prefix caching (shared system prompts)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rope", [False, True])
+def test_prefix_cache_matches_concatenated_prompt(rope):
+    # the contract: submit(suffix, prefix=pid) is token-identical to
+    # submitting the concatenated prefix+suffix without prefix caching
+    model = TransformerLM(vocab_size=23, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=512, rope=rope)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=4, window=512)
+    rng = np.random.default_rng(7)
+    sys_prompt = list(rng.integers(0, 23, 11))   # p0 < bucket: pad garbage
+    pid = srv.register_prefix(sys_prompt)
+    suffixes = [list(rng.integers(0, 23, n)) for n in (3, 9, 5)]
+    slots = [srv.submit(sfx, max_new_tokens=6, prefix=pid)
+             for sfx in suffixes]
+    _drain(srv)
+    for sfx, s in zip(suffixes, slots):
+        assert srv.collect(s) == _reference(model, params,
+                                            sys_prompt + sfx, 6), sfx
+
+
+def test_prefix_cache_rows_are_immutable_across_requests():
+    # per-request suffix writes must never leak into the shared rows:
+    # a SECOND request over the same prefix still matches its reference
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=2, window=256)
+    rng = np.random.default_rng(3)
+    pre = list(rng.integers(0, 17, 6))
+    pid = srv.register_prefix(pre)
+    a = list(rng.integers(0, 17, 4))
+    b = list(rng.integers(0, 17, 4))
+    sa = srv.submit(a, max_new_tokens=5, prefix=pid)
+    _drain(srv)
+    out_a = srv.collect(sa)
+    sb_ = srv.submit(b, max_new_tokens=5, prefix=pid)
+    _drain(srv)
+    assert out_a == _reference(model, params, pre + a, 5)
+    assert srv.collect(sb_) == _reference(model, params, pre + b, 5)
+
+
+def test_prefix_cache_mixed_with_plain_and_staggered():
+    # prefix-cached and plain requests share the pool mid-flight
+    model = TransformerLM(vocab_size=19, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=256, rope=True)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=3, window=256)
+    rng = np.random.default_rng(11)
+    pre = list(rng.integers(0, 19, 5))
+    pid = srv.register_prefix(pre)
+    plain = list(rng.integers(0, 19, 8))
+    sfx1 = list(rng.integers(0, 19, 3))
+    sfx2 = list(rng.integers(0, 19, 7))
+    s_plain = srv.submit(plain, max_new_tokens=9)
+    s1 = srv.submit(sfx1, max_new_tokens=4, prefix=pid)
+    while not srv.done(s1):
+        srv.step()
+    out1 = srv.collect(s1)
+    s2 = srv.submit(sfx2, max_new_tokens=5, prefix=pid)  # reuses s1's slot
+    _drain(srv)
+    assert out1 == _reference(model, params, pre + sfx1, 4)
+    assert srv.collect(s_plain) == _reference(model, params, plain, 9)
+    assert srv.collect(s2) == _reference(model, params, pre + sfx2, 5)
+
+
+def test_prefix_cache_gqa_window_sinks():
+    # composes with GQA and sliding-window+sinks attention (the chunk
+    # step's band predicate must see global positions past the prefix)
+    model = TransformerLM(vocab_size=19, dim=32, num_heads=4, num_kv_heads=2,
+                          num_layers=2, max_seq_len=512, rope=True,
+                          window=64, sinks=2)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=2, window=512)
+    rng = np.random.default_rng(13)
+    pre = list(rng.integers(0, 19, 70))   # longer than the model window
+    pid = srv.register_prefix(pre)
+    sfx = list(rng.integers(0, 19, 6))
+    s = srv.submit(sfx, max_new_tokens=6, prefix=pid)
+    _drain(srv)
+    assert srv.collect(s) == _reference(model, params, pre + sfx, 6)
+
+
+def test_prefix_cache_long_prefix_multibucket():
+    # prefix longer than one bucket; suffix in a different bucket
+    model = TransformerLM(vocab_size=13, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=512)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=2, window=512)
+    rng = np.random.default_rng(17)
+    pre = list(rng.integers(0, 13, 140))   # 2-bucket prefix
+    pid = srv.register_prefix(pre)
+    sfx = list(rng.integers(0, 13, 131))   # 2-bucket suffix
+    s = srv.submit(sfx, max_new_tokens=4, prefix=pid)
+    _drain(srv)
+    assert srv.collect(s) == _reference(model, params, pre + sfx, 4)
+
+
+def test_prefix_cache_sampling_deterministic_per_seed():
+    model = TransformerLM(vocab_size=19, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    rng = np.random.default_rng(19)
+    pre = list(rng.integers(0, 19, 4))
+    sfx = list(rng.integers(0, 19, 3))
+    outs = []
+    for _ in range(2):
+        srv = DecodeServer(model, params, max_batch=2, greedy=False,
+                           temperature=0.8, top_k=5, window=256)
+        pid = srv.register_prefix(pre)
+        s = srv.submit(sfx, max_new_tokens=8, seed=42, prefix=pid)
+        _drain(srv)
+        outs.append(srv.collect(s))
+    assert outs[0] == outs[1]
+
+
+def test_prefix_cache_release_and_ssm_unsupported():
+    from minidiff_tpu.models import MambaLM
+    from minidiff_tpu.models.server import SSMDecodeServer
+
+    model = TransformerLM(vocab_size=13, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    srv = DecodeServer(model, params, max_batch=2, window=256)
+    pid = srv.register_prefix([1, 2, 3])
+    srv.release_prefix(pid)
+    with pytest.raises(KeyError):
+        srv.submit([4], max_new_tokens=2, prefix=pid)
+
+    ssm = MambaLM(vocab_size=13, dim=16, num_layers=1)
+    ssrv = SSMDecodeServer(ssm, ssm.init(), max_batch=2)
+    with pytest.raises(NotImplementedError):
+        ssrv.register_prefix([1, 2, 3])
