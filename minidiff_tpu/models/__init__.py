@@ -74,6 +74,7 @@ from minidiff_tpu.models.distill import (  # noqa: F401
     log_softmax,
     make_distill_step,
 )
+from minidiff_tpu.models.paged import PagedDecodeServer  # noqa: F401
 from minidiff_tpu.models.server import (  # noqa: F401
     DecodeServer,
     SSMDecodeServer,
