@@ -21,11 +21,25 @@ pull, subtracts the separately measured pull latency, and divides by K.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA compilation cache: ~10 programs x 20-40s compile through the
+# tunnel dominate bench wall-time; cached reruns skip all of it.  Guarded —
+# the experimental platform may not support it, and the bench must never die
+# on a cache failure.
+try:
+    _cache_dir = os.environ.get(
+        "MINIDIFF_TPU_COMPILE_CACHE", "/tmp/minidiff_tpu_xla_cache")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 # flagship config: head_dim 128 (flash-eligible), bf16 compute
 VOCAB, DIM, HEADS, LAYERS, SEQ, BATCH = 512, 1024, 8, 4, 1024, 8

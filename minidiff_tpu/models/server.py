@@ -64,7 +64,8 @@ class _ServerBase:
                  temperature: float = 1.0, top_k: "Optional[int]" = None,
                  top_p: "Optional[float]" = None,
                  min_p: "Optional[float]" = None,
-                 eos_id: "Optional[int]" = None):
+                 eos_id: "Optional[int]" = None,
+                 prefill_chunk: "Optional[int]" = None):
         import jax
 
         import minidiff_tpu.backend as backend
@@ -96,6 +97,11 @@ class _ServerBase:
         self._next_prefix_id = 0
         self._prefix_fill_cache: dict = {}
         self._prefix_submit_cache: dict = {}
+        if prefill_chunk is not None:
+            assert prefill_chunk % _BUCKET == 0 and prefill_chunk > 0, (
+                "prefill_chunk must be a positive multiple of 128")
+        self._prefill_chunk = prefill_chunk
+        self._chunk_fill = None
 
     # -- device programs ---------------------------------------------------
 
@@ -148,6 +154,8 @@ class _ServerBase:
         if prefix is not None:
             return self._submit_with_prefix(prompt, max_new_tokens, seed,
                                             prefix)
+        if self._prefill_chunk is not None and s0 > self._prefill_chunk:
+            return self._submit_chunked(prompt, max_new_tokens, seed)
         if self.window is not None:
             assert s0 + max_new_tokens <= self.window
         slot = self._free.pop(0)
@@ -180,6 +188,12 @@ class _ServerBase:
     def _submit_with_prefix(self, prompt, max_new_tokens, seed, prefix):
         raise NotImplementedError(
             f"{type(self).__name__} does not support prefix caching")
+
+    def _submit_chunked(self, prompt, max_new_tokens, seed, rows=None,
+                        p0: int = 0):
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support chunked prefill "
+            "(prefill_chunk only applies to the transformer DecodeServer)")
 
     def _fold(self, slot: int) -> np.ndarray:
         """Per-(slot seed, slot step) uint32x2 key material."""
@@ -401,9 +415,92 @@ class DecodeServer(_ServerBase):
         return fill
 
     def _submit_with_prefix(self, prompt, max_new_tokens, seed, prefix):
+        rows, p0 = self._prefixes[prefix]
+        if (self._prefill_chunk is not None
+                and len(prompt) > self._prefill_chunk):
+            return self._submit_chunked(prompt, max_new_tokens, seed,
+                                        rows=rows, p0=p0)
+        return self._finish_submit_rows(rows, p0, prompt, max_new_tokens,
+                                        seed)
+
+    # -- chunked prefill -----------------------------------------------------
+
+    def _zero_rows(self):
+        """Fresh empty one-row KV per block, (1, kv, window, hd)."""
         import jax.numpy as jnp
 
-        rows, p0 = self._prefixes[prefix]
+        model, L = self.model, self.window
+        dt = self._params_raw["tok_emb"].dtype
+        kv = model.blocks[0].attn.num_kv_heads
+        hd = model.blocks[0].attn.head_dim
+        return [{"k": jnp.zeros((1, kv, L, hd), dt),
+                 "v": jnp.zeros((1, kv, L, hd), dt)}
+                for _ in model.blocks]
+
+    def _build_chunk_fill(self, C: int):
+        """(params, rows, toks (1, C), p0) -> rows': one prefill chunk —
+        C queries attend over the rows' KV written so far (l <= pos mask)
+        plus in-chunk causality, and scatter their own KV at global
+        positions p0..p0+C-1.  Logits are discarded; only the tail chunk
+        (via the prefix-submit program) selects a token."""
+        import jax
+
+        model, L = self.model, self.window
+
+        @jax.jit
+        def fill(raw_p, rows_raw, toks, p0):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                rows = jax.tree.map(md.Tensor, rows_raw)
+                new_rows, _ = _chunk_step(
+                    model, p, rows, md.Tensor(toks),
+                    md.Tensor(p0).reshape((1,)), L)
+                return jax.tree.map(lambda t: t._data, new_rows,
+                                    is_leaf=_is_tensor)
+
+        return fill
+
+    def _submit_chunked(self, prompt, max_new_tokens, seed, rows=None,
+                        p0: int = 0):
+        """Prefill a long prompt in fixed ``prefill_chunk``-token pieces.
+
+        Exactly TWO steady-state prefill executables regardless of prompt
+        length: the chunk-fill body (shape (1, C) always) and the tail's
+        prefix-submit program (per tail bucket).  Per-call device latency
+        is bounded by one chunk's attention (C x window), so decode steps
+        for other slots can interleave between chunks host-side — the
+        chunked-prefill latency contract of modern serving stacks.
+        Greedy outputs are token-identical to the dense one-shot prefill
+        (the tests' contract).  ``rows``/``p0`` carry an optional cached
+        prefix so prefix reuse and chunking compose."""
+        import jax.numpy as jnp
+
+        C = self._prefill_chunk
+        s0 = len(prompt)
+        if self.window is not None:
+            assert p0 + s0 + max_new_tokens <= self.window
+        n_chunks = -(-s0 // C)
+        tail = s0 - C * (n_chunks - 1)           # in [1, C]
+        if self._chunk_fill is None:
+            self._chunk_fill = self._build_chunk_fill(C)
+        if rows is None:
+            rows = self._zero_rows()
+        for i in range(n_chunks - 1):
+            chunk = np.asarray(prompt[i * C:(i + 1) * C],
+                               np.int64).reshape(1, C)
+            rows = self._chunk_fill(
+                self._params_raw, rows, jnp.asarray(chunk),
+                jnp.asarray(p0 + i * C, jnp.int32))
+        return self._finish_submit_rows(
+            rows, p0 + C * (n_chunks - 1), prompt[C * (n_chunks - 1):],
+            max_new_tokens, seed)
+
+    def _finish_submit_rows(self, rows, p0, prompt, max_new_tokens, seed):
+        """Run ``prompt`` as the final chunk over ``rows`` (prefix KV for
+        positions [0, p0)), swap the combined row into the batched cache,
+        and emit the request's first token."""
+        import jax.numpy as jnp
+
         s0 = len(prompt)
         assert s0 >= 1, "suffix must contain at least one token"
         if self.window is not None:

@@ -352,3 +352,94 @@ def test_prefix_cache_release_and_ssm_unsupported():
     ssrv = SSMDecodeServer(ssm, ssm.init(), max_batch=2)
     with pytest.raises(NotImplementedError):
         ssrv.register_prefix([1, 2, 3])
+
+
+# -- chunked prefill ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("rope", [False, True])
+def test_chunked_prefill_matches_dense(rope):
+    # a long prompt prefilled in 128-token chunks is token-identical to
+    # the one-shot dense prefill (and hence to solo generate_compiled)
+    model = TransformerLM(vocab_size=23, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=512, rope=rope)
+    params = model.init()
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(0, 23, n)) for n in (300, 129, 256, 40)]
+    srv = DecodeServer(model, params, max_batch=4, window=512,
+                       prefill_chunk=128)
+    slots = [srv.submit(p, max_new_tokens=5) for p in prompts]
+    _drain(srv)
+    for p, s in zip(prompts, slots):
+        assert srv.collect(s) == _reference(model, params, p, 5), len(p)
+
+
+def test_chunked_prefill_exact_multiple_and_busy_neighbors():
+    # prompt length an exact chunk multiple (tail == full chunk), with a
+    # neighbor mid-decode: chunk fills must not perturb other slots
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=512)
+    params = model.init()
+    rng = np.random.default_rng(8)
+    p1 = list(rng.integers(0, 17, 5))
+    p2 = list(rng.integers(0, 17, 256))   # exactly 2 chunks
+    srv = DecodeServer(model, params, max_batch=2, window=512,
+                       prefill_chunk=128)
+    s1 = srv.submit(p1, max_new_tokens=8)
+    srv.step(); srv.step()
+    s2 = srv.submit(p2, max_new_tokens=4)  # chunked prefill mid-decode of s1
+    _drain(srv)
+    assert srv.collect(s1) == _reference(model, params, p1, 8)
+    assert srv.collect(s2) == _reference(model, params, p2, 4)
+
+
+def test_chunked_prefill_composes_with_prefix_cache():
+    # registered prefix + long suffix: the suffix itself chunks, starting
+    # from the prefix rows at p0 = len(prefix)
+    model = TransformerLM(vocab_size=29, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=1024)
+    params = model.init()
+    rng = np.random.default_rng(9)
+    sys_prompt = list(rng.integers(0, 29, 70))
+    suffix = list(rng.integers(0, 29, 200))   # > one 128 chunk
+    srv = DecodeServer(model, params, max_batch=2, window=1024,
+                       prefill_chunk=128)
+    pid = srv.register_prefix(sys_prompt)
+    s = srv.submit(suffix, max_new_tokens=6, prefix=pid)
+    _drain(srv)
+    assert srv.collect(s) == _reference(model, params, sys_prompt + suffix, 6)
+    # prefix rows stay valid for a second chunked request
+    s2 = srv.submit(suffix[:150], max_new_tokens=4, prefix=pid)
+    _drain(srv)
+    assert srv.collect(s2) == _reference(model, params,
+                                         sys_prompt + suffix[:150], 4)
+
+
+def test_chunked_prefill_window_sinks_gqa():
+    # sliding-window + sinks + GQA all ride through the chunked path
+    model = TransformerLM(vocab_size=19, dim=32, num_heads=4, num_kv_heads=2,
+                          max_seq_len=512, rope=True, window=128, sinks=4)
+    params = model.init()
+    rng = np.random.default_rng(10)
+    p = list(rng.integers(0, 19, 260))
+    srv = DecodeServer(model, params, max_batch=2, window=512,
+                       prefill_chunk=128)
+    s = srv.submit(p, max_new_tokens=6)
+    _drain(srv)
+    assert srv.collect(s) == _reference(model, params, p, 6)
+
+
+def test_chunked_prefill_validation():
+    model = TransformerLM(vocab_size=11, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    with pytest.raises(AssertionError):
+        DecodeServer(model, params, window=256, prefill_chunk=100)
+    # SSM family refuses chunked prefill loudly
+    from minidiff_tpu.models import MambaLM, SSMDecodeServer
+
+    ssm = MambaLM(vocab_size=11, dim=16, num_layers=1, d_state=4)
+    srv = SSMDecodeServer(ssm, ssm.init(), max_batch=2,
+                          prefill_chunk=128)
+    with pytest.raises(NotImplementedError):
+        srv.submit(list(range(1, 7)) * 25, max_new_tokens=2)  # 150 tokens
