@@ -349,17 +349,32 @@ class NumpyBackend:
     @staticmethod
     def sdpa(q: np.ndarray, k: np.ndarray, v: np.ndarray,
              causal: bool = False, scale=None, mask=None,
-             window=None, sinks: int = 0) -> np.ndarray:
+             window=None, sinks: int = 0, segment_ids=None) -> np.ndarray:
         # composed reference softmax attention (the oracle for the TPU flash
         # kernel behind XlaBackend.sdpa).  ``mask``: optional boolean,
         # broadcastable to (..., Sq, Sk); True = attend.  ``window``/
         # ``sinks``: sliding-window attention band + StreamingLLM sinks
-        # (requires causal), matching kernels/attention.py semantics.
+        # (requires causal).  ``segment_ids``: (S,) or (B, S) int document
+        # ids — attention stays within a document (sequence packing) —
+        # all matching kernels/attention.py semantics.
         if scale is None:
             scale = 1.0 / np.sqrt(q.shape[-1])
         if window is not None and not causal:
             raise ValueError("sliding-window attention requires causal=True")
         s = np.matmul(q, np.swapaxes(k, -1, -2)).astype(np.float64) * scale
+        if segment_ids is not None:
+            if q.shape[-2] != k.shape[-2]:
+                raise ValueError(
+                    "segment_ids requires S_q == S_k (self-attention "
+                    f"packing); got {q.shape[-2]} vs {k.shape[-2]}")
+            sg = np.asarray(segment_ids)
+            if sg.ndim == 1:
+                sg = sg[None, :]
+            sm = sg[:, :, None] == sg[:, None, :]   # (B, Sq, Sk)
+            while sm.ndim < s.ndim:                 # head axis broadcast
+                sm = sm[:, None]
+            m = np.broadcast_to(sm, s.shape)
+            mask = m if mask is None else (np.asarray(mask, bool) & m)
         if causal:
             sq, sk = s.shape[-2], s.shape[-1]
             rows = np.arange(sq)[:, None]

@@ -510,14 +510,25 @@ class TorchBackend:
 
     @staticmethod
     def sdpa(q, k, v, causal: py_bool = False, scale=None, mask=None,
-             window=None, sinks: int = 0):
+             window=None, sinks: int = 0, segment_ids=None):
         q, k, v = _t(q), _t(k), _t(v)
         if scale is None:
             scale = 1.0 / float(q.shape[-1]) ** 0.5
         if window is not None and not causal:
             raise ValueError("sliding-window attention requires causal=True")
         s = torch.matmul(q.double(), k.double().transpose(-1, -2)) * scale
-        if causal:
+        if segment_ids is not None:
+            if q.shape[-2] != k.shape[-2]:
+                raise ValueError(
+                    "segment_ids requires S_q == S_k (self-attention "
+                    f"packing); got {q.shape[-2]} vs {k.shape[-2]}")
+            sg = _t(segment_ids)
+            if sg.ndim == 1:
+                sg = sg[None, :]
+            sm = sg[:, :, None] == sg[:, None, :]   # (B, Sq, Sk)
+            while sm.ndim < s.ndim:                 # head axis broadcast
+                sm = sm[:, None]
+            mask = sm if mask is None else (_t(mask).bool() & sm)
             sq, sk = s.shape[-2], s.shape[-1]
             rows = torch.arange(sq)[:, None]
             cols = torch.arange(sk)[None, :]

@@ -293,13 +293,14 @@ class XlaBackend:
     @staticmethod
     def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
              causal: bool = False, scale=None, mask=None,
-             window=None, sinks: int = 0) -> jax.Array:
+             window=None, sinks: int = 0, segment_ids=None) -> jax.Array:
         # flash-attention Pallas kernel on TPU when eligible; composed jnp
         # softmax attention otherwise (always composed when a mask is given)
         from minidiff_tpu.kernels import attention as _att
 
         return _att.sdpa(q, k, v, causal=causal, scale=scale, mask=mask,
-                         window=window, sinks=sinks)
+                         window=window, sinks=sinks,
+                         segment_ids=segment_ids)
 
     @staticmethod
     def layernorm(x: jax.Array, g: jax.Array, b: jax.Array,

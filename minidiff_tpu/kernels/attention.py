@@ -121,19 +121,30 @@ def _apply_kv_mask(s, mask_ref):
     return jnp.where(mask_ref[0] != 0, s, _NEG_INF)
 
 
+def _apply_seg_mask(s, qseg_ref, kseg_ref):
+    """Sequence-packing mask: query row attends key col only within the
+    same document.  Segment ids ride as (B, 1, S) i32 operands with
+    (1, 1, bq)/(1, 1, bk) blocks — the same lowerable layout as the
+    key-padding row (see ``_apply_kv_mask``); the (bq, 1) == (1, bk)
+    broadcast compare happens in VMEM per tile."""
+    qs = qseg_ref[0][0][:, None]   # (bq, 1)
+    ks = kseg_ref[0][0][None, :]   # (1, bk)
+    return jnp.where(qs == ks, s, _NEG_INF)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
-                scale, causal, bq, bk, has_mask=False,
+                scale, causal, bq, bk, has_mask=False, has_seg=False,
                 window=None, sinks=0):
-    if has_mask:
-        mask_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-    else:
-        mask_ref = None
-        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    refs = list(refs)
+    mask_ref = refs.pop(0) if has_mask else None
+    qseg_ref = refs.pop(0) if has_seg else None
+    kseg_ref = refs.pop(0) if has_seg else None
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -154,6 +165,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
             s = _causal_mask(s, qi, ki, bq, bk, window=window, sinks=sinks)
         if mask_ref is not None:
             s = _apply_kv_mask(s, mask_ref)
+        if qseg_ref is not None:
+            s = _apply_seg_mask(s, qseg_ref, kseg_ref)
 
         m_prev = m_scr[:]  # (bq, LANES), all lanes equal
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
@@ -197,15 +210,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
     jax.jit,
     static_argnames=("scale", "causal", "bq", "bk", "h", "window", "sinks"))
 def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1,
-               window=None, sinks=0):
+               window=None, sinks=0, seg=None):
     """``mask``: optional (B, Sk) int32 key-padding rows (nonzero = attend),
-    shared across the ``h`` heads folded into q's leading B*H axis."""
+    shared across the ``h`` heads folded into q's leading B*H axis.
+    ``seg``: optional (B, S) int32 segment ids (sequence packing) — queries
+    attend keys only within the same id; requires S_q == S_k."""
     bh, s, d = q.shape
     sk = k.shape[1]
     grid = (bh, s // bq, sk // bk)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk,
-        has_mask=mask is not None, window=window, sinks=sinks)
+        has_mask=mask is not None, has_seg=seg is not None,
+        window=window, sinks=sinks)
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
@@ -216,6 +232,14 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1,
         in_specs.append(
             pl.BlockSpec((1, 1, bk), lambda b, i, j: (b // h, 0, j)))
         operands.append(mask[:, None, :])
+    if seg is not None:
+        seg3 = seg[:, None, :]
+        in_specs.append(
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b // h, 0, i)))
+        operands.append(seg3)
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b // h, 0, j)))
+        operands.append(seg3)
     o, lse = pl.pallas_call(
         kernel,
         out_shape=(
@@ -252,7 +276,8 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1,
 
 
 def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
-                    mask_ref=None, window=None, sinks=0):
+                    mask_ref=None, window=None, sinks=0,
+                    qseg_ref=None, kseg_ref=None):
     """Shared blockwise recompute: P from lse, then dS. All f32."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -262,6 +287,8 @@ def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
         s = _causal_mask(s, qi, ki, bq, bk, window=window, sinks=sinks)
     if mask_ref is not None:
         s = _apply_kv_mask(s, mask_ref)
+    if qseg_ref is not None:
+        s = _apply_seg_mask(s, qseg_ref, kseg_ref)
     p = jnp.exp(s - lse[:, :1])  # (bq, bk); masked entries exp(-inf)→0
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -272,13 +299,13 @@ def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
-                    scale, causal, bq, bk, has_mask=False,
+                    scale, causal, bq, bk, has_mask=False, has_seg=False,
                     window=None, sinks=0):
-    if has_mask:
-        mask_ref, dk_ref, dv_ref, dk_scr, dv_scr = refs
-    else:
-        mask_ref = None
-        dk_ref, dv_ref, dk_scr, dv_scr = refs
+    refs = list(refs)
+    mask_ref = refs.pop(0) if has_mask else None
+    qseg_ref = refs.pop(0) if has_seg else None
+    kseg_ref = refs.pop(0) if has_seg else None
+    dk_ref, dv_ref, dk_scr, dv_scr = refs
     ki = pl.program_id(1)
     qi = pl.program_id(2)
 
@@ -296,7 +323,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
         delta = delta_ref[0][0][:, None]
         p, ds = _recompute_p_ds(
             q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
-            mask_ref=mask_ref, window=window, sinks=sinks)
+            mask_ref=mask_ref, window=window, sinks=sinks,
+            qseg_ref=qseg_ref, kseg_ref=kseg_ref)
         # dv += P^T @ dO ; dk += dS^T @ Q  (contract over the q-block rows)
         dv_scr[:] += jax.lax.dot_general(
             p, do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -319,13 +347,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
-                   scale, causal, bq, bk, has_mask=False,
+                   scale, causal, bq, bk, has_mask=False, has_seg=False,
                    window=None, sinks=0):
-    if has_mask:
-        mask_ref, dq_ref, dq_scr = refs
-    else:
-        mask_ref = None
-        dq_ref, dq_scr = refs
+    refs = list(refs)
+    mask_ref = refs.pop(0) if has_mask else None
+    qseg_ref = refs.pop(0) if has_seg else None
+    kseg_ref = refs.pop(0) if has_seg else None
+    dq_ref, dq_scr = refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -342,7 +370,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
         delta = delta_ref[0][0][:, None]
         _, ds = _recompute_p_ds(
             q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
-            mask_ref=mask_ref, window=window, sinks=sinks)
+            mask_ref=mask_ref, window=window, sinks=sinks,
+            qseg_ref=qseg_ref, kseg_ref=kseg_ref)
         dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     if causal:
@@ -361,13 +390,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
     jax.jit,
     static_argnames=("scale", "causal", "bq", "bk", "h", "window", "sinks"))
 def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
-               mask=None, h=1, window=None, sinks=0):
+               mask=None, h=1, window=None, sinks=0, seg=None):
     bh, s, d = q.shape
     sk = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    seg3 = None if seg is None else seg[:, None, :]
 
     kernel_kw = dict(scale=scale, causal=causal, bq=bq, bk=bk,
-                     has_mask=mask is not None, window=window, sinks=sinks)
+                     has_mask=mask is not None, has_seg=seg is not None,
+                     window=window, sinks=sinks)
     dkv_in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),   # q
         pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),   # k
@@ -381,6 +412,13 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
         dkv_in_specs.append(
             pl.BlockSpec((1, 1, bk), lambda b, j, i: (b // h, 0, j)))
         dkv_operands.append(mask[:, None, :])
+    if seg is not None:
+        dkv_in_specs.append(
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b // h, 0, i)))
+        dkv_operands.append(seg3)
+        dkv_in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, j, i: (b // h, 0, j)))
+        dkv_operands.append(seg3)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **kernel_kw),
         out_shape=(
@@ -415,6 +453,13 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
         dq_in_specs.append(
             pl.BlockSpec((1, 1, bk), lambda b, i, j: (b // h, 0, j)))
         dq_operands.append(mask[:, None, :])
+    if seg is not None:
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b // h, 0, i)))
+        dq_operands.append(seg3)
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b // h, 0, j)))
+        dq_operands.append(seg3)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **kernel_kw),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
@@ -434,10 +479,11 @@ def _flash_bwd(q, k, v, o, lse, do, scale, causal, bq=_BQ, bk=_BK,
 # ---------------------------------------------------------------------------
 
 
-def _blocks_for(kind: str, q, k, causal: bool, window=None, sinks=0):
+def _blocks_for(kind: str, q, k, causal: bool, window=None, sinks=0,
+                seg=None):
     """Autotuned (bq, bk) for this shape if known, else static table pick."""
     key = _attn_key(q.shape[0], q.shape[1], k.shape[1], q.shape[2],
-                    q.dtype, causal, window, sinks)
+                    q.dtype, causal, window, sinks, packed=seg is not None)
     dec = _attn_cache.get(key)
     if dec is not None and dec != "composed":
         return dec[0] if kind == "fwd" else dec[1]
@@ -445,59 +491,59 @@ def _blocks_for(kind: str, q, k, causal: bool, window=None, sinks=0):
     return _pick_blocks(table, q.shape[1], k.shape[1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, mask, scale, causal, h=1, window=None, sinks=0):
-    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, mask, seg, scale, causal, h=1, window=None, sinks=0):
+    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks, seg=seg)
     o, _ = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h,
-                      window=window, sinks=sinks)
+                      window=window, sinks=sinks, seg=seg)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, mask, scale, causal, h, window, sinks):
-    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks)
+def _flash_vjp_fwd(q, k, v, mask, seg, scale, causal, h, window, sinks):
+    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks, seg=seg)
     o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h,
-                        window=window, sinks=sinks)
-    return o, (q, k, v, mask, o, lse)
+                        window=window, sinks=sinks, seg=seg)
+    return o, (q, k, v, mask, seg, o, lse)
 
 
 def _flash_vjp_bwd(scale, causal, h, window, sinks, residuals, do):
-    q, k, v, mask, o, lse = residuals
-    bq, bk = _blocks_for("bwd", q, k, causal, window, sinks)
+    q, k, v, mask, seg, o, lse = residuals
+    bq, bk = _blocks_for("bwd", q, k, causal, window, sinks, seg=seg)
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, scale, causal,
                             bq=bq, bk=bk, mask=mask, h=h,
-                            window=window, sinks=sinks)
-    return dq, dk, dv, None
+                            window=window, sinks=sinks, seg=seg)
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_aux(q, k, v, mask, scale, causal, h=1, window=None, sinks=0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_aux(q, k, v, mask, seg, scale, causal, h=1, window=None, sinks=0):
     """Flash forward returning (o, lse) — lse is a non-differentiable aux
     residual the dispatcher stashes for the tape's backward.  Still a
     custom_vjp so jax AD through backend sdpa (e.g. md.scan's jax.vjp over
     a step built from md ops) keeps working; the lse cotangent is ignored."""
-    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks)
+    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks, seg=seg)
     return _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h,
-                      window=window, sinks=sinks)
+                      window=window, sinks=sinks, seg=seg)
 
 
-def _flash_aux_vjp_fwd(q, k, v, mask, scale, causal, h, window, sinks):
-    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks)
+def _flash_aux_vjp_fwd(q, k, v, mask, seg, scale, causal, h, window, sinks):
+    bq, bk = _blocks_for("fwd", q, k, causal, window, sinks, seg=seg)
     o, lse = _flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask, h=h,
-                        window=window, sinks=sinks)
-    return (o, lse), (q, k, v, mask, o, lse)
+                        window=window, sinks=sinks, seg=seg)
+    return (o, lse), (q, k, v, mask, seg, o, lse)
 
 
 def _flash_aux_vjp_bwd(scale, causal, h, window, sinks, residuals, cts):
-    q, k, v, mask, o, lse = residuals
+    q, k, v, mask, seg, o, lse = residuals
     do, _ = cts  # lse is aux: its cotangent is discarded
-    bq, bk = _blocks_for("bwd", q, k, causal, window, sinks)
+    bq, bk = _blocks_for("bwd", q, k, causal, window, sinks, seg=seg)
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, scale, causal,
                             bq=bq, bk=bk, mask=mask, h=h,
-                            window=window, sinks=sinks)
-    return dq, dk, dv, None
+                            window=window, sinks=sinks, seg=seg)
+    return dq, dk, dv, None, None
 
 
 _flash_aux.defvjp(_flash_aux_vjp_fwd, _flash_aux_vjp_bwd)
@@ -512,6 +558,37 @@ def _kv_mask_shape_ok(shape, b, sk) -> bool:
     if nd <= 2:
         return nd == 1 or shape[0] == 1
     return all(d == 1 for d in shape[1:-1]) and shape[0] in (1, b)
+
+
+def _seg_shape_ok(shape, b, s, sk) -> bool:
+    """Shape-only eligibility for flash segment ids: (S,) or (B|1, S) with
+    S_q == S_k (self-attention packing)."""
+    if s != sk:
+        return False
+    nd = len(shape)
+    if nd == 1:
+        return shape[0] == s
+    return nd == 2 and shape[1] == s and shape[0] in (1, b)
+
+
+def _as_seg(seg, b, s):
+    """Normalize segment ids to a (B, S) int32 table."""
+    sg = jnp.asarray(seg, jnp.int32)
+    if sg.ndim == 1:
+        sg = sg[None, :]
+    return jnp.broadcast_to(sg, (b, s))
+
+
+def _pad_seg(seg, sp):
+    """Pad a (B, S) segment table to (B, sp) with -1: padded rows/cols can
+    never match a real document id (ids are required to be >= 0), so padded
+    keys are invisible to real queries with no extra mask; padded queries
+    still see their own diagonal (-1 == -1), keeping the softmax
+    normalizer >= 1 everywhere."""
+    s = seg.shape[1]
+    if sp == s:
+        return seg
+    return jnp.pad(seg, ((0, 0), (0, sp - s)), constant_values=-1)
 
 
 def _as_kv_mask(mask, b, sk):
@@ -544,7 +621,8 @@ _residual_stash: "_OrderedDict" = _OrderedDict()
 _STASH_MAX = 64
 
 
-def _stash_residuals(qf, kf, vf, mask, o, lse, window=None, sinks=0) -> None:
+def _stash_residuals(qf, kf, vf, mask, o, lse, window=None, sinks=0,
+                     seg=None) -> None:
     # only worth pinning when a backward can follow; no_grad forwards
     # (decode, eval) must not accumulate dead activations in the stash
     import minidiff_tpu as _md
@@ -552,23 +630,23 @@ def _stash_residuals(qf, kf, vf, mask, o, lse, window=None, sinks=0) -> None:
     if not _md.grad_allowed_():
         return
     key = (id(qf), id(kf), id(vf), 0 if mask is None else id(mask),
-           window, sinks)
-    _residual_stash[key] = ((qf, kf, vf, mask), o, lse)
+           window, sinks, 0 if seg is None else id(seg))
+    _residual_stash[key] = ((qf, kf, vf, mask, seg), o, lse)
     while len(_residual_stash) > _STASH_MAX:
         _residual_stash.popitem(last=False)
 
 
 def flash_grads(q, k, v, do, scale, causal, mask=None, window=None,
-                sinks=0):
+                sinks=0, segment_ids=None):
     """Fused (dq, dk, dv) for (B, H, S, D) operands via the flash kernels.
 
     Serves the TAPE's sdpa VJPs (ops/definitions.py): the dK/dV and dQ
     backward kernels over the forward's stashed (o, lse) residuals (or one
     flash-forward recompute on a stash miss), instead of the composed
     framework-op grads that materialize the (S, S) score matrix in HBM
-    three ways.  ``mask`` is the raw (pre-normalization) key-padding mask
-    the forward saw, if any.  Caller is responsible for eligibility (use
-    ``flash_grads_decision``).
+    three ways.  ``mask``/``segment_ids`` are the raw (pre-normalization)
+    values the forward saw, if any.  Caller is responsible for eligibility
+    (use ``flash_grads_decision``).
     """
     b, h, s, d = q.shape
     sk = k.shape[2]
@@ -580,23 +658,25 @@ def flash_grads(q, k, v, do, scale, causal, mask=None, window=None,
         kvm,
         b,
     )
+    segp = (None if segment_ids is None
+            else _pad_seg(_as_seg(segment_ids, b, s), qf.shape[1]))
     dof = do.reshape(b * h, s, d).astype(q.dtype)
     if qf.shape[1] != s:
         dof = jnp.pad(dof, ((0, 0), (0, qf.shape[1] - s), (0, 0)))
 
     key = (id(q), id(k), id(v), 0 if mask is None else id(mask),
-           window, sinks)
+           window, sinks, 0 if segment_ids is None else id(segment_ids))
     hit = _residual_stash.pop(key, None)
     if hit is not None:
         _, o, lse = hit  # padded (o, lse) from the padded forward
-        bq, bk = _blocks_for("bwd", qf, kf, causal, window, sinks)
+        bq, bk = _blocks_for("bwd", qf, kf, causal, window, sinks, seg=segp)
         dqf, dkf, dvf = _flash_bwd(
             qf, kf, vf, o, lse, dof, scale, causal, bq=bq, bk=bk,
-            mask=kvmp, h=h, window=window, sinks=sinks,
+            mask=kvmp, h=h, window=window, sinks=sinks, seg=segp,
         )
     else:
         _, vjp_fn = jax.vjp(
-            lambda a, b_, c: _flash(a, b_, c, kvmp, scale, causal, h,
+            lambda a, b_, c: _flash(a, b_, c, kvmp, segp, scale, causal, h,
                                     window, sinks),
             qf, kf, vf,
         )
@@ -609,7 +689,7 @@ def flash_grads(q, k, v, do, scale, causal, mask=None, window=None,
 
 
 def flash_grads_decision(q, k, v, causal, mask=None, window=None,
-                         sinks=0) -> bool:
+                         sinks=0, segment_ids=None) -> bool:
     """True when the fused flash backward should serve this (4-D) shape —
     same eligibility AND same autotuner verdict as the forward dispatch."""
     if not _flash_eligible(q, k, v):
@@ -620,8 +700,12 @@ def flash_grads_decision(q, k, v, causal, mask=None, window=None,
     sk = k.shape[2]
     if mask is not None and not _kv_mask_shape_ok(jnp.shape(mask), b, sk):
         return False
+    if segment_ids is not None and not _seg_shape_ok(
+            jnp.shape(segment_ids), b, s, sk):
+        return False
     return _attn_decision(b * h, s, sk, d, q.dtype, bool(causal),
-                          window=window, sinks=sinks) != "composed"
+                          window=window, sinks=sinks,
+                          packed=segment_ids is not None) != "composed"
 
 
 # ---------------------------------------------------------------------------
@@ -700,7 +784,7 @@ def _normalize_window(window, sinks, sq, sk, causal):
 
 
 def sdpa(q, k, v, causal: bool = False, scale=None, mask=None,
-         window=None, sinks=0):
+         window=None, sinks=0, segment_ids=None):
     """Scaled dot-product attention over (B, H, S, D) (3-D treated as H=1).
 
     Backend entry point for the ``md.sdpa`` op: flash kernel on TPU when
@@ -714,6 +798,11 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None,
     the first N keys visible to every query (StreamingLLM attention sinks).
     Inside the flash kernels the band skips dead blocks, so long-sequence
     windowed attention costs O(S*W) score FLOPs, not O(S^2).
+
+    ``segment_ids`` ((S,) or (B, S) int, ids >= 0) packs multiple documents
+    into one row — queries attend keys only within the same id.  Rides into
+    the flash kernels as two (B, 1, S) id rows (never a dense (S, S) mask
+    in HBM); requires S_q == S_k for the fused path.
     """
     q = jnp.asarray(q)
     k = jnp.asarray(k)
@@ -724,19 +813,29 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None,
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     scale = float(scale)
+    if segment_ids is not None and q.shape[-2] != k.shape[-2]:
+        raise ValueError(
+            "segment_ids requires S_q == S_k (self-attention packing); got "
+            f"{q.shape[-2]} vs {k.shape[-2]}")
     window, sinks = _normalize_window(
         window, sinks, q.shape[-2], k.shape[-2], causal)
     use_flash = False
     kvm = None
+    seg = None
     if _flash_eligible(q, k, v):
         b, h, s, d = q.shape
         sk = k.shape[2]
         if mask is not None:
             kvm = _as_kv_mask(mask, b, sk)
-        if mask is None or kvm is not None:
+        if segment_ids is not None and _seg_shape_ok(
+                jnp.shape(segment_ids), b, s, sk):
+            seg = _as_seg(segment_ids, b, s)
+        if ((mask is None or kvm is not None)
+                and (segment_ids is None or seg is not None)):
             use_flash = _attn_decision(
                 b * h, s, sk, d, q.dtype, bool(causal),
-                window=window, sinks=sinks) != "composed"
+                window=window, sinks=sinks,
+                packed=seg is not None) != "composed"
     if use_flash:
         qf, kf, vf, kvmp = _pad_flash_inputs(
             q.reshape(b * h, s, d),
@@ -745,14 +844,16 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None,
             kvm,
             b,
         )
-        out_f, lse = _flash_aux(qf, kf, vf, kvmp, scale, bool(causal), h,
-                                window, sinks)
+        segp = None if seg is None else _pad_seg(seg, qf.shape[1])
+        out_f, lse = _flash_aux(qf, kf, vf, kvmp, segp, scale, bool(causal),
+                                h, window, sinks)
         # record residuals so the tape's backward (flash_grads) skips the
         # flash-forward recompute; keyed by the UN-reshaped operand ids the
         # grad functions will present (mask keyed by the RAW object — the
         # same unwrapped kwarg value the tape's grad functions unwrap to);
         # the stashed (o, lse) are the PADDED ones the backward kernels eat
-        _stash_residuals(q, k, v, mask, out_f, lse, window, sinks)
+        _stash_residuals(q, k, v, mask, out_f, lse, window, sinks,
+                         seg=segment_ids)
         out = out_f[:, :s].reshape(b, h, s, d)
     else:
         if mask is not None:
@@ -761,6 +862,13 @@ def sdpa(q, k, v, causal: bool = False, scale=None, mask=None,
                 # (B, Sq, Sk): insert the head axis so the batch axis never
                 # right-aligns against H in the (B, H, Sq, Sk) score shape
                 mask = mask[:, None]
+        if segment_ids is not None:
+            sg = jnp.asarray(segment_ids, jnp.int32)
+            if sg.ndim == 1:
+                sg = sg[None, :]
+            # (B, 1, Sq, Sk): same-document visibility, head axis broadcast
+            sm = (sg[:, None, :, None] == sg[:, None, None, :])
+            mask = sm if mask is None else jnp.logical_and(mask, sm)
         out = _composed_sdpa(q, k, v, scale, bool(causal), mask=mask,
                              window=window, sinks=sinks)
     return out[:, 0] if squeeze else out
@@ -780,11 +888,14 @@ import os as _os
 _attn_cache: dict = {}
 
 
-def _attn_key(bh, s, sk, d, dtype, causal, window=None, sinks=0):
-    return (bh, s, sk, d, str(dtype), bool(causal), window, sinks)
+def _attn_key(bh, s, sk, d, dtype, causal, window=None, sinks=0,
+              packed=False):
+    return (bh, s, sk, d, str(dtype), bool(causal), window, sinks,
+            bool(packed))
 
 
-def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
+def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0,
+                   packed=False):
     import numpy as np
 
     from minidiff_tpu.kernels.matmul import (
@@ -806,6 +917,16 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
     qp, kp, vp, kvmp = _pad_flash_inputs(q, k, v, None, bh)
     dop = do if sp == s else jnp.pad(
         do, ((0, 0), (0, sp - s), (0, 0)))
+
+    # sequence packing: race with a representative 4-document segment table
+    # (what the mask costs, not which documents) — real workloads vary, but
+    # the kernel cost depends only on the extra compare per tile
+    seg = segp = None
+    if packed:
+        seg = jnp.minimum(jnp.arange(s, dtype=jnp.int32) // max(s // 4, 1),
+                          3)[None, :]
+        seg = jnp.broadcast_to(seg, (bh, s))
+        segp = _pad_seg(seg, sp)
 
     # Chained racing (see matmul._autotune_eager): a scalar feedback from
     # each rep's output perturbs the next rep's producer scale, forcing
@@ -855,10 +976,13 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
     lat = _measure_pull_latency(q)
 
     # composed baseline: ONE value_and_grad executable = fwd + bwd (charging
-    # an extra standalone forward would bias the race toward flash)
+    # an extra standalone forward would bias the race toward flash).  Under
+    # packing the composed path pays the dense (S, S) segment mask.
+    comp_mask = None if seg is None else (seg[:, :, None] == seg[:, None, :])
     comp_g = jax.value_and_grad(
         lambda q, k, v: jnp.sum(
-            _composed_sdpa(q, k, v, scale, causal, window=window,
+            _composed_sdpa(q, k, v, scale, causal, mask=comp_mask,
+                           window=window,
                            sinks=sinks).astype(jnp.float32)
             * do.astype(jnp.float32)
         ),
@@ -880,7 +1004,7 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
         bq, bk = blocks
         fwd = functools.partial(
             _flash_fwd, scale=scale, causal=causal, bq=bq, bk=bk,
-            mask=kvmp, h=1, window=window, sinks=sinks)
+            mask=kvmp, h=1, window=window, sinks=sinks, seg=segp)
         try:
             t = _race(lambda qx, fwd=fwd: fwd(qx, kp, vp), qp)
         except Exception as e:
@@ -897,7 +1021,7 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
         return "composed"
     o_best, lse = _flash_fwd(
         qp, kp, vp, scale, causal, bq=best_f[0], bk=best_f[1],
-        mask=kvmp, h=1, window=window, sinks=sinks)
+        mask=kvmp, h=1, window=window, sinks=sinks, seg=segp)
 
     # best flash bwd blocks (using the best fwd's residuals)
     best_b, best_b_t = None, float("inf")
@@ -908,7 +1032,7 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
         bq, bk = blocks
         bwd = functools.partial(
             _flash_bwd, scale=scale, causal=causal, bq=bq, bk=bk,
-            mask=kvmp, h=1, window=window, sinks=sinks)
+            mask=kvmp, h=1, window=window, sinks=sinks, seg=segp)
         try:
             t = _race(
                 lambda dox, bwd=bwd: bwd(qp, kp, vp, o_best, lse, dox), dop)
@@ -934,8 +1058,9 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0):
     return (best_f, best_b)
 
 
-def _attn_decision(bh, s, sk, d, dtype, causal, window=None, sinks=0):
-    key = _attn_key(bh, s, sk, d, dtype, causal, window, sinks)
+def _attn_decision(bh, s, sk, d, dtype, causal, window=None, sinks=0,
+                   packed=False):
+    key = _attn_key(bh, s, sk, d, dtype, causal, window, sinks, packed)
     if key not in _attn_cache:
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _attn_cache[key] = (
@@ -943,10 +1068,16 @@ def _attn_decision(bh, s, sk, d, dtype, causal, window=None, sinks=0):
                 _pick_blocks(_BWD_BLOCKS, s, sk),
             )
         else:
+            from minidiff_tpu.kernels import tunecache
             from minidiff_tpu.kernels.matmul import run_outside_trace
 
-            _attn_cache[key] = run_outside_trace(
-                lambda: _attn_autotune(bh, s, sk, d, dtype, causal,
-                                       window=window, sinks=sinks)
-            )
+            hit, dec = tunecache.lookup("attention", key)
+            if not hit:
+                dec = run_outside_trace(
+                    lambda: _attn_autotune(bh, s, sk, d, dtype, causal,
+                                           window=window, sinks=sinks,
+                                           packed=packed)
+                )
+                tunecache.record("attention", key, dec)
+            _attn_cache[key] = dec
     return _attn_cache[key]

@@ -383,18 +383,23 @@ def _ln_decision(r: int, d: int, dtype, eps: float,
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _ln_cache[key] = True
         else:
+            from minidiff_tpu.kernels import tunecache
             from minidiff_tpu.kernels.matmul import (
                 KernelLoweringError,
                 run_outside_trace,
             )
 
-            try:
-                _ln_cache[key] = run_outside_trace(
-                    lambda: _ln_autotune(r, d, dtype, eps, kind))
-            except KernelLoweringError:
-                raise  # strict mode: a compile failure must stay loud
-            except Exception:
-                _ln_cache[key] = False
+            hit, dec = tunecache.lookup("layernorm", key)
+            if not hit:
+                try:
+                    dec = run_outside_trace(
+                        lambda: _ln_autotune(r, d, dtype, eps, kind))
+                except KernelLoweringError:
+                    raise  # strict mode: a compile failure must stay loud
+                except Exception:
+                    dec = False
+                tunecache.record("layernorm", key, dec)
+            _ln_cache[key] = dec
     return _ln_cache[key]
 
 

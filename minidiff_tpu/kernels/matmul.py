@@ -620,7 +620,13 @@ def _choose(variant: str, x: jax.Array, y: jax.Array):
                 if _tiles_fit(variant, t, m, n, k)
             )
         else:
-            _choice_cache[key] = _autotune(
-                variant, tuple(x.shape), tuple(y.shape), x.dtype, y.dtype, m, n, k
-            )
+            from minidiff_tpu.kernels import tunecache
+
+            hit, dec = tunecache.lookup("matmul", key)
+            if not hit:
+                dec = _autotune(
+                    variant, tuple(x.shape), tuple(y.shape), x.dtype,
+                    y.dtype, m, n, k)
+                tunecache.record("matmul", key, dec)
+            _choice_cache[key] = dec
     return _choice_cache[key]

@@ -226,18 +226,23 @@ def _scan_decision(bsz: int, t: int, c: int, dtype) -> bool:
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _scan_cache[key] = True
         else:
+            from minidiff_tpu.kernels import tunecache
             from minidiff_tpu.kernels.matmul import (
                 KernelLoweringError,
                 run_outside_trace,
             )
 
-            try:
-                _scan_cache[key] = run_outside_trace(
-                    lambda: _scan_autotune(bsz, t, c, dtype))
-            except KernelLoweringError:
-                raise  # strict mode: a compile failure must stay loud
-            except Exception:
-                _scan_cache[key] = False
+            hit, dec = tunecache.lookup("scan", key)
+            if not hit:
+                try:
+                    dec = run_outside_trace(
+                        lambda: _scan_autotune(bsz, t, c, dtype))
+                except KernelLoweringError:
+                    raise  # strict mode: a compile failure must stay loud
+                except Exception:
+                    dec = False
+                tunecache.record("scan", key, dec)
+            _scan_cache[key] = dec
     return _scan_cache[key]
 
 

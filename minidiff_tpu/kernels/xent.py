@@ -231,18 +231,23 @@ def _xent_decision(r: int, v: int, dtype) -> bool:
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _xent_cache[key] = True
         else:
+            from minidiff_tpu.kernels import tunecache
             from minidiff_tpu.kernels.matmul import (
                 KernelLoweringError,
                 run_outside_trace,
             )
 
-            try:
-                _xent_cache[key] = run_outside_trace(
-                    lambda: _xent_autotune(r, v, dtype))
-            except KernelLoweringError:
-                raise  # strict mode: a compile failure must stay loud
-            except Exception:
-                _xent_cache[key] = False
+            hit, dec = tunecache.lookup("xent", key)
+            if not hit:
+                try:
+                    dec = run_outside_trace(
+                        lambda: _xent_autotune(r, v, dtype))
+                except KernelLoweringError:
+                    raise  # strict mode: a compile failure must stay loud
+                except Exception:
+                    dec = False
+                tunecache.record("xent", key, dec)
+            _xent_cache[key] = dec
     return _xent_cache[key]
 
 

@@ -75,6 +75,11 @@ from minidiff_tpu.models.distill import (  # noqa: F401
     make_distill_step,
 )
 from minidiff_tpu.models.paged import PagedDecodeServer  # noqa: F401
+from minidiff_tpu.models.pack import (  # noqa: F401
+    make_packed_train_step,
+    pack_documents,
+    segment_positions,
+)
 from minidiff_tpu.models.server import (  # noqa: F401
     DecodeServer,
     SSMDecodeServer,

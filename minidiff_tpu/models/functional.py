@@ -59,8 +59,9 @@ def one_hot(labels: "md.Tensor", num_classes: int) -> "md.Tensor":
     return md.equal(md.expand_dims(labels, -1), classes).astype(md.float32)
 
 
-def cross_entropy(logits: "md.Tensor", labels: "md.Tensor") -> "md.Tensor":
-    """Mean softmax cross-entropy.
+def cross_entropy(logits: "md.Tensor", labels: "md.Tensor",
+                  reduce: bool = True) -> "md.Tensor":
+    """Mean softmax cross-entropy (``reduce=False``: per-example losses).
 
     ``labels`` may be integer class ids — routed through ``md.softmax_xent``
     (the fused one-pass loss kernel on TPU) — or a one-hot / soft-label
@@ -68,8 +69,10 @@ def cross_entropy(logits: "md.Tensor", labels: "md.Tensor") -> "md.Tensor":
     """
     if labels.ndim == logits.ndim:
         logp = log_softmax(logits, axis=-1)
-        return -md.mean(md.sum(labels * logp, axis=-1))
-    return md.mean(md.softmax_xent(logits, labels))
+        per = -md.sum(labels * logp, axis=-1)
+    else:
+        per = md.softmax_xent(logits, labels)
+    return md.mean(per) if reduce else per
 
 
 def apply_rope(x: "md.Tensor", positions: "md.Tensor",

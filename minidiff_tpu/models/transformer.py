@@ -160,7 +160,12 @@ class MultiHeadAttention(Module):
         t = md.broadcast_to(t, (b, kv, g, s, hd))
         return t.reshape((b, self.num_heads, s, hd))
 
-    def apply(self, params, x, positions: "Optional[md.Tensor]" = None):
+    def apply(self, params, x, positions: "Optional[md.Tensor]" = None,
+              segment_ids: "Optional[md.Tensor]" = None):
+        """``segment_ids`` ((B, S) int, -1 = padding): sequence packing —
+        attention stays within a document (rides into the flash kernels as
+        id rows, kernels/attention.py).  With RoPE, pass per-document
+        ``positions`` too (models/pack.py computes both)."""
         b, s, d = x.shape
         q, k, v = self.project_qkv(params, x)
         if self.rope:
@@ -169,7 +174,8 @@ class MultiHeadAttention(Module):
             k = F.apply_rope(k, pos, self.rope_base)
         o = md.sdpa(q, self.expand_kv(k), self.expand_kv(v),
                     causal=self.causal, window=self.window,
-                    sinks=self.sinks)  # (b, h, s, hd)
+                    sinks=self.sinks,
+                    segment_ids=segment_ids)  # (b, h, s, hd)
         o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
         return self.out.apply(params["out"], o)
 
@@ -234,13 +240,18 @@ class TransformerBlock(Module):
             h = F.gelu(h)
         return self.fc2.apply(params["fc2"], h)
 
-    def apply(self, params, x, rng: "Optional[md.Tensor]" = None):
+    def apply(self, params, x, rng: "Optional[md.Tensor]" = None,
+              positions: "Optional[md.Tensor]" = None,
+              segment_ids: "Optional[md.Tensor]" = None):
         """``rng``: a PRNG key Tensor (md.random_key / md.fold_in).  When
         given and ``dropout > 0``, residual-branch dropout is applied with
         masks that are pure functions of the key — so the block stays
         correctly random per step under md.jit.  ``rng=None`` = eval mode
-        (no dropout), matching the functional-RNG convention."""
-        a = self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x))
+        (no dropout), matching the functional-RNG convention.
+        ``positions``/``segment_ids``: sequence packing (see
+        MultiHeadAttention.apply / models/pack.py)."""
+        a = self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x),
+                            positions=positions, segment_ids=segment_ids)
         if self.dropout > 0.0 and rng is not None:
             a = F.dropout(a, self.dropout, key=md.fold_in(rng, 1))
         x = x + a
@@ -317,16 +328,26 @@ class TransformerLM(Module):
                                           dtype=self.dtype)
         return params
 
-    def apply(self, params, tokens, rng: "Optional[md.Tensor]" = None):
+    def apply(self, params, tokens, rng: "Optional[md.Tensor]" = None,
+              segment_ids: "Optional[md.Tensor]" = None,
+              positions: "Optional[md.Tensor]" = None):
         """tokens (B, S) int -> logits (B, S, V).
 
         ``rng``: PRNG key Tensor enabling dropout (train mode); each block
-        folds its index off the key.  ``rng=None`` = eval (no dropout)."""
+        folds its index off the key.  ``rng=None`` = eval (no dropout).
+
+        ``segment_ids``/``positions`` ((B, S) int): sequence packing —
+        multiple documents per row, attention confined to each document,
+        positional encoding (learned or RoPE) restarting per document.
+        Build both with models/pack.py::pack_documents."""
         b, s = tokens.shape
         # embedding lookups are differentiable getitem (VJP = scatter_add)
         x = params["tok_emb"][tokens]
         if not self.rope:
-            x = x + params["pos_emb"][:s]
+            if positions is not None:
+                x = x + params["pos_emb"][positions]   # (B, S, d) gather
+            else:
+                x = x + params["pos_emb"][:s]
         for i, (blk, p) in enumerate(zip(self.blocks, params["blocks"])):
             blk_rng = None if rng is None else md.fold_in(rng, i)
             if self.remat_blocks:
@@ -338,7 +359,8 @@ class TransformerLM(Module):
                 if blk_rng is None:
                     def _seg(x, *leaves, _blk=blk, _treedef=treedef):
                         return _blk.apply(
-                            _jax.tree.unflatten(_treedef, list(leaves)), x)
+                            _jax.tree.unflatten(_treedef, list(leaves)), x,
+                            positions=positions, segment_ids=segment_ids)
 
                     x = md.remat(_seg)(x, *flat)
                 else:
@@ -347,24 +369,38 @@ class TransformerLM(Module):
                     def _seg_r(x, key, *leaves, _blk=blk, _treedef=treedef):
                         return _blk.apply(
                             _jax.tree.unflatten(_treedef, list(leaves)), x,
-                            rng=key)
+                            rng=key, positions=positions,
+                            segment_ids=segment_ids)
 
                     x = md.remat(_seg_r)(x, blk_rng, *flat)
             else:
-                x = blk.apply(p, x, rng=blk_rng)
+                x = blk.apply(p, x, rng=blk_rng, positions=positions,
+                              segment_ids=segment_ids)
         x = self.ln_f.apply(params["ln_f"], x)
         return self.lm_head(params, x)
 
 
-def lm_loss(logits: "md.Tensor", targets: "md.Tensor") -> "md.Tensor":
+def lm_loss(logits: "md.Tensor", targets: "md.Tensor",
+            mask: "Optional[md.Tensor]" = None) -> "md.Tensor":
     """Mean SAME-POSITION cross-entropy over (B, S, V) logits / (B, S) ids.
 
     For next-token training, shift at the call site:
     ``lm_loss(logits[:, :-1], tokens[:, 1:])`` — the synthetic identity task
     in this repo deliberately scores position t against token t.
+
+    ``mask`` ((B, S), nonzero = scored): masked mean for packed/padded
+    batches — positions whose next token crosses a document boundary (or is
+    padding) contribute nothing (models/pack.py emits this mask).
     """
     b, s, v = logits.shape
-    return F.cross_entropy(logits.reshape((b * s, v)), targets.reshape((b * s,)))
+    if mask is None:
+        return F.cross_entropy(logits.reshape((b * s, v)),
+                               targets.reshape((b * s,)))
+    per_tok = F.cross_entropy(logits.reshape((b * s, v)),
+                              targets.reshape((b * s,)), reduce=False)
+    m = mask.reshape((b * s,)).astype(per_tok.dtype)
+    return md.sum(per_tok * m) / md.maximum(md.sum(m),
+                                            md.Tensor(1).astype(per_tok.dtype))
 
 
 def perplexity(model: "TransformerLM", params, tokens: "md.Tensor",

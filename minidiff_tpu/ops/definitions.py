@@ -1188,7 +1188,8 @@ def _sdpa_scale(q: "md.Tensor", scale: "Optional[float]") -> float:
     return float(scale) if scale is not None else 1.0 / float(q.shape[-1]) ** 0.5
 
 
-def _sdpa_probs(q, k, causal, scale, mask=None, window=None, sinks=0):
+def _sdpa_probs(q, k, causal, scale, mask=None, window=None, sinks=0,
+                segment_ids=None):
     s = md.matmul(q, md.swapaxes(k, -1, -2)) * _sdpa_scale(q, scale)
     if causal:
         sq, sk = int(s.shape[-2]), int(s.shape[-1])
@@ -1208,13 +1209,30 @@ def _sdpa_probs(q, k, causal, scale, mask=None, window=None, sinks=0):
         if not isinstance(mask, md.Tensor):
             mask = md.Tensor(mask)
         s = md.where(mask, s, -1e30)
+    if segment_ids is not None:
+        # same-document visibility (sequence packing), matching the
+        # backend forwards: ids compare (Sq, 1) vs (1, Sk) per batch row
+        sg = (segment_ids if isinstance(segment_ids, md.Tensor)
+              else md.Tensor(segment_ids))
+        if len(sg.shape) == 1:
+            sg = md.reshape(sg, (1,) + tuple(sg.shape))
+        b, ss = int(sg.shape[0]), int(sg.shape[1])
+        if len(s.shape) == 4:
+            sm = md.equal(md.reshape(sg, (b, 1, ss, 1)),
+                          md.reshape(sg, (b, 1, 1, ss)))
+        else:
+            sm = md.equal(md.reshape(sg, (b, ss, 1)),
+                          md.reshape(sg, (b, 1, ss)))
+        s = md.where(sm, s, -1e30)
     m = md.max(s, axis=-1, keepdims=True)
     e = md.exp(s - m)
     return e / md.sum(e, axis=-1, keepdims=True)
 
 
-def _sdpa_ds(q, k, v, grad, causal, scale, mask=None, window=None, sinks=0):
-    p = _sdpa_probs(q, k, causal, scale, mask, window=window, sinks=sinks)
+def _sdpa_ds(q, k, v, grad, causal, scale, mask=None, window=None, sinks=0,
+             segment_ids=None):
+    p = _sdpa_probs(q, k, causal, scale, mask, window=window, sinks=sinks,
+                    segment_ids=segment_ids)
     dp = md.matmul_nt(grad, v)
     return p, p * (dp - md.sum(dp * p, axis=-1, keepdims=True))
 
@@ -1242,7 +1260,8 @@ def _sdpa_norm_window(q, k, causal, window, sinks):
     return int(window), int(sinks)
 
 
-def _sdpa_fused(q, k, v, grad, causal, scale, mask, window=None, sinks=0):
+def _sdpa_fused(q, k, v, grad, causal, scale, mask, window=None, sinks=0,
+                segment_ids=None):
     if md.grad_allowed_():
         return None  # higher-order backward must re-tape the composed form
     import minidiff_tpu.backend as _backend
@@ -1252,53 +1271,63 @@ def _sdpa_fused(q, k, v, grad, causal, scale, mask, window=None, sinks=0):
     qr, kr, vr = q._data, k._data, v._data
     if qr.ndim != 4:
         return None
-    # unwrap the mask the same way the forward's backend call did, so its
-    # id matches the residual-stash key recorded at forward time
+    # unwrap the mask/segment ids the same way the forward's backend call
+    # did, so their ids match the residual-stash key recorded at forward
     mraw = mask._data if isinstance(mask, md.Tensor) else mask
+    sraw = (segment_ids._data if isinstance(segment_ids, md.Tensor)
+            else segment_ids)
     key = (id(q), id(k), id(v), id(grad), bool(causal), scale,
-           0 if mraw is None else id(mraw), window, sinks)
+           0 if mraw is None else id(mraw), window, sinks,
+           0 if sraw is None else id(sraw))
     if _sdpa_fused_memo.get("key") != key:
         from minidiff_tpu.kernels import attention as _att
 
         if not _att.flash_grads_decision(qr, kr, vr, causal, mask=mraw,
-                                         window=window, sinks=sinks):
+                                         window=window, sinks=sinks,
+                                         segment_ids=sraw):
             return None
         _sdpa_fused_memo["key"] = key
-        _sdpa_fused_memo["refs"] = (q, k, v, grad, mraw)
+        _sdpa_fused_memo["refs"] = (q, k, v, grad, mraw, sraw)
         _sdpa_fused_memo["val"] = _att.flash_grads(
             qr, kr, vr, grad._data, _sdpa_scale(q, scale), bool(causal),
-            mask=mraw, window=window, sinks=sinks,
+            mask=mraw, window=window, sinks=sinks, segment_ids=sraw,
         )
     return _sdpa_fused_memo["val"]
 
 
 def sdpa_grad_q(q, k, v, grad, causal=False, scale=None, mask=None,
-                window=None, sinks=0):
+                window=None, sinks=0, segment_ids=None):
     window, sinks = _sdpa_norm_window(q, k, causal, window, sinks)
-    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks)
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks,
+                        segment_ids)
     if fused is not None:
         return md.Tensor(fused[0])
-    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask, window, sinks)
+    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask, window, sinks,
+                     segment_ids=segment_ids)
     return md.matmul(ds, k) * _sdpa_scale(q, scale)
 
 
 def sdpa_grad_k(q, k, v, grad, causal=False, scale=None, mask=None,
-                window=None, sinks=0):
+                window=None, sinks=0, segment_ids=None):
     window, sinks = _sdpa_norm_window(q, k, causal, window, sinks)
-    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks)
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks,
+                        segment_ids)
     if fused is not None:
         return md.Tensor(fused[1])
-    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask, window, sinks)
+    _, ds = _sdpa_ds(q, k, v, grad, causal, scale, mask, window, sinks,
+                     segment_ids=segment_ids)
     return md.matmul_tn(ds, q) * _sdpa_scale(q, scale)
 
 
 def sdpa_grad_v(q, k, v, grad, causal=False, scale=None, mask=None,
-                window=None, sinks=0):
+                window=None, sinks=0, segment_ids=None):
     window, sinks = _sdpa_norm_window(q, k, causal, window, sinks)
-    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks)
+    fused = _sdpa_fused(q, k, v, grad, causal, scale, mask, window, sinks,
+                        segment_ids)
     if fused is not None:
         return md.Tensor(fused[2])
-    p = _sdpa_probs(q, k, causal, scale, mask, window, sinks)
+    p = _sdpa_probs(q, k, causal, scale, mask, window, sinks,
+                    segment_ids=segment_ids)
     return md.matmul_tn(p, grad)
 
 

@@ -652,3 +652,206 @@ def test_sdpa_cross_attention_and_mask(backend):
             np.asarray(B.as_numpy(m._data), np.float64),
             np.asarray(B.as_numpy(a._data), np.float64),
             rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: segment_ids (cited semantics: queries attend keys only
+# within the same document id; no reference counterpart — /root/reference
+# has no attention op at all)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sdpa_segment_ids_matches_manual_mask(backend, causal):
+    # packed row == dense same-document mask, on every backend
+    q, k, v = md.randn(2, 2, 6, 8), md.randn(2, 2, 6, 8), md.randn(2, 2, 6, 8)
+    seg = np.asarray([[0, 0, 1, 1, 1, 2], [0, 1, 1, 1, 2, 2]])
+    out = md.sdpa(q, k, v, causal=causal, segment_ids=seg)
+    dense = (seg[:, None, :, None] == seg[:, None, None, :])
+    want = md.sdpa(q, k, v, causal=causal, mask=dense)
+    np.testing.assert_allclose(
+        np.asarray(B.as_numpy(out._data), np.float64),
+        np.asarray(B.as_numpy(want._data), np.float64),
+        rtol=1e-6, atol=1e-7)
+
+
+def test_sdpa_segment_packing_equals_separate_docs(backend):
+    # THE packing contract: two documents packed into one row produce the
+    # same attention outputs as running each document alone
+    rng = np.random.RandomState(3)
+    d1, d2, hd = 3, 4, 8
+    qa = rng.randn(1, 2, d1, hd)
+    qb = rng.randn(1, 2, d2, hd)
+    ka, kb = rng.randn(1, 2, d1, hd), rng.randn(1, 2, d2, hd)
+    va, vb = rng.randn(1, 2, d1, hd), rng.randn(1, 2, d2, hd)
+    scale = 1.0 / np.sqrt(hd)
+    packed = md.sdpa(
+        md.Tensor(np.concatenate([qa, qb], axis=2)),
+        md.Tensor(np.concatenate([ka, kb], axis=2)),
+        md.Tensor(np.concatenate([va, vb], axis=2)),
+        causal=True, scale=scale,
+        segment_ids=np.asarray([0] * d1 + [1] * d2))
+    oa = md.sdpa(md.Tensor(qa), md.Tensor(ka), md.Tensor(va), causal=True,
+                 scale=scale)
+    ob = md.sdpa(md.Tensor(qb), md.Tensor(kb), md.Tensor(vb), causal=True,
+                 scale=scale)
+    got = np.asarray(B.as_numpy(packed._data), np.float64)
+    np.testing.assert_allclose(
+        got[:, :, :d1], np.asarray(B.as_numpy(oa._data), np.float64),
+        rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        got[:, :, d1:], np.asarray(B.as_numpy(ob._data), np.float64),
+        rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sdpa_segment_gradcheck(backend, causal):
+    q, k, v = md.randn(2, 2, 5, 8), md.randn(2, 2, 5, 8), md.randn(2, 2, 5, 8)
+    seg = np.asarray([[0, 0, 0, 1, 1], [0, 1, 1, 2, 2]])
+    manual, auto = compute_grads(
+        q, k, v,
+        func=lambda a, b, c: md.sum(
+            md.sdpa(a, b, c, causal=causal, segment_ids=seg) ** 2) / 2,
+    )
+    for m, a in zip(manual, auto):
+        np.testing.assert_allclose(
+            np.asarray(B.as_numpy(m._data), np.float64),
+            np.asarray(B.as_numpy(a._data), np.float64),
+            rtol=1e-3, atol=1e-4)
+
+
+def test_sdpa_segment_requires_equal_lengths(backend):
+    q, k, v = md.randn(1, 2, 4, 8), md.randn(1, 2, 6, 8), md.randn(1, 2, 6, 8)
+    with pytest.raises(ValueError, match="segment_ids"):
+        md.sdpa(q, k, v, segment_ids=np.zeros(4, np.int32))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_segment_fwd_bwd_match_composed(_interpret, causal):
+    """Segment-id rows ride INTO the flash kernels (never a dense (S, S)
+    mask in HBM): fwd/bwd must match the composed dense-seg-mask path."""
+    from minidiff_tpu.kernels import attention as A
+
+    rng = np.random.RandomState(0)
+    b, h, s, d = 2, 2, 256, 128
+    bh = b * h
+    q = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    do = jnp.asarray(rng.randn(bh, s, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    # uneven documents, different per batch row, crossing block boundaries
+    segn = np.stack([
+        np.concatenate([np.zeros(100), np.ones(60), np.full(96, 2)]),
+        np.concatenate([np.zeros(17), np.ones(239)]),
+    ]).astype(np.int32)
+    seg = jnp.asarray(segn)                       # (B, S)
+    dense = jnp.asarray(
+        np.repeat(segn[:, :, None] == segn[:, None, :], h, axis=0))
+
+    o, lse = A._flash_fwd(q, k, v, scale, causal, bq=128, bk=128,
+                          seg=seg, h=h)
+    ref = A._composed_sdpa(q, k, v, scale, causal, mask=dense)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(q, k, v):
+        return jnp.sum(A._composed_sdpa(q, k, v, scale, causal,
+                                        mask=dense) * do)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq, dk, dv = A._flash_bwd(q, k, v, o, lse, do, scale, causal,
+                              bq=128, bk=128, seg=seg, h=h)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gq),
+                               rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gk),
+                               rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv),
+                               rtol=1e-3, atol=5e-3)
+
+
+def test_tape_backward_fused_with_segment_ids(_interpret, monkeypatch):
+    """The tape's first-order sdpa backward dispatches to the fused flash
+    backward WITH segment ids, and matches the composed grads."""
+    from minidiff_tpu.kernels import attention as A
+    from minidiff_tpu.ops import definitions as D
+
+    md.set_backend("xla")
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: True)
+    s, d = 256, 128
+    monkeypatch.setitem(
+        A._attn_cache,
+        A._attn_key(4, s, s, d, jnp.dtype(jnp.float32), True, packed=True),
+        ((128, 128), (128, 128)),
+    )
+    rng = np.random.RandomState(1)
+    segn = np.stack([
+        np.concatenate([np.zeros(128), np.ones(128)]),
+        np.concatenate([np.zeros(50), np.ones(206)]),
+    ]).astype(np.int32)
+    q = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+    k = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+    v = md.Tensor(rng.randn(2, 2, s, d).astype(np.float32), allow_grad=True)
+
+    calls = {"n": 0}
+    real = A.flash_grads
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        assert kw.get("segment_ids") is not None
+        return real(*a, **kw)
+
+    monkeypatch.setattr(A, "flash_grads", counting)
+    out = md.sdpa(q, k, v, causal=True, segment_ids=segn)
+    md.sum(out).backward()
+    assert calls["n"] == 1, "fused path must run exactly once for all 3 grads"
+    fused = [np.asarray(t.grad.detach()) for t in (q, k, v)]
+
+    monkeypatch.setattr(D, "_sdpa_fused", lambda *a, **kw: None)
+    q2 = q.detach(allow_grad=True)
+    k2 = k.detach(allow_grad=True)
+    v2 = v.detach(allow_grad=True)
+    md.sum(md.sdpa(q2, k2, v2, causal=True, segment_ids=segn)).backward()
+    for g_fused, t in zip(fused, (q2, k2, v2)):
+        np.testing.assert_allclose(
+            g_fused, np.asarray(t.grad.detach()), rtol=1e-3, atol=5e-3)
+
+
+def test_flash_segment_ragged_padding(_interpret, monkeypatch):
+    """Ragged packed rows: S=200 pads to 256 with seg id -1 — padded keys
+    must be invisible to real queries and the sliced outputs must match the
+    composed real-shape path."""
+    from minidiff_tpu.kernels import attention as A
+
+    md.set_backend("xla")
+    monkeypatch.setattr(A, "_pallas_enabled", lambda: True)
+    s, d = 200, 128
+    monkeypatch.setitem(
+        A._attn_cache,
+        A._attn_key(2, s, s, d, jnp.dtype(jnp.float32), True, packed=True),
+        ((128, 128), (128, 128)),
+    )
+    rng = np.random.RandomState(2)
+    segn = np.concatenate([np.zeros(77), np.ones(123)]).astype(np.int32)
+    q = md.Tensor(rng.randn(1, 2, s, d).astype(np.float32), allow_grad=True)
+    k = md.Tensor(rng.randn(1, 2, s, d).astype(np.float32), allow_grad=True)
+    v = md.Tensor(rng.randn(1, 2, s, d).astype(np.float32), allow_grad=True)
+    out = md.sdpa(q, k, v, causal=True, segment_ids=segn)
+    md.sum(out).backward()
+
+    from minidiff_tpu.ops import definitions as D
+
+    monkeypatch.setattr(D, "_sdpa_fused", lambda *a, **kw: None)
+    monkeypatch.setattr(A, "_flash_eligible", lambda *a: False)
+    q2 = q.detach(allow_grad=True)
+    k2 = k.detach(allow_grad=True)
+    v2 = v.detach(allow_grad=True)
+    want = md.sdpa(q2, k2, v2, causal=True, segment_ids=segn)
+    md.sum(want).backward()
+    np.testing.assert_allclose(np.asarray(out.detach()),
+                               np.asarray(want.detach()),
+                               rtol=1e-4, atol=1e-5)
+    for a, b_ in ((q, q2), (k, k2), (v, v2)):
+        np.testing.assert_allclose(np.asarray(a.grad.detach()),
+                                   np.asarray(b_.grad.detach()),
+                                   rtol=1e-3, atol=5e-3)
