@@ -205,7 +205,7 @@ def test_linear_scan(dtype):
 
 
 def _flash_case(dtype, causal, mask=None, window=None, sinks=0,
-                bh=4, s=256, sk=256, d=128, blocks=(128, 128)):
+                bh=4, s=256, sk=256, d=128, blocks=(128, 128), seg=None):
     from minidiff_tpu.kernels import attention as A
 
     q = _rand((bh, s, d), dtype, 1)
@@ -217,8 +217,12 @@ def _flash_case(dtype, causal, mask=None, window=None, sinks=0,
     assert s // bq > 1 and sk // bk > 1
 
     cmask = None if mask is None else mask[:, None, :]  # (bh, 1, sk)
+    if seg is not None:
+        segm = (np.asarray(seg)[:, :, None] == np.asarray(seg)[:, None, :])
+        segm = jnp.asarray(segm)
+        cmask = segm if cmask is None else (cmask.astype(bool) & segm)
     o, lse = A._flash_fwd(q, k, v, scale, causal, bq=bq, bk=bk, mask=mask,
-                          h=1, window=window, sinks=sinks)
+                          h=1, window=window, sinks=sinks, seg=seg)
     ow = A._composed_sdpa(q, k, v, scale, causal, mask=cmask,
                           window=window, sinks=sinks)
     # On hardware BOTH paths run f32 dots as single-pass bf16 MXU products
@@ -233,7 +237,7 @@ def _flash_case(dtype, causal, mask=None, window=None, sinks=0,
 
     dq, dk, dv = A._flash_bwd(q, k, v, o, lse, do, scale, causal,
                               bq=bq, bk=bk, mask=mask, h=1,
-                              window=window, sinks=sinks)
+                              window=window, sinks=sinks, seg=seg)
 
     def composed_loss(q, k, v):
         return jnp.sum(
@@ -264,6 +268,21 @@ def test_flash_attention_kv_mask():
 
 def test_flash_attention_window_sinks():
     _flash_case(jnp.bfloat16, True, window=128, sinks=4)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_attention_segment_ids(dtype, causal):
+    # sequence packing: uneven documents crossing block boundaries,
+    # different per row — the (1, 1, bq)/(1, 1, bk) id-row layout must
+    # lower through Mosaic and match the dense-mask composed path
+    segn = np.stack([
+        np.concatenate([np.zeros(100), np.ones(60), np.full(96, 2)]),
+        np.concatenate([np.zeros(17), np.ones(239)]),
+        np.concatenate([np.zeros(128), np.ones(128)]),
+        np.full(256, 0),
+    ]).astype(np.int32)
+    _flash_case(dtype, causal, seg=jnp.asarray(segn))
 
 
 # ---------------------------------------------------------------------------
