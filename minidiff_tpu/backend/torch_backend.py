@@ -529,6 +529,7 @@ class TorchBackend:
             while sm.ndim < s.ndim:                 # head axis broadcast
                 sm = sm[:, None]
             mask = sm if mask is None else (_t(mask).bool() & sm)
+        if causal:
             sq, sk = s.shape[-2], s.shape[-1]
             rows = torch.arange(sq)[:, None]
             cols = torch.arange(sk)[None, :]

@@ -129,6 +129,36 @@ def test_forward_equivalence_with_numpy_oracle():
                                    err_msg=f"case {i}")
 
 
+def test_sdpa_causal_mask_matrix_matches_numpy_oracle():
+    """Regression for the r3 ship: the causal band must apply with AND
+    without segment_ids, and segment_ids alone must NOT imply causality.
+    Runs the raw backend sdpa for every (causal, segment_ids) combination
+    against the numpy oracle."""
+    rng = np.random.RandomState(11)
+    q = rng.randn(2, 2, 6, 4)
+    k = rng.randn(2, 2, 6, 4)
+    v = rng.randn(2, 2, 6, 4)
+    seg = np.array([[0, 0, 0, 1, 1, 1], [0, 0, 1, 1, 2, 2]])
+    from minidiff_tpu.backend.numpy_backend import NumpyBackend
+    tb = backend.get_backend()
+    for causal in (False, True):
+        for sg in (None, seg):
+            want = NumpyBackend.sdpa(q, k, v, causal=causal, segment_ids=sg)
+            got = backend.as_numpy(tb.sdpa(q, k, v, causal=causal,
+                                           segment_ids=sg))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-12, atol=1e-12,
+                err_msg=f"causal={causal} segment_ids={sg is not None}")
+    # causal must differ from non-causal (the r3 bug made them equal)
+    c = backend.as_numpy(tb.sdpa(q, k, v, causal=True))
+    nc = backend.as_numpy(tb.sdpa(q, k, v, causal=False))
+    assert np.abs(c - nc).max() > 1e-3
+    # windowed causal with sinks, no segment_ids
+    want = NumpyBackend.sdpa(q, k, v, causal=True, window=3, sinks=1)
+    got = backend.as_numpy(tb.sdpa(q, k, v, causal=True, window=3, sinks=1))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
 def test_factories_and_indexing():
     assert tuple(md.ones((2, 3)).shape) == (2, 3)
     assert md.zeros((2,)).dtype == torch.float64
