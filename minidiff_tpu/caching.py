@@ -49,7 +49,8 @@ def backward_indices_for_root(root_node: "md.OpNode") -> tuple:
     tensor's index path (caching.py:31-65).  Cache hit: return memoized paths.
     """
     if not _caching_graph.get():
-        raise ValueError("Not currently preserving graph")
+        raise ValueError(
+            "toposort replay requires an active reuse_graph() context")
 
     graph_hash = root_node.hash
     indices_dict = _cached_graph_indices.get()

@@ -135,7 +135,7 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
             return (
                 arg_slots,
                 tuple(node.grad_functions),
-                dict(node.op_kwargs) if node.propagate_kwargs else {},
+                dict(node.op_kwargs) if node.kwargs_to_grads else {},
             )
 
         root_record = node_record(root_node)
@@ -243,9 +243,9 @@ def try_run(root_node, traversal, seed_grad, retain_grads: bool,
         if cleanup_mode == "destroy":
             tensor.wipe()
             continue
-        if tensor.graph_refs > 0:
+        if tensor.consumer_refs > 0:
             continue
         for child in node.tensor_inputs:
-            child.graph_refs -= 1
+            child.consumer_refs -= 1
         tensor.wipe()
     return True

@@ -429,7 +429,7 @@ def remat(fn: "Callable[..., md.Tensor]") -> "Callable[..., md.Tensor]":
         op = wrapping.create_op_func(
             forward_func=forward,
             grad_funcs=[make_grad(i) for i in range(len(inputs))],
-            propagate_kwargs=True,
+            kwargs_to_grads=True,
             tensor_only=True,
             op_name=f"remat({getattr(fn, '__name__', 'fn')})",
         )

@@ -1018,7 +1018,9 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0,
                 "flash-fwd",
                 (bh, s, sk, d, str(jnp.dtype(dtype)), causal, window, sinks),
                 fwd_err)
-        return "composed"
+        # nothing compiled: a bug/transient signal, not a race verdict —
+        # None tells the call site to run composed WITHOUT persisting
+        return None
     o_best, lse = _flash_fwd(
         qp, kp, vp, scale, causal, bq=best_f[0], bk=best_f[1],
         mask=kvmp, h=1, window=window, sinks=sinks, seg=segp)
@@ -1047,7 +1049,7 @@ def _attn_autotune(bh, s, sk, d, dtype, causal, window=None, sinks=0,
                 "flash-bwd",
                 (bh, s, sk, d, str(jnp.dtype(dtype)), causal, window, sinks),
                 bwd_err)
-        return "composed"
+        return None  # see the fwd case: composed-but-do-not-persist
 
     # flash must beat composed fwd+bwd by >8% — above the chained race's
     # residual tunnel noise (~5%); real flash wins are 1.9-3.2x, so the
@@ -1078,6 +1080,11 @@ def _attn_decision(bh, s, sk, d, dtype, causal, window=None, sinks=0,
                                            window=window, sinks=sinks,
                                            packed=packed)
                 )
-                tunecache.record("attention", key, dec)
+                if dec is None:
+                    # no candidate compiled — composed for this process
+                    # only, so a transient failure is re-tried next time
+                    dec = "composed"
+                else:
+                    tunecache.record("attention", key, dec)
             _attn_cache[key] = dec
     return _attn_cache[key]

@@ -394,11 +394,13 @@ def _ln_decision(r: int, d: int, dtype, eps: float,
                 try:
                     dec = run_outside_trace(
                         lambda: _ln_autotune(r, d, dtype, eps, kind))
+                    tunecache.record("layernorm", key, dec)
                 except KernelLoweringError:
                     raise  # strict mode: a compile failure must stay loud
                 except Exception:
+                    # transient race failure (OOM, tunnel hiccup): fall
+                    # back in-process only — never pin it to disk
                     dec = False
-                tunecache.record("layernorm", key, dec)
             _ln_cache[key] = dec
     return _ln_cache[key]
 

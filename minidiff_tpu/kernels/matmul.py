@@ -343,6 +343,10 @@ _TILE_CANDIDATES = {
 # Below this many FLOPs, kernel-launch overhead dominates: always XLA.
 _MIN_FLOPS = 2 * 1024 * 1024 * 1024
 
+# Autotune verdict meaning "XLA, because no candidate compiled" — valid for
+# this process but never persisted (the failure may be transient).
+_NO_RACE = "no-race"
+
 _XLA_FNS = {
     "nn": lambda a, b: jnp.matmul(a, b),
     "nt": _dot_general_nt,
@@ -564,6 +568,7 @@ def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
     # Warm up (compile) every candidate; drop the ones that fail to compile
     # (e.g. VMEM overflow at large tiles).
     alive = []
+    had_compile_failure = False
     for tiles, fn in candidates:
         try:
             out = fn(carry0)
@@ -574,8 +579,13 @@ def _autotune_eager(variant: str, xs, ys, xdt, ydt, m, n, k):
                 raise
             # _tiles_fit pre-screens VMEM, so a failing candidate is a
             # lowering bug, not an expected overflow
+            had_compile_failure = True
             report_kernel_failure(
                 f"matmul-{variant}", (tiles, m, n, k, str(xdt)), e)
+    if len(alive) == 1 and had_compile_failure:
+        # every Pallas candidate failed to compile: XLA is forced, but this
+        # is a bug/transient signal, not a race verdict — do not persist
+        return _NO_RACE
 
     # Interleaved rounds + per-candidate MIN: robust to tunnel-latency drift
     # (a one-sided additive noise, which min strips and medians don't).
@@ -627,6 +637,9 @@ def _choose(variant: str, x: jax.Array, y: jax.Array):
                 dec = _autotune(
                     variant, tuple(x.shape), tuple(y.shape), x.dtype,
                     y.dtype, m, n, k)
-                tunecache.record("matmul", key, dec)
+                if dec == _NO_RACE:
+                    dec = None  # forced XLA this process; re-race next time
+                else:
+                    tunecache.record("matmul", key, dec)
             _choice_cache[key] = dec
     return _choice_cache[key]

@@ -237,11 +237,12 @@ def _scan_decision(bsz: int, t: int, c: int, dtype) -> bool:
                 try:
                     dec = run_outside_trace(
                         lambda: _scan_autotune(bsz, t, c, dtype))
+                    tunecache.record("scan", key, dec)
                 except KernelLoweringError:
                     raise  # strict mode: a compile failure must stay loud
                 except Exception:
+                    # transient race failure: in-process fallback only
                     dec = False
-                tunecache.record("scan", key, dec)
             _scan_cache[key] = dec
     return _scan_cache[key]
 

@@ -13,12 +13,20 @@ Layout: one JSON file per (family, device kind) under
 set to ``0`` to disable).  Keys are ``repr()`` of the family's key tuple;
 values are the decision verbatim (bools, ``"composed"``, tile tuples —
 JSON lists decode back to tuples).  Files are written atomically
-(tmp+rename) and merged under a process lock; a corrupt or unreadable
-file degrades to an empty cache, never an error.
+(tmp+rename); a corrupt or unreadable file degrades to an empty cache,
+never an error.
 
-Delete the cache directory after kernel changes that could flip a
-decision's validity (the real-TPU test tier in tests_tpu/ catches stale
-decisions that stop lowering: it re-races from scratch).
+Staleness control: each file carries a ``__fingerprint__`` entry — a hash
+of the kernel family's own source file plus a schema version.  Editing a
+kernel module invalidates its persisted decisions automatically on next
+load (a decision that still lowers but is now the SLOW choice would
+otherwise persist silently forever).  ``record`` re-reads and merges the
+on-disk file before the atomic replace, so two concurrent processes
+(parallel bench + training job) do not drop each other's decisions.
+
+Callers must only ``record`` verdicts from races that ran to completion:
+a transient failure (device OOM, tunnel hiccup) maps to an in-memory
+fallback for this process, never to a persisted decision.
 
 No reference counterpart: /root/reference delegates all kernel choice to
 NumPy/CuPy (SURVEY §0).
@@ -26,14 +34,17 @@ NumPy/CuPy (SURVEY §0).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import threading
 
 _LOCK = threading.Lock()
 _LOADED: dict = {}
+_FPRINTS: dict = {}
 
 _MISS = object()
+_SCHEMA = "2"
 
 
 def _root():
@@ -58,6 +69,37 @@ def _file(family: str):
     return os.path.join(root, f"{family}_{_device_tag()}.json")
 
 
+def _fingerprint(family: str) -> str:
+    """Hash of the family's kernel source + schema version.
+
+    A decision keyed under one fingerprint is discarded when the kernel
+    module changes — re-racing is minutes, shipping a stale slow pick is
+    forever.
+    """
+    if family not in _FPRINTS:
+        h = hashlib.sha1(_SCHEMA.encode())
+        src = os.path.join(os.path.dirname(__file__), f"{family}.py")
+        try:
+            with open(src, "rb") as fh:
+                h.update(fh.read())
+        except Exception:  # pragma: no cover - frozen/odd installs
+            h.update(b"no-source")
+        _FPRINTS[family] = h.hexdigest()
+    return _FPRINTS[family]
+
+
+def _read_disk(f: str, family: str) -> dict:
+    """Load the on-disk dict iff its fingerprint matches, else empty."""
+    try:
+        with open(f) as fh:
+            d = json.load(fh)
+    except Exception:
+        return {}
+    if d.get("__fingerprint__") != _fingerprint(family):
+        return {}
+    return {k: v for k, v in d.items() if k != "__fingerprint__"}
+
+
 def _decode(v):
     if isinstance(v, list):
         return tuple(_decode(x) for x in v)
@@ -71,11 +113,7 @@ def lookup(family: str, key) -> tuple:
         return False, None
     with _LOCK:
         if family not in _LOADED:
-            try:
-                with open(f) as fh:
-                    _LOADED[family] = json.load(fh)
-            except Exception:
-                _LOADED[family] = {}
+            _LOADED[family] = _read_disk(f, family)
         raw = _LOADED[family].get(repr(key), _MISS)
     if raw is _MISS:
         return False, None
@@ -83,6 +121,7 @@ def lookup(family: str, key) -> tuple:
 
 
 def record(family: str, key, value) -> None:
+    """Persist one completed-race verdict (merge + atomic replace)."""
     f = _file(family)
     if f is None:
         return
@@ -91,9 +130,16 @@ def record(family: str, key, value) -> None:
         d[repr(key)] = value
         try:
             os.makedirs(os.path.dirname(f), exist_ok=True)
+            # merge entries another process recorded since our load; our
+            # own keys win (we just raced them on this device)
+            merged = _read_disk(f, family)
+            merged.update(d)
+            _LOADED[family] = merged
+            out = dict(merged)
+            out["__fingerprint__"] = _fingerprint(family)
             tmp = f"{f}.{os.getpid()}.tmp"
             with open(tmp, "w") as fh:
-                json.dump(d, fh)
+                json.dump(out, fh)
             os.replace(tmp, f)
         except Exception:
             pass  # persistence is best-effort; the in-memory cache stands

@@ -242,11 +242,12 @@ def _xent_decision(r: int, v: int, dtype) -> bool:
                 try:
                     dec = run_outside_trace(
                         lambda: _xent_autotune(r, v, dtype))
+                    tunecache.record("xent", key, dec)
                 except KernelLoweringError:
                     raise  # strict mode: a compile failure must stay loud
                 except Exception:
+                    # transient race failure: in-process fallback only
                     dec = False
-                tunecache.record("xent", key, dec)
             _xent_cache[key] = dec
     return _xent_cache[key]
 

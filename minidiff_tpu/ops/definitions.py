@@ -380,12 +380,12 @@ flatten = wrapping.create_unary_op_func(
     grad=lambda x, grad, order="C": reshape(grad, x.shape, order=order),
     # without kwarg propagation the VJP un-flattens in C order regardless of
     # the forward's `order` — wrong gradients for order="F"
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 flip = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("flip")),
     grad=lambda x, grad, **kwargs: flip(grad, **kwargs),
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 floor = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("floor")), is_differentiable=False
@@ -403,27 +403,27 @@ logical_not = wrapping.create_unary_op_func(
 max = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("max")),
     grad=max_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 mean = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("mean")),
     grad=mean_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 min = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("min")),
     grad=min_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 prod = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("prod")),
     grad=prod_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 ravel = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("ravel")),
     grad=lambda x, grad, order="C": reshape(grad, x.shape, order=order),
-    propagate_kwargs=True,  # same order-aware VJP requirement as flatten
+    kwargs_to_grads=True,  # same order-aware VJP requirement as flatten
 )
 sign = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("sign")), is_differentiable=False
@@ -442,22 +442,22 @@ squeeze = wrapping.create_unary_op_func(
     # squeeze_grad must know WHICH axes were removed: with an explicit
     # `axis=` the un-propagated default (re-insert every size-1 axis) is
     # wrong whenever other size-1 axes survive the forward
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 std = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("std")),
     grad=std_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 var = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("var")),
     grad=var_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 sum = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("sum")),
     grad=sum_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -475,7 +475,7 @@ def cumsum_grad(x, grad, axis=None, **kwargs):
 cumsum = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("cumsum")),
     grad=cumsum_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -551,7 +551,7 @@ linear_scan = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(_linear_scan_forward),
     grad_x=linear_scan_grad_a,
     grad_y=linear_scan_grad_b,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 linear_scan.__doc__ = """First-order linear recurrence along ``axis``:
 ``y_t = a_t * y_{t-1} + b_t`` with ``y_{-1} = 0``, elementwise over every
@@ -740,7 +740,7 @@ def _einsum_n(n: int):
         _einsum_ops[n] = wrapping.create_op_func(
             forward_func=as_tensor_func(_einsum_forward_raw),
             grad_funcs=[_make_einsum_grad(i, n) for i in range(n)],
-            propagate_kwargs=True,
+            kwargs_to_grads=True,
             op_name="einsum",
             tensor_only=True,
         )
@@ -773,7 +773,7 @@ def einsum(subscripts: str, *operands: "md.Tensor") -> "md.Tensor":
 argsort = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("argsort")),
     is_differentiable=False,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -813,7 +813,7 @@ def sort_grad(x, grad, axis=-1, **kwargs):
 sort = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("sort")),
     grad=sort_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -875,7 +875,7 @@ minimum = wrapping.create_binary_op_func(
 psum = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("psum")),
     grad=lambda x, grad, axis_name: grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -887,7 +887,7 @@ def ppermute_grad(x, grad, axis_name, perm):
 ppermute = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("ppermute")),
     grad=ppermute_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 _axis_size = backend_fn("axis_size")
@@ -902,7 +902,7 @@ def pmean_grad(x, grad, axis_name):
 pmean = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("pmean")),
     grad=pmean_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -917,7 +917,7 @@ def all_gather_grad(x, grad, axis_name, axis=0, tiled=True):
 all_gather = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("all_gather")),
     grad=all_gather_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -932,7 +932,7 @@ def psum_scatter_grad(x, grad, axis_name, scatter_dimension=0, tiled=True):
 psum_scatter = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("psum_scatter")),
     grad=psum_scatter_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -946,7 +946,7 @@ def all_to_all_grad(x, grad, axis_name, split_axis, concat_axis):
 all_to_all = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("all_to_all")),
     grad=all_to_all_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 tan = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("tan")),
@@ -967,7 +967,7 @@ tanh = wrapping.create_unary_op_func(
 transpose = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("transpose")),
     grad=transpose_grad,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 def sqrt(a: "md.Tensor", **kwargs: "Any") -> "md.Tensor":
@@ -1142,7 +1142,7 @@ reshape = wrapping.create_binary_op_func(
     # the inverse of an order-o reshape is the order-o reshape back
     grad_x=lambda x, shape, grad, order="C", **kw:
         reshape(grad, x.shape, order=order),
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 subtract = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("subtract")),
@@ -1154,7 +1154,7 @@ tensordot = wrapping.create_binary_op_func(
     grad_x=tensordot_grad_x,
     grad_y=tensordot_grad_y,
     tensor_only=True,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 true_divide = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("true_divide")),
@@ -1336,7 +1336,7 @@ sdpa = wrapping.create_ternary_op_func(
     grad_x=sdpa_grad_q,
     grad_y=sdpa_grad_k,
     grad_z=sdpa_grad_v,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -1432,7 +1432,7 @@ layernorm = wrapping.create_ternary_op_func(
     grad_x=layernorm_grad_x,
     grad_y=layernorm_grad_g,
     grad_z=layernorm_grad_b,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -1500,7 +1500,7 @@ rmsnorm = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("rmsnorm")),
     grad_x=rmsnorm_grad_x,
     grad_y=rmsnorm_grad_g,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 
 
@@ -1608,7 +1608,7 @@ def concat(tensors: "Sequence[md.Tensor]", axis: int = 0) -> "md.Tensor":
     op = wrapping.create_op_func(
         forward_func=forward,
         grad_funcs=[make_grad(i) for i in range(len(tensors))],
-        propagate_kwargs=True,
+        kwargs_to_grads=True,
         tensor_only=True,
         op_name="concat",
     )
@@ -1639,7 +1639,7 @@ conv2d = wrapping.create_binary_op_func(
     grad_y=lambda x, w, grad, **kw: conv2d_kernel_grad(
         x, grad, x_shape=tuple(x.shape), w_shape=tuple(w.shape), **_conv_kw(kw)
     ),
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
     tensor_only=True,
 )
 
@@ -1652,7 +1652,7 @@ conv2d_input_grad = wrapping.create_binary_op_func(
     grad_y=lambda g, w, h, **kw: conv2d_kernel_grad(
         h, g, x_shape=tuple(h.shape), w_shape=tuple(w.shape), **_conv_kw(kw)
     ),
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
     tensor_only=True,
 )
 
@@ -1665,7 +1665,7 @@ conv2d_kernel_grad = wrapping.create_binary_op_func(
         g, hw, x_shape=tuple(x.shape), **_conv_kw(kw)
     ),
     grad_y=lambda x, g, hw, **kw: conv2d(x, hw, **_conv_kw(kw)),
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
     tensor_only=True,
 )
 
@@ -1676,12 +1676,12 @@ conv2d_kernel_grad = wrapping.create_binary_op_func(
 clip = wrapping.create_ternary_op_func(
     forward_func=as_tensor_func(backend_fn("clip")),
     grad_x=clip_grad_x,
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 swapaxes = wrapping.create_ternary_op_func(
     forward_func=as_tensor_func(backend_fn("swapaxes")),
     grad_x=lambda x, axis1, axis2, grad, **kwargs: swapaxes(grad, axis1, axis2, **kwargs),
-    propagate_kwargs=True,
+    kwargs_to_grads=True,
 )
 where = wrapping.create_ternary_op_func(
     forward_func=as_tensor_func(backend_fn("where")),

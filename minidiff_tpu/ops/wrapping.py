@@ -62,10 +62,12 @@ def _validate_op_inputs(op_inputs: "Sequence[Any]", tensor_only: bool) -> None:
     if tensor_only:
         if all(isinstance(t, md.Tensor) for t in op_inputs):
             return
-        raise ValueError("This function only supports minidiff Tensors")
+        raise ValueError(
+            "every argument to this op must be a minidiff_tpu Tensor")
     if any(isinstance(t, md.Tensor) for t in op_inputs):
         return
-    raise ValueError("This function requires at least one minidiff Tensor argument")
+    raise ValueError(
+        "at least one argument to this op must be a minidiff_tpu Tensor")
 
 
 def as_tensor_func(func: "Callable[..., Any]") -> "Callable[..., md.Tensor]":
@@ -88,7 +90,7 @@ as_minidiff = as_tensor_func
 def create_op_func(
     forward_func: "Callable[..., md.Tensor]",
     grad_funcs: "Sequence[Optional[mdt.GenericOpGrad]]",
-    propagate_kwargs: bool = False,
+    kwargs_to_grads: bool = False,
     is_differentiable: bool = True,
     tensor_only: bool = False,
     op_name: "Optional[str]" = None,
@@ -110,7 +112,7 @@ def create_op_func(
             op_inputs=inputs,
             op_kwargs=kwargs,
             op_name=name,
-            propagate_kwargs=propagate_kwargs,
+            kwargs_to_grads=kwargs_to_grads,
         )
 
     def op(*inputs: Any, **kwargs: Any) -> md.Tensor:
@@ -155,7 +157,7 @@ class TernaryOpClass(OpClass):
 
 def create_stateful_op_func(
     op_class: "Type[OpClass]",
-    propagate_kwargs: bool = False,
+    kwargs_to_grads: bool = False,
     tensor_only: bool = False,
     op_name: "Optional[str]" = None,
 ) -> "Callable[..., md.Tensor]":
@@ -186,12 +188,12 @@ def create_stateful_op_func(
                 op_inputs=op_inputs,
                 op_kwargs=op_kwargs,
                 op_name=op_name,
-                propagate_kwargs=propagate_kwargs,
+                kwargs_to_grads=kwargs_to_grads,
             )
         return output
 
     op.__name__ = op_name
-    op.__qualname__ = f"<stateful op func '{op_name}'>"
+    op.__qualname__ = f"stateful_op[{op_name}]"
     return op
 
 

@@ -49,21 +49,21 @@ class OpNode:
         op_inputs: "Sequence[Any]",
         op_kwargs: "Optional[Dict[str, Any]]" = None,
         op_name: "Optional[str]" = None,
-        propagate_kwargs: bool = False,
+        kwargs_to_grads: bool = False,
     ):
         self.forward_func = forward_func
         self.grad_functions = grad_functions
         self.op_inputs = op_inputs
         self.op_kwargs = op_kwargs or {}
         self.op_name = op_name or ""
-        self.propagate_kwargs = propagate_kwargs
+        self.kwargs_to_grads = kwargs_to_grads
 
         self.tensor_inputs = [x for x in op_inputs if isinstance(x, md.Tensor)]
         for tensor in self.tensor_inputs:
-            tensor.graph_refs += 1
+            tensor.consumer_refs += 1
 
         # Structural-identity metadata, built only under reuse_graph
-        # (topology.py:46-74): _op_ids is a nested tuple hashing the graph
+        # (topology.py:46-74): _struct_sig is a nested tuple hashing the graph
         # *shape* (which forward fns feed which positions), _tensor_graph is a
         # nested list that lets cached toposort orders be replayed by index.
         self._tensor_graph: list = []
@@ -73,7 +73,7 @@ class OpNode:
         # colliding with) incomplete index paths
         self._cache_meta_complete = mdc.currently_caching()
         if not mdc.currently_caching():
-            self._op_ids: tuple = ()
+            self._struct_sig: tuple = ()
             return
 
         ids: list = []
@@ -86,26 +86,26 @@ class OpNode:
             # their _tensor_graph shapes differ and replaying one graph's
             # index paths onto the other crashes or silently reorders
             first = seen_pos.setdefault(id(op_input), pos)
-            # graph_refs at consumption time = number of consumers so far:
+            # consumer_refs at consumption time = number of consumers so far:
             # this encodes CROSS-node sharing (a diamond's second consumer
             # sees refs=2, an unshared twin sees refs=1), which nested ids
             # alone cannot distinguish — confirmed to otherwise collide and
             # replay a traversal that silently drops gradient terms
-            share = op_input.graph_refs
+            share = op_input.consumer_refs
             if op_input.is_leaf:
                 ids.append(("leaf", first, share))
             else:
                 node = op_input.op_node
-                if not node._op_ids or not getattr(
+                if not node._struct_sig or not getattr(
                     node, "_cache_meta_complete", False
                 ):
                     self._cache_meta_complete = False
-                ids.append((first, share, node._op_ids))
+                ids.append((first, share, node._struct_sig))
         # per-call forwards (stateful ops, concat, remat) carry a stable
         # structural token — raw id() would never repeat across instances
         # (cache never hits) and can alias recycled ids after GC
         ids.append(getattr(forward_func, "_structural_id", None) or id(forward_func))
-        self._op_ids = tuple(ids)
+        self._struct_sig = tuple(ids)
 
         seen: set = set()
         for op_input in self.op_inputs:
@@ -118,7 +118,7 @@ class OpNode:
 
     @property
     def hash(self) -> int:
-        return hash(self._op_ids)
+        return hash(self._struct_sig)
 
     def update_grads(self, grad: "md.Tensor", output: "Optional[md.Tensor]" = None) -> None:
         """Chain rule: accumulate VJP(grad) into each tracked input's .grad.
@@ -142,7 +142,7 @@ class OpNode:
             if grad_function is None:
                 continue
 
-            kwargs = self.op_kwargs if self.propagate_kwargs else {}
+            kwargs = self.op_kwargs if self.kwargs_to_grads else {}
             if getattr(grad_function, "needs_output", False):
                 kwargs = dict(kwargs)
                 kwargs["_output"] = output
@@ -201,7 +201,9 @@ class OpNode:
         root_output: "Optional[md.Tensor]" = None,
     ) -> None:
         if cleanup_mode not in ("keep", "prune", "destroy"):
-            raise ValueError(f"Cleanup mode not recognized ({cleanup_mode})")
+            raise ValueError(
+                f"unknown cleanup_mode {cleanup_mode!r}; "
+                "expected 'keep', 'prune', or 'destroy'")
 
         # Higher-order sweeps re-traverse the same subgraph, so intermediates'
         # grads and the graph itself must survive (topology.py:147-150).
@@ -254,10 +256,10 @@ class OpNode:
                         continue
                     # prune: free this subgraph once nothing else references
                     # it
-                    if tensor.graph_refs > 0:
+                    if tensor.consumer_refs > 0:
                         continue
                     for child in node.tensor_inputs:
-                        child.graph_refs -= 1
+                        child.consumer_refs -= 1
                     tensor.wipe()
         finally:
             # fused-backward memos (sdpa/norm/xent/linear_scan) only carry

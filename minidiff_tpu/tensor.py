@@ -2,7 +2,7 @@
 
 API parity with the reference Tensor (minidiff/tensor.py:92-433): wraps a raw
 backend array in ``._data``, carries grad state (``grad``, ``op_node``,
-``graph_refs``, ``allow_grad``), exposes the full operator-overload surface and
+``consumer_refs``, ``allow_grad``), exposes the full operator-overload surface and
 the NumPy array protocol, plus the grad-mode context managers
 (minidiff/tensor.py:19-69) and module-level factory functions
 (minidiff/tensor.py:453-677).
@@ -114,7 +114,7 @@ class Tensor:
     # fixed layout: Tensors are allocated on every op call and every jit
     # dispatch, so skipping the per-instance __dict__ measurably cuts both
     # construction time and allocator pressure on hot serving paths
-    __slots__ = ("_data", "_allow_grad", "graph_refs", "grad", "op_node", "__weakref__")
+    __slots__ = ("_data", "_allow_grad", "consumer_refs", "grad", "op_node", "__weakref__")
 
     def __init__(
         self,
@@ -133,7 +133,7 @@ class Tensor:
 
         self._allow_grad = allow_grad
 
-        self.graph_refs = 0
+        self.consumer_refs = 0
         self.grad: Optional[Tensor] = None
         self.op_node: Optional[OpNode] = None
 
@@ -141,7 +141,7 @@ class Tensor:
     @property
     def graphed(self) -> py_bool:
         """True when part of a tracked graph (minidiff/tensor.py:119-120)."""
-        return self.graph_refs > 0 or self.op_node is not None
+        return self.consumer_refs > 0 or self.op_node is not None
 
     @property
     def is_leaf(self) -> py_bool:

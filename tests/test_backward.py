@@ -35,7 +35,7 @@ def test_backward_without_allow_grad_is_noop(backend):
 
 def test_default_prune_retains_referenced_chain(backend):
     # Verified against the reference: prune only wipes tensors whose
-    # graph_refs hit 0, and the root's node holds a ref on its inputs, so a
+    # consumer_refs hit 0, and the root's node holds a ref on its inputs, so a
     # single-consumer chain survives backward() and can re-run.
     x, a, b, out = build_chain()
     out.backward()

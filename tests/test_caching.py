@@ -167,7 +167,7 @@ def test_compiled_replay_respects_retain_grads_and_cleanup():
     ac, mc = run(True)
     assert (me.grad is None) == (mc.grad is None)
     assert (me.op_node is None) == (mc.op_node is None)
-    assert me.graph_refs == mc.graph_refs
+    assert me.consumer_refs == mc.consumer_refs
     np.testing.assert_allclose(
         np.asarray(backend_mod.as_numpy(ac.grad._data)),
         np.asarray(backend_mod.as_numpy(ae.grad._data)),
