@@ -320,18 +320,20 @@ def _dq4_mm_kernel(x_ref, p_ref, s_ref, o_ref, *, groups, group):
     pi = p_ref[:].astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(pi, 28), 28)
     hi = jnp.right_shift(jnp.left_shift(pi, 24), 28)
-    q = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)  # (K, bn)
-    x = x_ref[:]
-    acc = None
-    for g in range(groups):
-        # per-group dot keeps int4 values exact on the MXU; the f32 scale
-        # applies to the group's partial product
-        part = jnp.dot(x[:, g * group:(g + 1) * group],
-                       q[g * group:(g + 1) * group],
-                       preferred_element_type=jnp.float32)
-        part = part * s_ref[g].astype(jnp.float32)
-        acc = part if acc is None else acc + part
-    o_ref[:] = acc.astype(o_ref.dtype)
+    q = jnp.concatenate([lo, hi], axis=0)                      # (K, bn) int32
+    # Dequantize the whole tile at x's precision (one VPU pass), then run
+    # ONE full-K MXU dot.  The per-group-partial-dot formulation this
+    # replaces issued K/group tiny (m x group) matmuls — Mosaic scheduled
+    # them serially and the kernel lost to plain int8 (BENCH_r03
+    # decode_int4_speedup_vs_int8 = 0.86).  int4 values are exact in bf16;
+    # the f32 group scale rounds once into x.dtype, indistinguishable next
+    # to the 4-bit quantization error and matching the numpy/torch
+    # backends' algebra (backend/numpy_backend.py dequant_matmul4).
+    sw = s_ref[:].reshape(groups, 1, -1)                       # (G, 1, bn)
+    w = (q.reshape(groups, group, q.shape[-1]).astype(jnp.float32)
+         * sw).astype(x_ref.dtype).reshape(q.shape)
+    o_ref[:] = jnp.dot(
+        x_ref[:], w, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "group", "interpret"))
@@ -360,14 +362,18 @@ def _pallas_dequant_matmul4(x: jax.Array, p: jax.Array, s: jax.Array,
 
 def _jnp_dequant_matmul4(x: jax.Array, p: jax.Array,
                          s: jax.Array) -> jax.Array:
+    # same algebra as the Pallas kernel and the numpy/torch backends:
+    # dequantize the weight at (at least) f32, cast to x's dtype, one dot
     k = 2 * p.shape[0]
     groups = s.shape[0]
     group = k // groups
     q = unpack_int4(p)
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    xg = x.reshape(x.shape[:-1] + (groups, group)).astype(acc_dtype)
-    qg = q.reshape(groups, group, q.shape[-1]).astype(acc_dtype)
-    out = jnp.einsum("...gk,gkn,gn->...n", xg, qg, s.astype(acc_dtype))
+    w = (q.reshape(groups, group, q.shape[-1]).astype(acc_dtype)
+         * s.astype(acc_dtype)[:, None, :]).reshape(k, -1).astype(x.dtype)
+    out = jax.lax.dot_general(
+        x, w, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)
     return out.astype(x.dtype)
 
 

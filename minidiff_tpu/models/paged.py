@@ -16,19 +16,26 @@ TPU-idiomatic choices (all static shapes; positions and page ids are data):
 - the page table is a host numpy array mirrored to the device as a tiny
   ``(max_batch, window/128)`` int32 input each call — page allocation is
   host bookkeeping, never a recompile;
-- decode-step KV writes scatter into the pool by a (batch one-hot page,
-  one-hot offset) contraction — the same static-shape idiom as
-  ``speculative._write_rows``, over pool pages instead of cache rows;
-- attention gathers each slot's pages ``pool[table]`` into the logical
-  ``(B, kv, window, hd)`` view and applies the identical mask predicate
-  (``l <= pos`` plus the optional sliding-window band and sink rows) as
-  the dense server, so greedy outputs are token-identical to
-  ``generate_compiled`` (the tests' contract);
-- unallocated table entries point at page 0: reads beyond a slot's length
-  are masked out by the position predicate, and writes only ever target
-  allocated pages, so aliasing is harmless by construction.
+- decode-step KV writes are per-row dynamic-update-slices into the pool
+  (``kernels/paged.append_kv``): O(batch) cache lines written per layer,
+  never a pool rewrite;
+- decode attention runs the fused page-walk kernel
+  (``kernels/paged.paged_attention``): the page table rides as scalar
+  prefetch, each grid step DMAs exactly one allocated page, and pages
+  past a slot's length are elided by index-map clamping — HBM traffic is
+  the pool bytes the slot actually holds;
+- prefix caching and chunked prefill REUSE the dense server's row
+  machinery (the suffix chunk-step over a (1, kv, window, hd) row), then
+  scatter the combined row's pages into the pool — compute reuse is
+  identical to the dense server, only the final residence differs;
+- unallocated table entries point at page 0, which is reserved as the
+  garbage page: reads beyond a slot's length are masked by the position
+  predicate, dead slots' writes land there, and a live slot's pages are
+  never touched.
 
-No reference counterpart: /root/reference has no serving layer.
+Greedy outputs are token-identical to ``generate_compiled`` (the tests'
+contract).  No reference counterpart: /root/reference has no serving
+layer (SURVEY §2.2).
 """
 
 from __future__ import annotations
@@ -39,7 +46,8 @@ import numpy as np
 
 import minidiff_tpu as md
 from minidiff_tpu.models import functional as F
-from minidiff_tpu.models.server import _BUCKET, _ServerBase, _is_tensor
+from minidiff_tpu.models.server import _BUCKET, DecodeServer, _is_tensor
+from minidiff_tpu.models.speculative import _chunk_step
 
 if TYPE_CHECKING:
     from typing import Dict, List, Optional, Sequence
@@ -49,7 +57,7 @@ __all__ = ["PagedDecodeServer", "PAGE"]
 PAGE = 128  # tokens per KV page (= the server's prompt bucket)
 
 
-class PagedDecodeServer(_ServerBase):
+class PagedDecodeServer(DecodeServer):
     """Continuous batching over a paged KV cache (transformer family).
 
     >>> srv = PagedDecodeServer(model, params, max_batch=8, window=2048,
@@ -60,9 +68,11 @@ class PagedDecodeServer(_ServerBase):
     ...     srv.step()
     >>> tokens = srv.collect(slot)              # pages return to the pool
 
-    Same host API and token-identical outputs as ``DecodeServer``; the
-    difference is purely the memory model.  ``num_pages`` defaults to the
-    dense-equivalent capacity (``max_batch * window / 128``).
+    Same host API and token-identical outputs as ``DecodeServer`` —
+    including ``register_prefix`` and ``prefill_chunk`` (inherited row
+    machinery + page scatter); the difference is purely the memory model.
+    ``num_pages`` defaults to the dense-equivalent capacity
+    (``max_batch * window / 128``).
     """
 
     def __init__(self, model, params, max_batch: int = 8,
@@ -119,6 +129,16 @@ class PagedDecodeServer(_ServerBase):
     def free_page_count(self) -> int:
         return len(self._free_pages)
 
+    def kv_bytes(self) -> int:
+        """Device bytes held by the KV pool (all layers, both of k/v)."""
+        import jax.numpy as jnp
+
+        per = 0
+        for pool in self._state["pools"]:
+            per += pool["k"].size * jnp.dtype(pool["k"].dtype).itemsize
+            per += pool["v"].size * jnp.dtype(pool["v"].dtype).itemsize
+        return per
+
     def _take_page(self, slot: int) -> None:
         if not self._free_pages:
             raise RuntimeError(
@@ -145,29 +165,43 @@ class PagedDecodeServer(_ServerBase):
 
     def submit(self, prompt: "Sequence[int]", max_new_tokens: int,
                seed: int = 0, prefix: "Optional[int]" = None) -> int:
-        if prefix is not None:
-            raise NotImplementedError(
-                "PagedDecodeServer does not support prefix caching yet — "
-                "use DecodeServer.register_prefix")
-        # the bucketed prefill writes sb/PAGE whole pages (pad positions
-        # land past the request's length: masked on read, overwritten by
-        # decode before pos reaches them — the dense server's argument)
         s0 = len(prompt)
         assert s0 >= 1
-        sb = -(-s0 // _BUCKET) * _BUCKET
-        if self.window is not None:
-            assert s0 + max_new_tokens <= self.window
-        # reserve a slot id WITHOUT popping (base submit pops): peek
         if not self._free:
             raise RuntimeError(
                 "no free slots — step() until a request finishes and "
                 "collect() it (collect releases the slot)")
+        chunked = (self._prefill_chunk is not None
+                   and s0 > self._prefill_chunk)
+        if prefix is None and not chunked:
+            # direct path: the bucketed prefill writes sb/PAGE whole pages
+            # (pad positions land past the request's length: masked on
+            # read, overwritten by decode before pos reaches them — the
+            # dense server's argument).  Rows paths (prefix/chunked)
+            # allocate in _finish_submit_rows instead.
+            if self.window is not None:
+                assert s0 + max_new_tokens <= self.window
+            sb = -(-s0 // _BUCKET) * _BUCKET
+            slot = self._free[0]  # the slot the base submit will pop
+            self._release_pages(slot)  # stale pages from an uncollected past
+            for _ in range(sb // PAGE):
+                self._take_page(slot)
+            self._sync_table()
+        return super().submit(prompt, max_new_tokens, seed=seed,
+                              prefix=prefix)
+
+    def _finish_submit_rows(self, rows, p0, prompt, max_new_tokens, seed):
+        # rows path (prefix / chunked): the combined row holds KV for
+        # positions [0, p0 + len(prompt)); allocate the pages that cover
+        # them before the scatter program runs
         slot = self._free[0]
-        self._release_pages(slot)  # stale pages from an uncollected past
-        for _ in range(sb // PAGE):
+        self._release_pages(slot)
+        npg = -(-(p0 + len(prompt)) // PAGE)
+        for _ in range(npg):
             self._take_page(slot)
         self._sync_table()
-        return super().submit(prompt, max_new_tokens, seed=seed)
+        return super()._finish_submit_rows(rows, p0, prompt, max_new_tokens,
+                                           seed)
 
     def step(self):
         # allocate the page the incoming token will land in, when decode
@@ -189,58 +223,60 @@ class PagedDecodeServer(_ServerBase):
 
     # -- device programs -----------------------------------------------------
 
-    def _logical_view(self, pool, table):
-        """Gather one layer's pages into the (B, kv, window, hd) logical
-        cache the mask predicate addresses."""
-        b, maxp = table.shape
-        kv, hd = pool.shape[1], pool.shape[3]
-        pages = pool[table]                       # (B, maxp, kv, PAGE, hd)
-        return pages.transpose((0, 2, 1, 3, 4)).reshape(
-            (b, kv, maxp * PAGE, hd))
+    def _scatter_row_pages(self, pool_raw, row, trow, dt):
+        """Write a dense one-row cache (1, kv, L, hd) into the pool page by
+        page: logical page j lands in pool page trow[j] (0 = garbage page
+        for beyond-length pages)."""
+        import jax
+        import jax.numpy as jnp
+
+        z = jnp.zeros((), trow.dtype)
+        out = pool_raw
+        for j in range(self._maxp):
+            blk = row[:, :, j * PAGE:(j + 1) * PAGE, :].astype(dt)
+            out = jax.lax.dynamic_update_slice(out, blk, (trow[j], z, z, z))
+        return out
 
     def _build_prefill(self, sb: int):
         """(params, state, toks (1, sb), length, slot, key) ->
         (state', first token (1,)): one-row parallel prefill whose KV
-        lands in the slot's pre-allocated pool pages."""
+        lands in the slot's pre-allocated pool pages by per-page
+        dynamic-update-slice."""
         import jax
+        import jax.numpy as jnp
 
-        model, L, B, P = self.model, self.window, self.max_batch, \
-            self._num_pages
+        model = self.model
         npg = sb // PAGE
 
         @jax.jit
         def prefill(raw_p, state_raw, toks, length, slot, key):
             with md.no_grad():
                 p = jax.tree.map(md.Tensor, raw_p)
-                pools = jax.tree.map(md.Tensor, state_raw["pools"])
-                table = md.Tensor(state_raw["table"])
+                table = state_raw["table"]
                 toks_t = md.Tensor(toks)
                 pos = md.arange(sb)
                 x = p["tok_emb"][toks_t]
                 if not model.rope:
                     x = x + p["pos_emb"][:sb]
-                trow = table[md.Tensor(slot)]          # (maxp,) page ids
-                w = (md.arange(P).reshape((1, P))
-                     == trow[:npg].reshape((npg, 1))).astype(
-                    md.float32)                        # (npg, P)
-                keep = (1.0 - md.sum(w, axis=0)).reshape((P, 1, 1, 1))
+                trow = jax.lax.dynamic_index_in_dim(
+                    table, slot, axis=0, keepdims=False)   # (maxp,) ids
+                z = jnp.zeros((), trow.dtype)
                 new_pools = []
-                for blk, bp, pool in zip(model.blocks, p["blocks"], pools):
+                for blk, bp, pool in zip(model.blocks, p["blocks"],
+                                         state_raw["pools"]):
                     attn = blk.attn
-                    kvh, hd = attn.num_kv_heads, attn.head_dim
                     q, kk, vv = F.block_qkv(blk, bp, x, pos)
                     dt = pool["k"].dtype
-                    ck = kk.astype(dt).reshape(
-                        (kvh, npg, PAGE, hd)).transpose((1, 0, 2, 3))
-                    cv = vv.astype(dt).reshape(
-                        (kvh, npg, PAGE, hd)).transpose((1, 0, 2, 3))
-                    keep_d = keep.astype(dt)
-                    new_pools.append({
-                        "k": pool["k"] * keep_d
-                        + md.einsum("np,nkld->pkld", w.astype(dt), ck),
-                        "v": pool["v"] * keep_d
-                        + md.einsum("np,nkld->pkld", w.astype(dt), cv),
-                    })
+                    pk, pv = pool["k"], pool["v"]
+                    for j in range(npg):
+                        sl = slice(j * PAGE, (j + 1) * PAGE)
+                        pk = jax.lax.dynamic_update_slice(
+                            pk, kk._data[:, :, sl, :].astype(dt),
+                            (trow[j], z, z, z))
+                        pv = jax.lax.dynamic_update_slice(
+                            pv, vv._data[:, :, sl, :].astype(dt),
+                            (trow[j], z, z, z))
+                    new_pools.append({"k": pk, "v": pv})
                     o = md.sdpa(q, attn.expand_kv(kk), attn.expand_kv(vv),
                                 causal=True, window=model.window,
                                 sinks=model.sinks)
@@ -251,89 +287,95 @@ class PagedDecodeServer(_ServerBase):
                     logits.dtype)
                 lg = md.einsum("j,bjv->bv", last, logits)
                 nxt = self._select(lg, md.Tensor(key).reshape((1, 2)))
-                raw_pools = jax.tree.map(lambda t: t._data, new_pools,
-                                         is_leaf=_is_tensor)
-                return ({"pools": raw_pools, "table": state_raw["table"]},
-                        nxt._data)
+                return ({"pools": new_pools, "table": table}, nxt._data)
+
+        return prefill
+
+    def _build_prefix_submit(self, sb: int):
+        """(params, state, prefix rows, toks (1, sb), p0, s0, slot, key) ->
+        (state', first token (1,)): the suffix runs as ONE chunk step over
+        the dense prefix row (identical compute to the dense server), then
+        the combined row's pages scatter into the slot's pool pages."""
+        import jax
+
+        model, L = self.model, self.window
+
+        @jax.jit
+        def prefill(raw_p, state_raw, rows_raw, toks, p0, s0, slot, key):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                rows = jax.tree.map(md.Tensor, rows_raw)
+                table = state_raw["table"]
+                new_rows, logits = _chunk_step(
+                    model, p, rows, md.Tensor(toks),
+                    md.Tensor(p0).reshape((1,)), L)     # (1, sb, V)
+                trow = jax.lax.dynamic_index_in_dim(
+                    table, slot, axis=0, keepdims=False)
+                new_pools = []
+                for pool, row in zip(state_raw["pools"], new_rows):
+                    dt = pool["k"].dtype
+                    new_pools.append({
+                        "k": self._scatter_row_pages(
+                            pool["k"], row["k"]._data, trow, dt),
+                        "v": self._scatter_row_pages(
+                            pool["v"], row["v"]._data, trow, dt),
+                    })
+                last = (md.arange(sb) == (md.Tensor(s0) - 1)).astype(
+                    logits.dtype)
+                lg = md.einsum("j,bjv->bv", last, logits)
+                nxt = self._select(lg, md.Tensor(key).reshape((1, 2)))
+                return ({"pools": new_pools, "table": table}, nxt._data)
 
         return prefill
 
     def _build_step(self):
         """(params, state, toks (B,), pos (B,), keys) -> (state', next
-        tokens (B,)): write each live token's KV into its slot's current
-        page, then attend over the gathered logical view under the dense
-        server's exact mask predicate."""
+        tokens (B,)): per-row DUS KV append into the slot's current page,
+        then the fused page-walk attention kernel over the pool."""
         import jax
+        import jax.numpy as jnp
 
-        model, L, B, P = self.model, self.window, self.max_batch, \
-            self._num_pages
-        maxp = self._maxp
+        from minidiff_tpu.kernels import paged as PK
+
+        model, B = self.model, self.max_batch
 
         @jax.jit
         def step(raw_p, state_raw, toks, pos, keys):
             with md.no_grad():
                 p = jax.tree.map(md.Tensor, raw_p)
-                pools = jax.tree.map(md.Tensor, state_raw["pools"])
-                table = md.Tensor(state_raw["table"])  # (B, maxp)
-                pos_t = md.Tensor(pos)                 # (B,)
-                pidx = pos_t // PAGE
-                off = pos_t % PAGE
-                sel_m = (md.arange(maxp).reshape((1, maxp))
-                         == pidx.reshape((B, 1)))
-                p_b = md.sum(table * sel_m.astype(table.dtype),
-                             axis=1)                   # (B,) page ids
-                w = md.logical_and(
-                    md.arange(P).reshape((1, P, 1))
-                    == p_b.reshape((B, 1, 1)),
-                    md.arange(PAGE).reshape((1, 1, PAGE))
-                    == off.reshape((B, 1, 1))).astype(
-                    md.float32)                        # (B, P, PAGE)
-                keep = 1.0 - md.sum(w, axis=0)         # (P, PAGE)
+                table = state_raw["table"]             # (B, maxp) int32
+                pos_i = pos.astype(jnp.int32)
+                pidx = jnp.maximum(pos_i, 0) // PAGE
+                off = pos_i % PAGE
+                p_b = jnp.take_along_axis(table, pidx[:, None], axis=1)[:, 0]
 
-                pos2d = pos_t.reshape((B, 1))
+                pos2d = md.Tensor(pos).reshape((B, 1))
                 x = p["tok_emb"][md.Tensor(toks).reshape((B, 1))]
                 if not model.rope:
                     x = x + p["pos_emb"][pos2d]
-                lid = md.arange(L).reshape((1, 1, 1, L))
-                qpos = pos2d.reshape((B, 1, 1, 1))
-                mask = lid <= qpos
-                if getattr(model, "window", None) is not None:
-                    band = lid > (qpos - model.window)
-                    if model.sinks:
-                        band = md.logical_or(band, lid < model.sinks)
-                    mask = md.logical_and(mask, band)
-
                 new_pools = []
-                for blk, bp, pool in zip(model.blocks, p["blocks"], pools):
+                for blk, bp, pool in zip(model.blocks, p["blocks"],
+                                         state_raw["pools"]):
                     attn = blk.attn
                     kvh, hd = attn.num_kv_heads, attn.head_dim
+                    g = attn.num_heads // kvh
                     q, kk, vv = F.block_qkv(blk, bp, x, pos2d)
-                    dt = pool["k"].dtype
-                    keep_d = keep.reshape((P, 1, PAGE, 1)).astype(dt)
-                    w_d = w.astype(dt)
-                    pk = pool["k"] * keep_d + md.einsum(
-                        "bpl,bkd->pkld", w_d,
-                        kk.reshape((B, kvh, hd)).astype(dt))
-                    pv = pool["v"] * keep_d + md.einsum(
-                        "bpl,bkd->pkld", w_d,
-                        vv.reshape((B, kvh, hd)).astype(dt))
+                    pk = PK.append_kv(pool["k"],
+                                      kk._data.reshape(B, kvh, hd), p_b, off)
+                    pv = PK.append_kv(pool["v"],
+                                      vv._data.reshape(B, kvh, hd), p_b, off)
                     new_pools.append({"k": pk, "v": pv})
-                    ck = self._logical_view(pk, table).astype(q.dtype)
-                    cv2 = self._logical_view(pv, table).astype(q.dtype)
-                    scores = md.matmul_nt(
-                        q, attn.expand_kv(ck)) * (1.0 / (hd ** 0.5))
-                    scores = scores.astype(md.float32)
-                    scores = md.where(mask, scores,
-                                      md.full_like(scores, -1e30))
-                    o = md.matmul(F.softmax(scores, axis=-1).astype(q.dtype),
-                                  attn.expand_kv(cv2))
-                    x = F.block_finish(blk, bp, x, o)
+                    q4 = q._data.reshape(B, kvh, g, hd).astype(pk.dtype)
+                    o = PK.paged_attention(
+                        q4, pk, pv, table, pos_i,
+                        window=model.window, sinks=model.sinks)
+                    o_md = md.Tensor(
+                        o.reshape(B, attn.num_heads, 1, hd).astype(
+                            q._data.dtype))
+                    x = F.block_finish(blk, bp, x, o_md)
                 x = model.ln_f.apply(p["ln_f"], x)
                 logits = model.lm_head(p, x)           # (B, 1, V)
                 nxt = self._select(logits[:, 0], md.Tensor(keys))
-                raw_pools = jax.tree.map(lambda t: t._data, new_pools,
-                                         is_leaf=_is_tensor)
-                return ({"pools": raw_pools, "table": state_raw["table"]},
-                        nxt._data)
+                return ({"pools": new_pools, "table": table}, nxt._data)
 
         return step

@@ -185,10 +185,134 @@ def test_paged_matches_dense_server_memory_accounting():
     assert srv.pages_in_use() == 0
 
 
-def test_paged_prefix_unsupported_is_loud():
+def test_paged_prefix_caching_matches_concatenated_prompt():
+    # a registered prefix + suffix submit must equal submitting the full
+    # concatenation, and must hold only the pages covering prefix+suffix
+    model = TransformerLM(vocab_size=19, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=512, rope=True)
+    params = model.init()
+    srv = PagedDecodeServer(model, params, max_batch=2, window=512)
+    rng = np.random.default_rng(9)
+    sys_prompt = list(rng.integers(0, 19, 10))
+    pid = srv.register_prefix(sys_prompt)
+    for n_suffix in (3, 7):
+        suffix = list(rng.integers(0, 19, n_suffix))
+        s = srv.submit(suffix, max_new_tokens=5, prefix=pid)
+        assert srv.pages_in_use() == 1  # 10 + 7 tokens -> one page
+        _drain(srv)
+        got = srv.collect(s)
+        assert got == _reference(model, params, sys_prompt + suffix, 5)
+    assert srv.pages_in_use() == 0
+
+
+def test_paged_chunked_prefill_matches_one_shot():
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=512)
+    params = model.init()
+    srv = PagedDecodeServer(model, params, max_batch=2, window=512,
+                            prefill_chunk=128)
+    rng = np.random.default_rng(10)
+    p = list(rng.integers(0, 17, 300))  # 3 chunks: 128 + 128 + 44
+    s = srv.submit(p, max_new_tokens=6)
+    assert srv.pages_in_use() == -(-300 // PAGE)  # pages cover the prompt
+    _drain(srv)
+    assert srv.collect(s) == _reference(model, params, p, 6)
+    assert srv.pages_in_use() == 0
+
+
+def test_paged_prefix_and_chunked_compose():
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=1024, rope=True)
+    params = model.init()
+    srv = PagedDecodeServer(model, params, max_batch=2, window=1024,
+                            prefill_chunk=128)
+    rng = np.random.default_rng(11)
+    sys_prompt = list(rng.integers(0, 17, 40))
+    pid = srv.register_prefix(sys_prompt)
+    suffix = list(rng.integers(0, 17, 200))  # > prefill_chunk -> chunked
+    s = srv.submit(suffix, max_new_tokens=5, prefix=pid)
+    _drain(srv)
+    assert srv.collect(s) == _reference(model, params, sys_prompt + suffix, 5)
+
+
+def test_paged_prefix_pages_released_and_reused():
     model = TransformerLM(vocab_size=13, dim=16, num_heads=2, num_layers=1,
                           max_seq_len=256)
     params = model.init()
-    srv = PagedDecodeServer(model, params, max_batch=2, window=256)
-    with pytest.raises(NotImplementedError):
-        srv.submit([1, 2], max_new_tokens=2, prefix=0)
+    srv = PagedDecodeServer(model, params, max_batch=2, window=256,
+                            num_pages=3)
+    rng = np.random.default_rng(12)
+    sys_prompt = list(rng.integers(0, 13, 6))
+    pid = srv.register_prefix(sys_prompt)
+    for _ in range(3):  # page churn across reuse must stay exact
+        suffix = list(rng.integers(0, 13, 4))
+        s = srv.submit(suffix, max_new_tokens=4, prefix=pid)
+        _drain(srv)
+        got = srv.collect(s)
+        assert got == _reference(model, params, sys_prompt + suffix, 4)
+        assert srv.pages_in_use() == 0
+
+
+# -- fused page-walk kernel (kernels/paged.py): interpret-mode parity -------
+
+
+def _paged_kernel_case(b, kv, g, maxp, used, dtype, window=None, sinks=0,
+                       seed=0):
+    import jax.numpy as jnp
+
+    from minidiff_tpu.kernels import paged as PK
+
+    rng = np.random.default_rng(seed)
+    hd = 128
+    P = b * maxp + 1
+    q = jnp.asarray(rng.standard_normal((b, kv, g, hd)), dtype)
+    pk = jnp.asarray(rng.standard_normal((P, kv, PAGE, hd)), dtype)
+    pv = jnp.asarray(rng.standard_normal((P, kv, PAGE, hd)), dtype)
+    # each row owns `used[i]` distinct pages; the rest of the table is 0
+    table = np.zeros((b, maxp), np.int32)
+    nxt = 1
+    for i in range(b):
+        for j in range(used[i]):
+            table[i, j] = nxt
+            nxt += 1
+    pos = np.asarray([u * PAGE - rng.integers(1, PAGE) for u in used],
+                     np.int32)
+    table_j = jnp.asarray(table)
+    pos_j = jnp.asarray(pos)
+    scale = 1.0 / hd ** 0.5
+    want = PK.paged_attention_reference(q, pk, pv, table_j, pos_j, scale,
+                                        window, sinks)
+    got = PK._pallas_paged_attention(q, pk, pv, table_j, pos_j, scale,
+                                     window, sinks, interpret=True)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_paged_kernel_interpret_matches_reference_f32():
+    import jax.numpy as jnp
+
+    _paged_kernel_case(b=2, kv=2, g=1, maxp=4, used=[2, 4], dtype=jnp.float32)
+
+
+def test_paged_kernel_interpret_matches_reference_bf16_gqa():
+    import jax.numpy as jnp
+
+    _paged_kernel_case(b=3, kv=2, g=4, maxp=3, used=[1, 3, 2],
+                       dtype=jnp.bfloat16, seed=1)
+
+
+def test_paged_kernel_interpret_window_sinks():
+    import jax.numpy as jnp
+
+    _paged_kernel_case(b=2, kv=1, g=2, maxp=4, used=[4, 3],
+                       dtype=jnp.float32, window=192, sinks=2, seed=2)
+
+
+def test_paged_kernel_single_page_slot():
+    import jax.numpy as jnp
+
+    # pos inside the first page: only page 0 of the table is live
+    _paged_kernel_case(b=2, kv=2, g=2, maxp=4, used=[1, 1],
+                       dtype=jnp.float32, seed=3)
