@@ -282,6 +282,54 @@ def _decode_throughput() -> dict:
     except Exception as e:  # never let a detail row sink the headline
         out["decode_int4_error"] = str(e)[:120]
 
+    # int8 KV at LONG context: the bench-size cache (512) is too small for
+    # the halved KV stream to beat the dequant overhead (BENCH_r03 showed
+    # 0.62x there); at a 4k cache the KV lines dominate the step's HBM
+    # traffic and int8-KV must win.  b4 keeps prefill tractable.
+    try:
+        model_lc = TransformerLM(vocab_size=T.VOCAB, dim=T.DIM,
+                                 num_heads=T.HEADS, num_layers=T.LAYERS,
+                                 max_seq_len=4096, dtype=md.bfloat16)
+        np.random.seed(4)
+        params_lc = model_lc.init()
+        qparams_lc = quantize_for_serving(params_lc)
+        prompt_lc = np.random.RandomState(5).randint(
+            1, T.VOCAB, size=(4, 3968))
+
+        def run_lc_int8(prompt_j):
+            return generate_compiled(model_lc, qparams_lc,
+                                     md.Tensor(prompt_j), 64)._data
+
+        def run_lc_int8kv(prompt_j):
+            return generate_compiled(model_lc, qparams_lc,
+                                     md.Tensor(prompt_j), 64,
+                                     kv_quant=True)._data
+
+        t_kv, t_8, kv_ratio = T.chain_time_pair(
+            run_lc_int8kv, run_lc_int8, prompt_lc, chain=4)
+        out["decode_int8kv_4k_tok_per_s"] = round(4 * 64 / t_kv, 1)
+        out["decode_int8kv_4k_speedup_vs_int8"] = round(kv_ratio, 4)
+    except Exception as e:
+        out["decode_int8kv_4k_error"] = str(e)[:120]
+
+    # paged vs dense continuous-batching step programs + sequence packing
+    try:
+        from benchmarks import serving_bench as SB
+        from minidiff_tpu.models import TransformerLM as _TLM
+
+        model_srv = _TLM(vocab_size=T.VOCAB, dim=T.DIM, num_heads=T.HEADS,
+                         num_layers=T.LAYERS, max_seq_len=1024,
+                         dtype=md.bfloat16)
+        np.random.seed(6)
+        params_srv = model_srv.init()
+        out.update(SB.paged_vs_dense(model_srv, params_srv))
+    except Exception as e:
+        out["paged_bench_error"] = str(e)[:120]
+    try:
+        out.update(SB.packed_vs_padded(model_srv, seq_len=1024))
+    except Exception as e:
+        out["packed_bench_error"] = str(e)[:120]
+
     # Mamba SSM compiled decode (O(1) state, no KV cache) at the same
     # d/L/batch — absolute throughput, not a ratio (different model class)
     try:

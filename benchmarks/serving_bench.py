@@ -1,0 +1,229 @@
+"""Serving + packing throughput rows: paged-vs-dense decode, packed-vs-
+padded training.
+
+Both measurements follow the repo's tunnel-hardened protocol: chained
+data-dependent device work closed by one scalar host pull, paired rounds
+so device-throughput drift cancels in the ratio (see benchmarks/
+decode_twin.py).  The server comparisons time the two STEP PROGRAMS
+back-to-back in one jit chain — per-step host bookkeeping (identical for
+both servers) is excluded, so the ratio isolates the memory model:
+dense per-slot rows vs the paged pool walked by the Pallas page-table
+kernel.
+
+Run: ``python benchmarks/serving_bench.py`` from the repo root (real TPU).
+No reference counterpart: /root/reference has no serving or benchmark
+layer.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHAIN_STEPS = 32       # decode steps fused into one timed program
+REPEATS = 3
+
+
+def _pull(x) -> float:
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def _lat(probe) -> float:
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _pull(probe)
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[2]
+
+
+def _time_fn(fn, args, lat, rounds=REPEATS):
+    out = fn(*args)
+    _pull(out)
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _pull(out)
+        dt = max(time.perf_counter() - t0 - lat, 1e-9)
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _server_chain(srv, steps: int):
+    """One jitted program running ``steps`` sequential decode steps of the
+    server's own step function (tokens feed back; positions advance on
+    device).  The caller must have prefilled slots so that no page
+    boundary is crossed during the chain."""
+    step_fn = srv._step_fn or srv._build_step()
+    srv._step_fn = step_fn
+
+    @jax.jit
+    def chain(raw_p, state, toks, pos, keys):
+        t = toks
+        for i in range(steps):
+            state, t = step_fn(raw_p, state, t,
+                               pos + jnp.asarray(i, pos.dtype), keys)
+        return jnp.sum(t.astype(jnp.float32))
+
+    return chain
+
+
+def paged_vs_dense(model, params, max_batch=8, window=1024,
+                   prompt_len=16, num_pages=None):
+    """tok/s for the dense and paged step programs at equal batch.
+
+    Returns a dict of detail rows.  ``num_pages`` sizes the paged pool
+    (None = dense-equivalent capacity); the oversubscription numbers
+    report the KV bytes each server holds for the same live traffic.
+    """
+    from minidiff_tpu.models.paged import PagedDecodeServer
+    from minidiff_tpu.models.server import DecodeServer
+
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, model.vocab_size, prompt_len))
+               for _ in range(max_batch)]
+
+    def setup(cls, **kw):
+        srv = cls(model, params, max_batch=max_batch, window=window, **kw)
+        for p in prompts:
+            srv.submit(p, max_new_tokens=window - prompt_len - 2)
+        return srv
+
+    dense = setup(DecodeServer)
+    paged = setup(PagedDecodeServer, num_pages=num_pages)
+
+    chains = {}
+    args = {}
+    for name, srv in (("dense", dense), ("paged", paged)):
+        keys = np.zeros((max_batch, 2), np.uint32)
+        chains[name] = _server_chain(srv, CHAIN_STEPS)
+        args[name] = (srv._params_raw, srv._state,
+                      jnp.asarray(srv._tok), jnp.asarray(srv._pos),
+                      jnp.asarray(keys))
+    probe = jnp.ones((8, 128), jnp.float32)
+    lat = _lat(probe)
+    # paired rounds: drift cancels in the ratio
+    pairs = []
+    for _ in range(REPEATS):
+        td = _time_fn(chains["dense"], args["dense"], lat, rounds=1)
+        tp = _time_fn(chains["paged"], args["paged"], lat, rounds=1)
+        pairs.append((td, tp))
+    td = min(p[0] for p in pairs)
+    tp = min(p[1] for p in pairs)
+    ratio = sorted(p[0] / p[1] for p in pairs)[len(pairs) // 2]
+    toks = max_batch * CHAIN_STEPS
+    out = {
+        "paged_tok_per_s": round(toks / tp, 1),
+        "dense_server_tok_per_s": round(toks / td, 1),
+        "paged_vs_dense_server": round(ratio, 4),
+        "dense_kv_bytes": dense_kv_bytes(dense),
+        "paged_kv_bytes": paged.kv_bytes(),
+    }
+    return out
+
+
+def dense_kv_bytes(srv) -> int:
+    per = 0
+    for cache in srv._state:
+        per += cache["k"].size * jnp.dtype(cache["k"].dtype).itemsize
+        per += cache["v"].size * jnp.dtype(cache["v"].dtype).itemsize
+    return per
+
+
+def packed_vs_padded(model, seq_len=1024, batch=8, seed=0):
+    """Train-step tokens/s packed vs one-document-per-row padding.
+
+    Doc lengths ~ round(lognormal(mu=5.4, sigma=0.6)) clipped to
+    [32, seq_len - 128] — a short-document pretraining mix (mean ~250
+    tokens).  Both layouts run the SAME compiled packed-train-step
+    program at (batch, seq_len); only the tables differ, so the ratio is
+    pure scored-tokens-per-second.
+    """
+    import minidiff_tpu as md
+    from minidiff_tpu.models import SGD
+    from minidiff_tpu.models.pack import make_packed_train_step, \
+        pack_documents
+
+    rng = np.random.RandomState(seed)
+
+    def sample_doc():
+        n = int(np.clip(np.round(np.exp(rng.normal(5.4, 0.6))), 32,
+                        seq_len - 128))
+        return list(rng.randint(1, model.vocab_size, n))
+
+    # packed layout: sample docs until `batch` rows are full
+    docs = []
+    while True:
+        docs.append(sample_doc())
+        packed = pack_documents(docs, seq_len)
+        if packed["tokens"].shape[0] > batch:
+            packed = pack_documents(docs[:-1], seq_len)
+            break
+    packed = {k: v[:batch] for k, v in packed.items()}
+
+    # padded layout: one doc per row, same program shapes
+    pad_docs = [sample_doc() for _ in range(batch)]
+    rows = [pack_documents([d], seq_len) for d in pad_docs]
+    padded = {k: np.concatenate([r[k] for r in rows], axis=0)
+              for k in rows[0]}
+
+    step = make_packed_train_step(model, SGD(1e-3))
+    params = model.init()
+
+    probe = jnp.ones((8, 128), jnp.float32)
+
+    def timed(batch_np):
+        bt = {k: md.Tensor(jnp.asarray(v)) for k, v in batch_np.items()}
+        p = params
+        _, _, loss = step(p, None, bt)
+        _pull(loss._data)
+        lat = _lat(probe)
+        best = None
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            q = params
+            for _ in range(4):
+                q, _, loss = step(q, None, bt)
+            _pull(loss._data)
+            dt = max(time.perf_counter() - t0 - lat, 1e-9) / 4
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t_packed = timed(packed)
+    t_padded = timed(padded)
+    tok_packed = int(packed["loss_mask"].sum())
+    tok_padded = int(padded["loss_mask"].sum())
+    return {
+        "packed_tok_per_s": round(tok_packed / t_packed, 1),
+        "padded_tok_per_s": round(tok_padded / t_padded, 1),
+        "packed_vs_padded_speedup": round(
+            (tok_packed / t_packed) / (tok_padded / t_padded), 4),
+        "packed_fill": round(tok_packed / (batch * seq_len), 4),
+        "padded_fill": round(tok_padded / (batch * seq_len), 4),
+        "doc_length_dist": "round(lognormal(5.4, 0.6)) clip [32, S-128]",
+    }
+
+
+def main() -> None:
+    import minidiff_tpu as md
+    from minidiff_tpu.models import TransformerLM
+
+    md.set_backend("xla")
+    model = TransformerLM(vocab_size=512, dim=1024, num_heads=8,
+                          num_layers=4, max_seq_len=1024,
+                          dtype=md.bfloat16)
+    np.random.seed(0)
+    params = model.init()
+    out = {}
+    out.update(paged_vs_dense(model, params))
+    out.update(packed_vs_padded(model))
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
