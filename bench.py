@@ -330,6 +330,14 @@ def _decode_throughput() -> dict:
     except Exception as e:
         out["packed_bench_error"] = str(e)[:120]
 
+    # grouped-dispatch MoE step vs the dense-FFN step at equal FLOPs
+    try:
+        from benchmarks import moe_bench as MB
+
+        out.update(MB.moe_vs_dense())
+    except Exception as e:
+        out["moe_bench_error"] = str(e)[:120]
+
     # Mamba SSM compiled decode (O(1) state, no KV cache) at the same
     # d/L/batch — absolute throughput, not a ratio (different model class)
     try:

@@ -1,0 +1,98 @@
+"""MoE training-step efficiency vs the dense-FFN step at equal FLOPs.
+
+The VERDICT r3 criterion: with the grouped (gather/scatter) dispatch, an
+E=8 MoE step must be within 1.3x of an architecturally matched dense-FFN
+transformer step whose matmul FLOPs are the same (capacity factor 1.0,
+k=1: every token runs one expert FFN of the same width, so activated
+FLOPs match the dense MLP exactly — the difference is pure routing
+overhead).  Same chained-timing protocol as bench.py.
+
+Run: ``python benchmarks/moe_bench.py`` on a TPU.  No reference
+counterpart: /root/reference has no models or benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DIM, HEADS, LAYERS, SEQ, BATCH, VOCAB = 512, 4, 2, 512, 8, 512
+CHAIN, REPEATS = 8, 3
+
+
+def _pull(x) -> float:
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def moe_vs_dense(experts: int = 8) -> dict:
+    import minidiff_tpu as md
+    from minidiff_tpu.models import SGD, TransformerLM, lm_loss, \
+        make_train_step
+    from minidiff_tpu.models.moe import MoETransformerLM, make_moe_loss
+
+    md.set_backend("xla")
+    dense = TransformerLM(vocab_size=VOCAB, dim=DIM, num_heads=HEADS,
+                          num_layers=LAYERS, max_seq_len=SEQ,
+                          dtype=md.bfloat16)
+    moe = MoETransformerLM(vocab_size=VOCAB, dim=DIM, num_heads=HEADS,
+                           num_layers=LAYERS, num_experts=experts,
+                           max_seq_len=SEQ, k=1, capacity_factor=1.0,
+                           dtype=md.bfloat16, grouped=True)
+    np.random.seed(0)
+    dp = dense.init()
+    np.random.seed(0)
+    mp = moe.init()
+    toks = md.Tensor(np.random.RandomState(1).randint(
+        0, VOCAB, size=(BATCH, SEQ)))
+
+    d_step = make_train_step(dense, SGD(1e-3), loss_fn=lm_loss)
+    m_step = make_train_step(moe, SGD(1e-3), loss_fn=make_moe_loss(0.01),
+                             apply_fn=moe.apply_with_aux)
+
+    def run(step, params):
+        p = params
+        for _ in range(CHAIN):
+            p, _, loss = step(p, None, toks, toks)
+        return loss._data
+
+    def timed(step, params, lat):
+        best = None
+        for _ in range(1):
+            t0 = time.perf_counter()
+            _pull(run(step, params))
+            dt = max(time.perf_counter() - t0 - lat, 1e-9) / CHAIN
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # warm both programs, then paired rounds (drift cancels in the ratio)
+    _pull(run(d_step, dp))
+    _pull(run(m_step, mp))
+    probe = jnp.ones((8, 128), jnp.float32)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _pull(probe)
+        ts.append(time.perf_counter() - t0)
+    lat = sorted(ts)[2]
+    pairs = [(timed(d_step, dp, lat), timed(m_step, mp, lat))
+             for _ in range(REPEATS)]
+    t_d = min(p[0] for p in pairs)
+    t_m = min(p[1] for p in pairs)
+    ratio = sorted(pm / pd for pd, pm in pairs)[len(pairs) // 2]
+    return {
+        "moe_e8_step_ms": round(t_m * 1e3, 3),
+        "dense_ffn_step_ms": round(t_d * 1e3, 3),
+        "moe_vs_dense_equal_flops": round(ratio, 4),
+    }
+
+
+def main() -> None:
+    print(json.dumps(moe_vs_dense(), indent=2))
+
+
+if __name__ == "__main__":
+    main()

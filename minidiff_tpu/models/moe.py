@@ -55,7 +55,8 @@ class MoEFeedForward(Module):
 
     def __init__(self, dim: int, num_experts: int, mlp_ratio: int = 4,
                  k: int = 1, capacity_factor: float = 1.25,
-                 dtype: "Optional[Any]" = None):
+                 dtype: "Optional[Any]" = None,
+                 grouped: "Optional[bool]" = None):
         assert 1 <= k <= num_experts, (k, num_experts)
         self.dim = dim
         self.num_experts = num_experts
@@ -63,6 +64,14 @@ class MoEFeedForward(Module):
         self.k = k
         self.capacity_factor = capacity_factor
         self.dtype = dtype
+        # grouped=True routes by gather/scatter tables instead of the
+        # (T, E, C) one-hot tensordots: the dense dispatch costs
+        # 2*T*(E*C)*d ≈ 2.5*k*T^2*d FLOPs — at T ≈ 8d it matches the
+        # experts themselves and grows with E*C regardless of sparsity.
+        # The gather path moves O(k*T*d) bytes and adds zero matmul FLOPs.
+        # None = auto: grouped once the expert count is large enough for
+        # the dense masks to matter; the one-hot path stays as the oracle.
+        self.grouped = bool(num_experts >= 8) if grouped is None else grouped
 
     def init(self) -> "Dict[str, Any]":
         d, e, ff = self.dim, self.num_experts, self.ff
@@ -88,29 +97,21 @@ class MoEFeedForward(Module):
         return max(1, math.ceil(self.capacity_factor * self.k * tokens
                                 / self.num_experts))
 
-    def compute_routing(self, params, xt, c):
-        """Route flat tokens ``xt`` (T, d) into capacity slots.
+    def _routing_choices(self, params, xt, c):
+        """Shared top-k queue arithmetic.
 
-        Returns ``(dispatch, combine, aux)``: the (T, E, C) one-hot dispatch
-        mask (f32, non-diff), the gate-weighted (T, E, C) combine weights
-        (diff through the router softmax), and the Switch load-balancing
-        aux loss.  Shared by the single-device ``apply_with_aux`` and the
-        expert-parallel all_to_all path (parallel/moe_ep.py), which differ
-        only in where the dispatched slots are contracted.
+        Yields per choice ``(idx (T,), oh (T, E) f32, gate (T, 1),
+        pos_tok (T,), keep (T,))`` plus the aux loss via the returned
+        closure; ALL position/queue arithmetic runs in f32 regardless of
+        model dtype (a bf16 cumsum loses integer exactness past 256,
+        silently colliding tokens onto the same capacity slot).
         """
-        t = xt.shape[0]
         e = self.num_experts
         probs = F.softmax(xt @ params["router"]["w"], axis=-1)  # (T, E)
-
-        # ALL position/queue arithmetic runs in f32 regardless of model
-        # dtype: a bf16 cumsum loses integer exactness past 256, silently
-        # colliding tokens onto the same capacity slot (two tokens summed
-        # into one expert row).  Only the gate stays in probs' dtype.
         f32 = md.float32
         remaining = probs
         counts = md.zeros((1, e)).astype(f32)  # tokens queued per expert
-        dispatch = None  # (T, E, C) one-hot, non-diff
-        combine = None   # (T, E, C) gate-weighted, diff through probs
+        choices = []
         first_choice = None
         for _ in range(self.k):
             idx = md.argmax(remaining, axis=-1)
@@ -125,36 +126,118 @@ class MoEFeedForward(Module):
             counts = counts + md.sum(oh, axis=0, keepdims=True)
             pos_tok = md.sum(pos * oh, axis=-1)  # (T,)
             keep = md.less(pos_tok, float(c)).astype(f32)  # capacity drop
-            poh = F.one_hot(pos_tok, c).astype(f32)  # (T, C)
-            disp = (md.expand_dims(oh, -1) * md.expand_dims(poh, 1)
-                    * keep.reshape((t, 1, 1)))  # (T, E, C) in f32
-            dispatch = disp if dispatch is None else dispatch + disp
-            comb = disp.astype(probs.dtype) * gate.reshape((t, 1, 1))
-            combine = comb if combine is None else combine + comb
+            choices.append((idx, oh, gate, pos_tok, keep))
             remaining = remaining * (1 - oh.astype(probs.dtype))
 
         frac = md.mean(first_choice, axis=0).astype(probs.dtype)  # f_e
         mean_prob = md.mean(probs, axis=0)    # P_e
         aux = md.sum(frac * mean_prob) * float(e)
+        return choices, aux
+
+    def compute_routing(self, params, xt, c):
+        """Route flat tokens ``xt`` (T, d) into capacity slots.
+
+        Returns ``(dispatch, combine, aux)``: the (T, E, C) one-hot dispatch
+        mask (f32, non-diff), the gate-weighted (T, E, C) combine weights
+        (diff through the router softmax), and the Switch load-balancing
+        aux loss.  Shared by the single-device ``apply_with_aux`` and the
+        expert-parallel all_to_all path (parallel/moe_ep.py), which differ
+        only in where the dispatched slots are contracted.
+        """
+        t = xt.shape[0]
+        choices, aux = self._routing_choices(params, xt, c)
+        dispatch = None  # (T, E, C) one-hot, non-diff
+        combine = None   # (T, E, C) gate-weighted, diff through probs
+        for _, oh, gate, pos_tok, keep in choices:
+            poh = F.one_hot(pos_tok, c).astype(md.float32)  # (T, C)
+            disp = (md.expand_dims(oh, -1) * md.expand_dims(poh, 1)
+                    * keep.reshape((t, 1, 1)))  # (T, E, C) in f32
+            dispatch = disp if dispatch is None else dispatch + disp
+            comb = disp.astype(gate.dtype) * gate.reshape((t, 1, 1))
+            combine = comb if combine is None else combine + comb
         return dispatch, combine, aux
+
+    def compute_routing_sparse(self, params, xt, c):
+        """Route into SLOT IDS instead of one-hot masks (the grouped path).
+
+        Returns ``(choices, aux)`` with one ``(slot (T,) int, gatekeep
+        (T, 1))`` pair per top-k choice: ``slot = expert * C + queue_pos``
+        for kept tokens, or the dump slot ``E * C`` for capacity-dropped
+        ones; ``gatekeep`` is the router gate zeroed for drops.  Slots of
+        kept tokens are globally unique across choices (the queue counts
+        carry over), which is what makes the gather/scatter dispatch
+        exact.
+        """
+        choices, aux = self._routing_choices(params, xt, c)
+        e = self.num_experts
+        out = []
+        for idx, _, gate, pos_tok, keep in choices:
+            slot = (idx.astype(md.float32) * float(c) + pos_tok)
+            slot = md.where(keep > 0.5, slot, md.full_like(slot,
+                                                           float(e * c)))
+            out.append((slot.astype(md.int32),
+                        gate * keep.reshape(gate.shape).astype(gate.dtype)))
+        return out, aux
+
+    def _experts_forward(self, params, expert_in):
+        """Stacked expert FFNs: (E, C, d) -> (E, C, d), one batched matmul
+        pair on the MXU."""
+        h = F.gelu(md.matmul(expert_in, params["experts"]["w1"])
+                   + md.expand_dims(params["experts"]["b1"], 1))
+        return (md.matmul(h, params["experts"]["w2"])
+                + md.expand_dims(params["experts"]["b2"], 1))
 
     def apply_with_aux(self, params, x) -> "Tuple[md.Tensor, md.Tensor]":
         b, s, d = x.shape
         t = b * s
         c = self.capacity(t)
         xt = x.reshape((t, d))
+        if self.grouped:
+            y, aux = self._apply_grouped(params, xt, c)
+            return y.reshape((b, s, d)), aux
         dispatch, combine, aux = self.compute_routing(params, xt, c)
 
         # dispatch: (T, E, C) x (T, d) -> (E, C, d); one MXU contraction
         dispatch = dispatch.astype(xt.dtype)
         expert_in = md.tensordot(dispatch, xt, axes=([0], [0]))
-        h = F.gelu(md.matmul(expert_in, params["experts"]["w1"])
-                   + md.expand_dims(params["experts"]["b1"], 1))
-        out = (md.matmul(h, params["experts"]["w2"])
-               + md.expand_dims(params["experts"]["b2"], 1))  # (E, C, d)
+        out = self._experts_forward(params, expert_in)  # (E, C, d)
         # combine: (T, E, C) x (E, C, d) -> (T, d)
         y = md.tensordot(combine, out, axes=([1, 2], [0, 1]))
         return y.reshape((b, s, d)), aux
+
+    def _apply_grouped(self, params, xt, c):
+        """Gather/scatter dispatch: tables instead of one-hot contractions.
+
+        A slot-to-token table sends each capacity slot to the row that
+        fills it (or to an appended zero row for empty slots), so the
+        expert input is ONE differentiable row gather; the combine side is
+        one gather of expert outputs per top-k choice, weighted by the
+        gate.  Bit-identical to the one-hot path (each kept slot is hit by
+        exactly one token) at O(k*T*d) moved bytes and zero dispatch
+        FLOPs — vs the dense masks' 2.5*k*T^2*d.  The int tables are
+        non-differentiable; gradients flow through the gathers (scatter-add
+        transpose) and the gate exactly as in the dense formulation.
+        """
+        t, d = xt.shape
+        e = self.num_experts
+        choices, aux = self.compute_routing_sparse(params, xt, c)
+        # token-for-slot table: full(T) marks empty -> appended zero row
+        tfs = md.full((e * c + 1,), float(t)).astype(md.int32)
+        tok_ids = md.arange(t).astype(md.int32)
+        for slot, _ in choices:
+            # each kept slot is hit once; dump-slot collisions are sliced
+            # off below
+            md.index_add(tfs, slot, tok_ids - t)
+        xz = md.concat([xt, md.zeros((1, d)).astype(xt.dtype)], axis=0)
+        expert_in = xz[tfs[:e * c]].reshape((e, c, d))
+        out = self._experts_forward(params, expert_in)   # (E, C, d)
+        out_flat = md.concat([out.reshape((e * c, d)),
+                              md.zeros((1, d)).astype(out.dtype)], axis=0)
+        y = None
+        for slot, gatekeep in choices:
+            contrib = out_flat[slot] * gatekeep.astype(out.dtype)
+            y = contrib if y is None else y + contrib
+        return y, aux
 
     def apply(self, params, x):
         y, _ = self.apply_with_aux(params, x)
@@ -167,13 +250,15 @@ class MoETransformerBlock(Module):
     def __init__(self, dim: int, num_heads: int, num_experts: int,
                  mlp_ratio: int = 4, k: int = 1,
                  capacity_factor: float = 1.25, causal: bool = True,
-                 dtype: "Optional[Any]" = None):
+                 dtype: "Optional[Any]" = None,
+                 grouped: "Optional[bool]" = None):
         self.ln1 = LayerNorm(dim, dtype=dtype)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        dtype=dtype)
         self.ln2 = LayerNorm(dim, dtype=dtype)
         self.moe = MoEFeedForward(dim, num_experts, mlp_ratio, k,
-                                  capacity_factor, dtype=dtype)
+                                  capacity_factor, dtype=dtype,
+                                  grouped=grouped)
 
     def init(self):
         return {
@@ -207,14 +292,16 @@ class MoETransformerLM(Module):
                  num_experts: int = 4, max_seq_len: int = 256,
                  mlp_ratio: int = 4, k: int = 1,
                  capacity_factor: float = 1.25,
-                 dtype: "Optional[Any]" = None):
+                 dtype: "Optional[Any]" = None,
+                 grouped: "Optional[bool]" = None):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
         self.num_experts = num_experts
         self.blocks = [
             MoETransformerBlock(dim, num_heads, num_experts, mlp_ratio, k,
-                                capacity_factor, causal=True, dtype=dtype)
+                                capacity_factor, causal=True, dtype=dtype,
+                                grouped=grouped)
             for _ in range(num_layers)
         ]
         self.ln_f = LayerNorm(dim, dtype=dtype)
