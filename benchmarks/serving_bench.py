@@ -10,7 +10,7 @@ both servers) is excluded, so the ratio isolates the memory model:
 dense per-slot rows vs the paged pool walked by the Pallas page-table
 kernel.
 
-Run: ``python benchmarks/serving_bench.py`` from the repo root (real TPU).
+Run: ``python -m benchmarks.serving_bench`` from the repo root (real TPU).
 No reference counterpart: /root/reference has no serving or benchmark
 layer.
 """
@@ -124,6 +124,23 @@ def paged_vs_dense(model, params, max_batch=8, window=1024,
         "dense_kv_bytes": dense_kv_bytes(dense),
         "paged_kv_bytes": paged.kv_bytes(),
     }
+
+    # oversubscribed pool: a QUARTER of the dense KV budget serves the
+    # same live traffic at full speed — the capacity trade the dense
+    # per-slot rows cannot make (each dense slot reserves the whole
+    # window whether or not the request uses it)
+    over = setup(PagedDecodeServer,
+                 num_pages=max(max_batch + 1,
+                               max_batch * (window // 128) // 4))
+    chain_o = _server_chain(over, CHAIN_STEPS)
+    args_o = (over._params_raw, over._state, jnp.asarray(over._tok),
+              jnp.asarray(over._pos),
+              jnp.asarray(np.zeros((max_batch, 2), np.uint32)))
+    to = _time_fn(chain_o, args_o, lat)
+    out["paged_oversub_tok_per_s"] = round(toks / to, 1)
+    out["paged_oversub_kv_bytes"] = over.kv_bytes()
+    out["paged_oversub_vs_dense_kv"] = round(
+        over.kv_bytes() / out["dense_kv_bytes"], 4)
     return out
 
 

@@ -77,12 +77,13 @@ def main() -> None:
     orig_blk_apply = T.TransformerBlock.apply
     orig_ln_apply = T.LayerNorm.apply
 
-    def no_attn(self, params, x, positions=None):
+    def no_attn(self, params, x, positions=None, segment_ids=None):
         # keep ONE projection so shapes/params stay live, drop sdpa+qkv cost?
         # no: drop everything — the residual stream passes through
         return x
 
-    def no_mlp_block(self, params, x, rng=None):
+    def no_mlp_block(self, params, x, rng=None, positions=None,
+                     segment_ids=None):
         a = self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x))
         return x + a
 
@@ -92,9 +93,19 @@ def main() -> None:
     def mean_loss(logits, targets):
         return md.mean(logits)
 
+    def no_sdpa_core(self, params, x, positions=None, segment_ids=None):
+        # projections + reshapes/transposes intact; the flash fwd+bwd core
+        # replaced by identity — isolates kernel cost from glue cost
+        b, s, d = x.shape
+        q, k, v = self.project_qkv(params, x)
+        o = q + 0.0 * (k + v)
+        o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
+        return self.out.apply(params["out"], o)
+
     variants = {
         "full": {},
         "no_attention": {"mha": no_attn},
+        "no_sdpa_core": {"mha": no_sdpa_core},
         "no_mlp": {"blk": no_mlp_block},
         "no_layernorm": {"ln": no_ln},
         "mean_loss": {"loss": mean_loss},
@@ -160,6 +171,9 @@ def main() -> None:
         "metric": "train_step_component_shares",
         "full_ms": round(full * 1e3, 3),
         "attention_ms": round((full - results["no_attention"]) * 1e3, 3),
+        "sdpa_core_ms": round((full - results["no_sdpa_core"]) * 1e3, 3),
+        "attn_proj_glue_ms": round(
+            (results["no_sdpa_core"] - results["no_attention"]) * 1e3, 3),
         "mlp_ms": round((full - results["no_mlp"]) * 1e3, 3),
         "layernorm_ms": round((full - results["no_layernorm"]) * 1e3, 3),
         "loss_block_ms": round((full - results["mean_loss"]) * 1e3, 3),

@@ -65,7 +65,7 @@ def _make_kernel(scale: float, window, sinks: int, maxp: int):
     def kernel(tab_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
                acc_ref, m_ref, l_ref):
         b = pl.program_id(0)
-        pg = pl.program_id(2)
+        pg = pl.program_id(1)
 
         @pl.when(pg == 0)
         def _init():
@@ -77,30 +77,30 @@ def _make_kernel(scale: float, window, sinks: int, maxp: int):
 
         @pl.when(pg * PAGE <= pos_b)
         def _page():
-            q = q_ref[0, 0]                                   # (g, hd)
-            k = k_ref[0, 0]                                   # (PAGE, hd)
+            q = q_ref[0]                                   # (kv, g, hd)
+            k = k_ref[0]                                   # (kv, PAGE, hd)
+            kv, g = q.shape[0], q.shape[1]
             s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale   # (g, PAGE)
-            g = s.shape[0]
-            l_global = (pg * PAGE
-                        + jax.lax.broadcasted_iota(jnp.int32, (g, PAGE), 1))
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # (kv, g, PAGE)
+            l_global = (pg * PAGE + jax.lax.broadcasted_iota(
+                jnp.int32, (kv, g, PAGE), 2))
             s = jnp.where(_mask(l_global, pos_b, window, sinks), s, -1e30)
-            m_cur = m_ref[:, :1]                              # (g, 1)
+            m_cur = m_ref[:, :, :1]                        # (kv, g, 1)
             m_new = jnp.maximum(m_cur, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_cur - m_new)                    # (g, 1)
-            p = jnp.exp(s - m_new)                            # (g, PAGE) f32
+            alpha = jnp.exp(m_cur - m_new)                 # (kv, g, 1)
+            p = jnp.exp(s - m_new)                         # (kv, g, PAGE)
             l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (g, hd)
+                p.astype(v_ref.dtype), v_ref[0],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # (kv, g, hd)
             acc_ref[:] = acc_ref[:] * alpha + pv
             m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
         @pl.when(pg == maxp - 1)
         def _flush():
-            o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+            o_ref[0] = (acc_ref[:] / l_ref[:, :, :1]).astype(o_ref.dtype)
 
     return kernel
 
@@ -112,27 +112,29 @@ def _pallas_paged_attention(q, pool_k, pool_v, table, pos, scale: float,
     b, kv, g, hd = q.shape
     maxp = table.shape[1]
 
-    def _page_idx(bi, hi, pg, tab, pos):
+    def _page_idx(bi, pg, tab, pos):
         # clamp to the slot's last used page: repeated indices past it
-        # skip the DMA (revisiting), so dead pages cost nothing
+        # skip the DMA (revisiting), so dead pages cost nothing.  One grid
+        # cell covers ALL kv heads of a page (one big DMA, not kv small
+        # ones — per-cell overhead dominated the first cut of this kernel)
         last = jnp.maximum(pos[bi], 0) // PAGE
-        return (tab[bi, jnp.minimum(pg, last)], hi, 0, 0)
+        return (tab[bi, jnp.minimum(pg, last)], 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, kv, maxp),
+        grid=(b, maxp),
         in_specs=[
-            pl.BlockSpec((1, 1, g, hd), lambda bi, hi, pg, tab, pos:
-                         (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, PAGE, hd), _page_idx),
-            pl.BlockSpec((1, 1, PAGE, hd), _page_idx),
+            pl.BlockSpec((1, kv, g, hd), lambda bi, pg, tab, pos:
+                         (bi, 0, 0, 0)),
+            pl.BlockSpec((1, kv, PAGE, hd), _page_idx),
+            pl.BlockSpec((1, kv, PAGE, hd), _page_idx),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, hd), lambda bi, hi, pg, tab, pos:
-                               (bi, hi, 0, 0)),
+        out_specs=pl.BlockSpec((1, kv, g, hd), lambda bi, pg, tab, pos:
+                               (bi, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((g, hd), jnp.float32),     # output accumulator
-            pltpu.VMEM((g, 128), jnp.float32),    # running max
-            pltpu.VMEM((g, 128), jnp.float32),    # running normalizer
+            pltpu.VMEM((kv, g, hd), jnp.float32),   # output accumulator
+            pltpu.VMEM((kv, g, 128), jnp.float32),  # running max
+            pltpu.VMEM((kv, g, 128), jnp.float32),  # running normalizer
         ],
     )
     return pl.pallas_call(
@@ -195,12 +197,11 @@ def append_kv(pool, rows, page_ids, offsets):
     O(B * kv * hd) HBM writes — replacing the full-pool one-hot rewrite
     (the round-3 implementation rewrote all P pages per layer per step).
     """
-    b = rows.shape[0]
     pids = page_ids.astype(jnp.int32)
     offs = offsets.astype(jnp.int32)
-    z = jnp.zeros((), jnp.int32)
-    for i in range(b):
-        blk = rows[i].astype(pool.dtype)[None, :, None, :]  # (1, kv, 1, hd)
-        pool = jax.lax.dynamic_update_slice(
-            pool, blk, (pids[i], z, offs[i], z))
-    return pool
+    # one batched scatter: row b lands at pool[pids[b], :, offs[b], :].
+    # Live slots hold distinct pages so indices never collide; dead slots
+    # all target the garbage page 0, where any write order is fine.
+    return pool.at[pids, :, offs].set(rows.astype(pool.dtype),
+                                      mode="drop",
+                                      unique_indices=False)

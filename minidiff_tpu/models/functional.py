@@ -76,7 +76,8 @@ def cross_entropy(logits: "md.Tensor", labels: "md.Tensor",
 
 
 def apply_rope(x: "md.Tensor", positions: "md.Tensor",
-               base: float = 10000.0) -> "md.Tensor":
+               base: float = 10000.0,
+               rot_dim: "Optional[int]" = None) -> "md.Tensor":
     """Rotary position embedding over the last axis of x (b, h, s, hd).
 
     ``positions`` is an int Tensor of shape (s,) (or a scalar for one-token
@@ -86,8 +87,17 @@ def apply_rope(x: "md.Tensor", positions: "md.Tensor",
     and ring/sequence-parallel chunks.  Pairs (x[2i], x[2i+1]) rotate by
     positions * base^(-2i/hd); built from differentiable framework ops, so
     it backprops through the tape like everything else.
+
+    ``rot_dim``: PARTIAL rotary (Phi-style) — only the first ``rot_dim``
+    channels of each head rotate, the rest pass through unchanged.  The
+    rotation frequencies span ``rot_dim`` (not hd), matching the HF
+    convention ``inv_freq = base^(-2i/rot_dim)``.
     """
     b, h, s, hd = x.shape
+    if rot_dim is not None and rot_dim != hd:
+        assert 0 < rot_dim < hd and rot_dim % 2 == 0, (rot_dim, hd)
+        xr = apply_rope(x[..., :rot_dim], positions, base)
+        return md.concat([xr, x[..., rot_dim:]], axis=-1)
     assert hd % 2 == 0, "RoPE needs an even head dim"
     half = hd // 2
     # inv_freq: (half,); angles: (s, half) (scalar positions broadcast)
@@ -237,8 +247,8 @@ def block_qkv(blk, params, x, positions=None):
     q, k, v = attn.project_qkv(params["attn"], xa)
     if attn.rope:
         pos = positions if positions is not None else md.arange(x.shape[1])
-        q = apply_rope(q, pos, attn.rope_base)
-        k = apply_rope(k, pos, attn.rope_base)
+        q = apply_rope(q, pos, attn.rope_base, rot_dim=attn.rope_dim)
+        k = apply_rope(k, pos, attn.rope_base, rot_dim=attn.rope_dim)
     return q, k, v
 
 
@@ -249,5 +259,12 @@ def block_finish(blk, params, x, o):
     ``block_qkv`` for the cached forwards."""
     b, h, s, hd = o.shape
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, h * hd))
-    x = x + blk.attn.out.apply(params["attn"]["out"], o)
+    a = blk.attn.out.apply(params["attn"]["out"], o)
+    if getattr(blk, "parallel", False):
+        # Phi-style parallel residual: both branches read the SAME ln1(x);
+        # recomputing the norm here keeps block_qkv's signature shared by
+        # every cached-decode path (one extra LN per block, negligible)
+        xa = blk.ln1.apply(params["ln1"], x)
+        return x + a + blk.apply_mlp(params, xa)
+    x = x + a
     return x + blk.apply_mlp(params, x)

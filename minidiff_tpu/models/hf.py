@@ -402,14 +402,113 @@ def to_hf_state_dict(model: "TransformerLM", params) -> "Dict[str, Any]":
     return sd
 
 
+# ---------------------------------------------------------------------------
+# Phi family (parallel residual block + partial rotary)
+# ---------------------------------------------------------------------------
+
+
+def _rope_perm_partial(hd: int, rot: int) -> np.ndarray:
+    """Per-head column permutation for PARTIAL rotary: rotate-half ->
+    interleaved inside the first ``rot`` channels, identity on the rest."""
+    perm = np.arange(hd, dtype=np.int64)
+    perm[:rot] = _rope_perm(rot)
+    return perm
+
+
+def from_hf_phi(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
+    """PhiForCausalLM -> (TransformerLM, params).
+
+    Exercises two code paths no other family does: the PARALLEL residual
+    block (one shared pre-norm feeds both branches, x + attn(h) + mlp(h),
+    no post-attention norm) and PARTIAL rotary embeddings (only the first
+    ``partial_rotary_factor * head_dim`` channels rotate).  Everything
+    else maps onto existing options: full LayerNorm with bias, biased
+    attention/MLP/head projections, tanh-GELU (HF ``gelu_new`` IS our
+    ``F.gelu``).  Config fields that change the math are validated, not
+    ignored (the from_hf_llama discipline).
+    """
+    cfg = hf_model.config
+    act = getattr(cfg, "hidden_act", "gelu_new")
+    if act not in ("gelu_new", "gelu_pytorch_tanh"):
+        raise ValueError(
+            f"from_hf_phi: hidden_act={act!r}; this conversion maps the "
+            "tanh-GELU MLP only — refusing a silently-wrong model")
+    if getattr(cfg, "rope_scaling", None) is not None:
+        raise ValueError("from_hf_phi: rope_scaling is not supported")
+    if getattr(cfg, "qk_layernorm", False):
+        raise ValueError("from_hf_phi: qk_layernorm is not supported")
+    raw = hf_model.state_dict()
+    sd = _LazyF64(raw)
+    h = cfg.num_attention_heads
+    kv = getattr(cfg, "num_key_value_heads", None) or h
+    if kv != h:
+        raise ValueError("from_hf_phi: GQA Phi checkpoints are unmapped")
+    d = cfg.hidden_size
+    hd = d // h
+    rot = int(getattr(cfg, "partial_rotary_factor", 0.5) * hd)
+    assert rot % 2 == 0, (rot, hd)
+    model = TransformerLM(
+        vocab_size=cfg.vocab_size, dim=d, num_heads=h,
+        num_layers=cfg.num_hidden_layers,
+        max_seq_len=cfg.max_position_embeddings,
+        mlp_hidden=cfg.intermediate_size, rope=True,
+        rope_base=float(getattr(cfg, "rope_theta", 10000.0)),
+        rope_dim=None if rot == hd else rot,
+        parallel_block=True, attn_bias=True, mlp_bias=True,
+        head_bias=True, norm="layer",
+        norm_eps=float(getattr(cfg, "layer_norm_eps", 1e-5)),
+        mlp="gelu", dtype=dtype,
+    )
+    perm = _rope_perm_partial(hd, rot)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        wq = sd[p + "self_attn.q_proj.weight"].T.reshape(d, h, hd)[:, :, perm]
+        wk = sd[p + "self_attn.k_proj.weight"].T.reshape(d, h, hd)[:, :, perm]
+        wv = sd[p + "self_attn.v_proj.weight"].T.reshape(d, h, hd)
+        qkv = np.stack([wq, wk, wv], axis=2).reshape(d, 3 * d)
+        bq = sd[p + "self_attn.q_proj.bias"].reshape(h, hd)[:, perm]
+        bk = sd[p + "self_attn.k_proj.bias"].reshape(h, hd)[:, perm]
+        bv = sd[p + "self_attn.v_proj.bias"].reshape(h, hd)
+        blocks.append({
+            "ln1": {"g": _tensor(sd[p + "input_layernorm.weight"], dtype),
+                    "b": _tensor(sd[p + "input_layernorm.bias"], dtype)},
+            "attn": {
+                "qkv": {"w": _tensor(qkv, dtype),
+                        "b": _tensor(np.stack([bq, bk, bv], axis=1)
+                                     .reshape(3 * d), dtype)},
+                "out": {"w": _tensor(sd[p + "self_attn.dense.weight"].T,
+                                     dtype),
+                        "b": _tensor(sd[p + "self_attn.dense.bias"], dtype)},
+            },
+            "fc1": {"w": _tensor(sd[p + "mlp.fc1.weight"].T, dtype),
+                    "b": _tensor(sd[p + "mlp.fc1.bias"], dtype)},
+            "fc2": {"w": _tensor(sd[p + "mlp.fc2.weight"].T, dtype),
+                    "b": _tensor(sd[p + "mlp.fc2.bias"], dtype)},
+        })
+    params = {
+        "tok_emb": _tensor(sd["model.embed_tokens.weight"], dtype),
+        "blocks": blocks,
+        "ln_f": {"g": _tensor(sd["model.final_layernorm.weight"], dtype),
+                 "b": _tensor(sd["model.final_layernorm.bias"], dtype)},
+        "head": {"w": _tensor(sd["lm_head.weight"].T, dtype),
+                 "b": _tensor(sd["lm_head.bias"], dtype)},
+    }
+    return model, params
+
+
 def from_hf(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
     """Auto-detecting converter: dispatches on the checkpoint's module
-    names (GPT-2's ``transformer.h`` vs LLaMA-family ``model.layers``)."""
+    names (GPT-2's ``transformer.h``, Phi's ``self_attn.dense``, or
+    LLaMA-family ``model.layers``)."""
     keys = hf_model.state_dict().keys()
     if any(k.startswith("transformer.h.") for k in keys):
         return from_hf_gpt2(hf_model, dtype=dtype)
+    if any(k.endswith("self_attn.dense.weight") for k in keys):
+        return from_hf_phi(hf_model, dtype=dtype)
     if any(k.startswith("model.layers.") for k in keys):
         return from_hf_llama(hf_model, dtype=dtype)
     raise ValueError(
-        "unrecognized checkpoint layout: expected GPT-2 ('transformer.h.*') "
-        "or LLaMA-family ('model.layers.*') module names")
+        "unrecognized checkpoint layout: expected GPT-2 ('transformer.h.*'), "
+        "Phi ('self_attn.dense'), or LLaMA-family ('model.layers.*') "
+        "module names")

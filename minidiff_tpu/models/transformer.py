@@ -92,7 +92,7 @@ class MultiHeadAttention(Module):
                  num_kv_heads: "Optional[int]" = None,
                  rope: bool = False, rope_base: float = 10000.0,
                  window: "Optional[int]" = None, sinks: int = 0,
-                 bias: bool = False):
+                 bias: bool = False, rope_dim: "Optional[int]" = None):
         assert dim % num_heads == 0, (dim, num_heads)
         self.dim = dim
         self.num_heads = num_heads
@@ -102,6 +102,9 @@ class MultiHeadAttention(Module):
         assert num_heads % self.num_kv_heads == 0, (num_heads, num_kv_heads)
         self.rope = rope
         self.rope_base = rope_base
+        # rope_dim: PARTIAL rotary (Phi-style) — only the first rope_dim
+        # channels of each head rotate (None = full head_dim)
+        self.rope_dim = rope_dim
         # sliding-window attention (Mistral-style, requires causal) with
         # optional StreamingLLM attention sinks: each query sees the last
         # `window` positions plus the first `sinks` tokens.  The flash
@@ -170,8 +173,8 @@ class MultiHeadAttention(Module):
         q, k, v = self.project_qkv(params, x)
         if self.rope:
             pos = positions if positions is not None else md.arange(s)
-            q = F.apply_rope(q, pos, self.rope_base)
-            k = F.apply_rope(k, pos, self.rope_base)
+            q = F.apply_rope(q, pos, self.rope_base, rot_dim=self.rope_dim)
+            k = F.apply_rope(k, pos, self.rope_base, rot_dim=self.rope_dim)
         o = md.sdpa(q, self.expand_kv(k), self.expand_kv(v),
                     causal=self.causal, window=self.window,
                     sinks=self.sinks,
@@ -191,14 +194,20 @@ class TransformerBlock(Module):
                  sinks: int = 0, rope_base: float = 10000.0,
                  attn_bias: bool = False, mlp_bias: bool = True,
                  norm_eps: "Optional[float]" = None,
-                 mlp_hidden: "Optional[int]" = None):
+                 mlp_hidden: "Optional[int]" = None,
+                 rope_dim: "Optional[int]" = None,
+                 parallel_block: bool = False):
         self.ln1 = _make_norm(norm, dim, dtype, eps=norm_eps)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
                                        dtype=dtype, num_kv_heads=num_kv_heads,
                                        rope=rope, rope_base=rope_base,
                                        window=window, sinks=sinks,
-                                       bias=attn_bias)
-        self.ln2 = _make_norm(norm, dim, dtype, eps=norm_eps)
+                                       bias=attn_bias, rope_dim=rope_dim)
+        # parallel_block (Phi-style): ONE shared pre-norm feeds both the
+        # attention and MLP branches, x + attn(ln(x)) + mlp(ln(x)) — no ln2
+        self.parallel = bool(parallel_block)
+        self.ln2 = None if self.parallel else _make_norm(
+            norm, dim, dtype, eps=norm_eps)
         if mlp not in ("gelu", "swiglu"):
             raise ValueError(
                 f"unknown mlp kind {mlp!r} (expected 'gelu'/'swiglu')")
@@ -215,13 +224,15 @@ class TransformerBlock(Module):
         self.dropout = float(dropout)
 
     def init(self):
-        return {
+        out = {
             "ln1": self.ln1.init(),
             "attn": self.attn.init(),
-            "ln2": self.ln2.init(),
             "fc1": self.fc1.init(),
             "fc2": self.fc2.init(),
         }
+        if not self.parallel:
+            out["ln2"] = self.ln2.init()
+        return out
 
     def apply_mlp(self, params, x):
         """The MLP residual BRANCH (callers add it to x): norm -> fc1 ->
@@ -232,7 +243,9 @@ class TransformerBlock(Module):
         for the same hidden unit adjacent), so a tp column shard holds
         matching gate/value pairs and the elementwise silu(a)*b needs no
         collective (same trick as the qkv head-major layout)."""
-        h = self.fc1.apply(params["fc1"], self.ln2.apply(params["ln2"], x))
+        h = self.fc1.apply(
+            params["fc1"],
+            x if self.parallel else self.ln2.apply(params["ln2"], x))
         if self.mlp == "swiglu":
             hp = h.reshape(h.shape[:-1] + (self.hidden, 2))
             h = F.silu(hp[..., 0]) * hp[..., 1]
@@ -250,10 +263,16 @@ class TransformerBlock(Module):
         (no dropout), matching the functional-RNG convention.
         ``positions``/``segment_ids``: sequence packing (see
         MultiHeadAttention.apply / models/pack.py)."""
-        a = self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x),
+        xa = self.ln1.apply(params["ln1"], x)
+        a = self.attn.apply(params["attn"], xa,
                             positions=positions, segment_ids=segment_ids)
         if self.dropout > 0.0 and rng is not None:
             a = F.dropout(a, self.dropout, key=md.fold_in(rng, 1))
+        if self.parallel:
+            h = self.apply_mlp(params, xa)
+            if self.dropout > 0.0 and rng is not None:
+                h = F.dropout(h, self.dropout, key=md.fold_in(rng, 2))
+            return x + a + h
         x = x + a
         h = self.apply_mlp(params, x)
         if self.dropout > 0.0 and rng is not None:
@@ -274,7 +293,9 @@ class TransformerLM(Module):
                  window: "Optional[int]" = None, sinks: int = 0,
                  rope_base: float = 10000.0, attn_bias: bool = False,
                  mlp_bias: bool = True, norm_eps: "Optional[float]" = None,
-                 mlp_hidden: "Optional[int]" = None):
+                 mlp_hidden: "Optional[int]" = None,
+                 rope_dim: "Optional[int]" = None,
+                 parallel_block: bool = False, head_bias: bool = False):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
@@ -295,7 +316,9 @@ class TransformerLM(Module):
                              dropout=dropout, norm=norm, mlp=mlp,
                              window=window, sinks=sinks, rope_base=rope_base,
                              attn_bias=attn_bias, mlp_bias=mlp_bias,
-                             norm_eps=norm_eps, mlp_hidden=mlp_hidden)
+                             norm_eps=norm_eps, mlp_hidden=mlp_hidden,
+                             rope_dim=rope_dim,
+                             parallel_block=parallel_block)
             for _ in range(num_layers)
         ]
         self.ln_f = _make_norm(norm, dim, dtype, eps=norm_eps)
@@ -303,7 +326,8 @@ class TransformerLM(Module):
         # the embedding gets gradient from both its uses through the tape
         self.tie_embeddings = tie_embeddings
         if not tie_embeddings:
-            self.head = Linear(dim, vocab_size, bias=False, dtype=dtype)
+            assert not (tie_embeddings and head_bias)
+            self.head = Linear(dim, vocab_size, bias=head_bias, dtype=dtype)
         self.dtype = dtype
 
     def lm_head(self, params, x):
@@ -507,8 +531,8 @@ def _mha_step(attn: "MultiHeadAttention", params, x, cache, pos: int):
     q, k, v = attn.project_qkv(params, x)  # q (b,h,1,hd); k/v (b,kv,1,hd)
     if attn.rope:
         pos_t = md.Tensor(np.asarray(pos))
-        q = F.apply_rope(q, pos_t, attn.rope_base)
-        k = F.apply_rope(k, pos_t, attn.rope_base)
+        q = F.apply_rope(q, pos_t, attn.rope_base, rot_dim=attn.rope_dim)
+        k = F.apply_rope(k, pos_t, attn.rope_base, rot_dim=attn.rope_dim)
     cache["k"][:, :, pos:pos + 1, :] = k.astype(cache["k"].dtype)
     cache["v"][:, :, pos:pos + 1, :] = v.astype(cache["v"].dtype)
     keys = attn.expand_kv(cache["k"][:, :, : pos + 1, :].astype(q.dtype))
@@ -528,8 +552,11 @@ def _mha_step(attn: "MultiHeadAttention", params, x, cache, pos: int):
 
 
 def _block_step(blk: "TransformerBlock", params, x, cache, pos: int):
-    x = x + _mha_step(blk.attn, params["attn"],
-                      blk.ln1.apply(params["ln1"], x), cache, pos)
+    xa = blk.ln1.apply(params["ln1"], x)
+    a = _mha_step(blk.attn, params["attn"], xa, cache, pos)
+    if blk.parallel:  # Phi-style: both branches read the shared pre-norm
+        return x + a + blk.apply_mlp(params, xa)
+    x = x + a
     return x + blk.apply_mlp(params, x)
 
 

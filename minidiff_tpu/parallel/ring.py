@@ -349,8 +349,10 @@ def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None,
     q, k, v = attn.project_qkv(params["attn"], xa)
     if attn.rope:
         assert positions is not None
-        q = F.apply_rope(q, positions, attn.rope_base)
-        k = F.apply_rope(k, positions, attn.rope_base)
+        q = F.apply_rope(q, positions, attn.rope_base,
+                         rot_dim=attn.rope_dim)
+        k = F.apply_rope(k, positions, attn.rope_base,
+                         rot_dim=attn.rope_dim)
     # K/V stay at kv-head width through the ring (GQA's bandwidth saving
     # must survive the ppermutes); broadcast to query heads only at use
     if zigzag:

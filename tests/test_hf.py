@@ -281,3 +281,98 @@ def test_gpt2_nonstandard_attn_scaling_refused():
     hf.config.scale_attn_by_inverse_layer_idx = True
     with pytest.raises(ValueError, match="scale_attn_by_inverse_layer_idx"):
         from_hf_gpt2(hf)
+
+
+# -- Phi family: parallel residual block + partial rotary -------------------
+
+
+def _phi_tiny(partial=0.5):
+    from transformers import PhiConfig, PhiForCausalLM
+
+    cfg = PhiConfig(
+        vocab_size=97, hidden_size=32, intermediate_size=72,
+        num_hidden_layers=2, num_attention_heads=2,
+        partial_rotary_factor=partial, max_position_embeddings=64,
+        layer_norm_eps=1e-5, rope_theta=10000.0,
+        resid_pdrop=0.0, embd_pdrop=0.0, attention_dropout=0.0,
+    )
+    torch.manual_seed(3)
+    return PhiForCausalLM(cfg).double().eval()
+
+
+@pytest.mark.parametrize("partial", [0.5, 1.0])
+def test_phi_logits(backend, partial):
+    hf = _phi_tiny(partial)
+    model, params = from_hf(hf)  # dispatcher detects self_attn.dense
+    assert model.blocks[0].parallel
+    if partial < 1.0:
+        assert model.blocks[0].attn.rope_dim == int(partial * 16)
+    ids = np.random.RandomState(4).randint(0, 97, size=(2, 11))
+    ours = _our_logits(model, params, ids)
+    want = _hf_logits(hf, ids)
+    np.testing.assert_allclose(ours, want, rtol=1e-9, atol=1e-9)
+
+
+def test_phi_greedy_generate_matches_hf(backend):
+    hf = _phi_tiny()
+    model, params = from_hf(hf)
+    ids = np.random.RandomState(5).randint(0, 97, size=(1, 6))
+    with torch.no_grad():
+        want = hf.generate(
+            torch.tensor(ids, dtype=torch.long), max_new_tokens=8,
+            do_sample=False, pad_token_id=0).numpy()
+    got = generate(model, params, md.Tensor(ids), max_new_tokens=8,
+                   greedy=True)
+    np.testing.assert_array_equal(np.asarray(got.detach()), want)
+
+
+def test_phi_cached_decode_matches_parallel_forward(backend):
+    # the KV-cached paths recompute ln1 inside block_finish for the
+    # parallel block — must agree with the one-shot parallel forward
+    hf = _phi_tiny()
+    model, params = from_hf(hf)
+    ids = np.random.RandomState(6).randint(0, 97, size=(1, 5))
+    a = generate(model, params, md.Tensor(ids), max_new_tokens=6,
+                 greedy=True)
+    b = generate_cached(model, params, md.Tensor(ids), 6)
+    np.testing.assert_array_equal(np.asarray(a.detach()),
+                                  np.asarray(b.detach()))
+
+
+def test_phi_qk_layernorm_refused():
+    from transformers import PhiConfig, PhiForCausalLM
+
+    cfg = PhiConfig(vocab_size=97, hidden_size=32, intermediate_size=72,
+                    num_hidden_layers=1, num_attention_heads=2,
+                    qk_layernorm=True)
+    torch.manual_seed(7)
+    with pytest.raises(ValueError, match="qk_layernorm"):
+        from_hf(PhiForCausalLM(cfg))
+
+
+def test_phi_converted_trains(backend):
+    from minidiff_tpu.models import SGD, lm_loss, make_train_step
+
+    hf = _phi_tiny()
+    model, params = from_hf(hf)
+    toks = md.Tensor(np.random.RandomState(8).randint(0, 97, size=(4, 12)))
+    step = make_train_step(model, SGD(5e-2), loss_fn=lm_loss)
+    state = None
+    losses = []
+    for _ in range(8):
+        params, state, loss = step(params, state, toks, toks)
+        losses.append(float(loss.item()))
+    assert losses[-1] < losses[0], losses
+
+
+def test_phi_compiled_decode_matches_eager():
+    from minidiff_tpu.models import generate_compiled
+
+    md.set_backend("xla")
+    hf = _phi_tiny()
+    model, params = from_hf(hf)
+    ids = np.random.RandomState(9).randint(0, 97, size=(2, 5))
+    want = generate_cached(model, params, md.Tensor(ids), 7)
+    got = generate_compiled(model, params, md.Tensor(ids), 7)
+    np.testing.assert_array_equal(np.asarray(got.detach()),
+                                  np.asarray(want.detach()))
