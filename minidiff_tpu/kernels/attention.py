@@ -37,8 +37,10 @@ _BK = 256
 # bf16 causal): the fwd online-softmax pass likes a small q tile with a wide
 # k tile; the two bwd passes like square 512 tiles.  First pair that divides
 # (S_q, S_k) wins; shapes that fit none fall back to the composed path.
-_FWD_BLOCKS = ((256, 512), (256, 256), (128, 256), (128, 128))
-_BWD_BLOCKS = ((512, 512), (256, 512), (256, 256), (128, 128))
+_FWD_BLOCKS = ((1024, 1024), (512, 512), (1024, 512), (512, 1024),
+               (256, 512), (256, 256), (128, 256), (128, 128))
+_BWD_BLOCKS = ((512, 512), (1024, 512), (512, 1024), (256, 512),
+               (256, 256), (128, 128))
 _NEG_INF = -1e30
 
 
@@ -278,7 +280,14 @@ def _flash_fwd(q, k, v, scale, causal, bq=_BQ, bk=_BK, mask=None, h=1,
 def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
                     mask_ref=None, window=None, sinks=0,
                     qseg_ref=None, kseg_ref=None):
-    """Shared blockwise recompute: P from lse, then dS. All f32."""
+    """Shared blockwise recompute: P from lse, then dS.
+
+    The recompute dots take the operands at their STORED dtype with f32
+    accumulation — the same contract as the forward kernel (so P here is
+    bit-consistent with the saved lse).  Casting operands to f32 first
+    would halve the MXU rate for bf16 models for no accuracy gain.
+    Elementwise math stays f32.
+    """
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -289,7 +298,7 @@ def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
         s = _apply_kv_mask(s, mask_ref)
     if qseg_ref is not None:
         s = _apply_seg_mask(s, qseg_ref, kseg_ref)
-    p = jnp.exp(s - lse[:, :1])  # (bq, bk); masked entries exp(-inf)→0
+    p = jnp.exp(s - lse[:, :1])  # (bq, bk) f32; masked entries exp(-inf)→0
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -315,22 +324,25 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     def _step():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0][0][:, None]  # (bq, 1)
         delta = delta_ref[0][0][:, None]
         p, ds = _recompute_p_ds(
             q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
             mask_ref=mask_ref, window=window, sinks=sinks,
             qseg_ref=qseg_ref, kseg_ref=kseg_ref)
-        # dv += P^T @ dO ; dk += dS^T @ Q  (contract over the q-block rows)
+        # dv += P^T @ dO ; dk += dS^T @ Q  (contract over the q-block rows);
+        # p/ds drop to the operand dtype for the MXU, f32 accumulation
         dv_scr[:] += jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_scr[:] += jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     if causal:
@@ -362,17 +374,18 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     def _step():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0][0][:, None]
         delta = delta_ref[0][0][:, None]
         _, ds = _recompute_p_ds(
             q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
             mask_ref=mask_ref, window=window, sinks=sinks,
             qseg_ref=qseg_ref, kseg_ref=kseg_ref)
-        dq_scr[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dq_scr[:] += jnp.dot(ds.astype(k.dtype), k,
+                             preferred_element_type=jnp.float32)
 
     if causal:
         @pl.when(_block_live(qi, ki, bq, bk, window, sinks))
