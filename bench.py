@@ -312,6 +312,48 @@ def _decode_throughput() -> dict:
     except Exception as e:
         out["decode_int8kv_4k_error"] = str(e)[:120]
 
+    # quantized decode at a weight set FAR above VMEM (534 MB bf16): the
+    # small bench model's whole int8 weight set (~52 MB) flirts with
+    # on-chip residency, making its quant ratios bimodal run to run; at
+    # 267M params the streams are physical.  int8 must win ~HBM-linearly;
+    # int4 ties int8 on speed (the i32-lane unpack VPU ceiling sits at
+    # int8's HBM rate — see kernels/quant.py roofline note) and wins on
+    # capacity.
+    try:
+        model_big = TransformerLM(vocab_size=T.VOCAB, dim=2048,
+                                  num_heads=16, num_kv_heads=4,
+                                  num_layers=6, max_seq_len=256,
+                                  dtype=md.bfloat16)
+        np.random.seed(7)
+        params_big = model_big.init()
+        q8_big = quantize_for_serving(params_big)
+        q4_big = quantize_for_serving(params_big, bits=4)
+        prompt_big = np.random.RandomState(8).randint(
+            1, T.VOCAB, size=(8, 16))
+
+        def run_big_bf(p):
+            return generate_compiled(model_big, params_big, md.Tensor(p),
+                                     64)._data
+
+        def run_big_i8(p):
+            return generate_compiled(model_big, q8_big, md.Tensor(p),
+                                     64)._data
+
+        def run_big_i4(p):
+            return generate_compiled(model_big, q4_big, md.Tensor(p),
+                                     64)._data
+
+        t8b, _, r8b = T.chain_time_pair(run_big_i8, run_big_bf, prompt_big,
+                                        chain=4)
+        out["decode_big_int8_tok_per_s"] = round(8 * 64 / t8b, 1)
+        out["decode_big_int8_speedup_vs_bf16"] = round(r8b, 4)
+        t4b, _, r4b = T.chain_time_pair(run_big_i4, run_big_i8, prompt_big,
+                                        chain=4)
+        out["decode_big_int4_tok_per_s"] = round(8 * 64 / t4b, 1)
+        out["decode_big_int4_speedup_vs_int8"] = round(r4b, 4)
+    except Exception as e:
+        out["decode_big_error"] = str(e)[:120]
+
     # paged vs dense continuous-batching step programs + sequence packing
     try:
         from benchmarks import serving_bench as SB

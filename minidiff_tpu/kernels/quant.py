@@ -275,15 +275,26 @@ def dequant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
 # int4 weight-only: packed nibbles + group-wise scales
 # ---------------------------------------------------------------------------
 #
-# int8 halves the weight stream; int4 halves it AGAIN (decode latency is
-# the weight byte count).  4-bit symmetric quantization needs finer scale
-# granularity than per-column to hold accuracy, so scales are per
-# (K-group, column) with group size G (default 128, the GPTQ convention).
-# Two weight rows pack into one int8 byte SPLIT-HALF: packed[i] holds
-# original rows i (low nibble) and i + K/2 (high nibble) — unpacking is a
-# concat, not an interleave, which Mosaic lowers cleanly.  The kernel
-# accumulates per-group MXU dots scaled in f32, so the int4 values reach
-# the MXU exactly and HBM only ever sees the packed bytes.
+# int8 halves the weight stream; int4 halves it AGAIN.  4-bit symmetric
+# quantization needs finer scale granularity than per-column to hold
+# accuracy, so scales are per (K-group, column) with group size G (default
+# 128, the GPTQ convention).  Two weight rows pack into one int8 byte
+# SPLIT-HALF: packed[i] holds original rows i (low nibble) and i + K/2
+# (high nibble), so each nibble plane is a contiguous block of original
+# rows and the kernel's dot can SPLIT over them with no relayout.
+#
+# v5e ROOFLINE (measured, round 4): the unpack must run in i32 vector
+# lanes (Mosaic cannot legalize int8-domain shifts — 'arith.shrsi' on i8
+# fails to lower), costing ~8-10 VPU ops per packed byte ≈ 390 GB/s of
+# effective unpack throughput — almost exactly the ~820 GB/s HBM rate of
+# the int8 kernel's half-size... i.e. the VPU ceiling lands where int8's
+# HBM floor already is.  int4 therefore TIES int8 on decode speed at
+# large K/N (1.0-1.1x per kernel after the split-dot rewrite; the
+# pre-rewrite concat-based kernel LOST at 0.6-0.8x) and its real win is
+# CAPACITY: half the weight HBM residency, which is what lets a model
+# fit next to its KV pool.  Beating int8 on speed on this generation
+# would need hardware int4/int8-lane shifts or an MXU-side dequant,
+# neither of which Mosaic exposes today.
 
 _GROUP4 = 128
 
@@ -317,23 +328,37 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def _dq4_mm_kernel(x_ref, p_ref, s_ref, o_ref, *, groups, group):
-    pi = p_ref[:].astype(jnp.int32)
+    # Dequantize at x's precision, then MXU dots.  Two design rules, both
+    # measured on the v5e (the per-group-partial-dot formulation they
+    # replace lost to plain int8 — BENCH_r03 decode_int4 = 0.86x):
+    # * NO concat of the lo/hi nibble planes: an axis-0 concatenate of
+    #   (K/2, bn) tiles is a sublane relayout pass over the whole tile;
+    #   instead the dot SPLITS — x's first K/2 columns contract with the
+    #   lo plane, the rest with the hi plane (split-half packing makes
+    #   those exactly the original rows).
+    # * hi nibble by ONE arithmetic shift (sign extends), lo by the
+    #   shift-up/shift-down pair.
+    # int4 values are exact in bf16; the f32 group scale rounds once into
+    # x.dtype, indistinguishable next to the 4-bit quantization error and
+    # matching the numpy/torch backends' algebra.
+    pi = p_ref[:].astype(jnp.int32)                 # (K/2, bn)
+    hi = jnp.right_shift(pi, 4)
     lo = jnp.right_shift(jnp.left_shift(pi, 28), 28)
-    hi = jnp.right_shift(jnp.left_shift(pi, 24), 28)
-    q = jnp.concatenate([lo, hi], axis=0)                      # (K, bn) int32
-    # Dequantize the whole tile at x's precision (one VPU pass), then run
-    # ONE full-K MXU dot.  The per-group-partial-dot formulation this
-    # replaces issued K/group tiny (m x group) matmuls — Mosaic scheduled
-    # them serially and the kernel lost to plain int8 (BENCH_r03
-    # decode_int4_speedup_vs_int8 = 0.86).  int4 values are exact in bf16;
-    # the f32 group scale rounds once into x.dtype, indistinguishable next
-    # to the 4-bit quantization error and matching the numpy/torch
-    # backends' algebra (backend/numpy_backend.py dequant_matmul4).
-    sw = s_ref[:].reshape(groups, 1, -1)                       # (G, 1, bn)
-    w = (q.reshape(groups, group, q.shape[-1]).astype(jnp.float32)
-         * sw).astype(x_ref.dtype).reshape(q.shape)
-    o_ref[:] = jnp.dot(
-        x_ref[:], w, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    g2 = groups // 2
+    bn = pi.shape[-1]
+    k2 = pi.shape[0]
+    sw = s_ref[:]                                   # (G, bn) f32
+    w_lo = (lo.reshape(g2, group, bn).astype(jnp.float32)
+            * sw[:g2].reshape(g2, 1, bn)).astype(
+        x_ref.dtype).reshape(k2, bn)
+    w_hi = (hi.reshape(g2, group, bn).astype(jnp.float32)
+            * sw[g2:].reshape(g2, 1, bn)).astype(
+        x_ref.dtype).reshape(k2, bn)
+    x = x_ref[:]
+    acc = jnp.dot(x[:, :k2], w_lo, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(x[:, k2:], w_hi,
+                        preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "group", "interpret"))
@@ -386,8 +411,10 @@ def dequant_matmul4(x: jax.Array, p: jax.Array, s: jax.Array) -> jax.Array:
     for d in lead:
         m *= int(d)
     group = k // s.shape[0]
+    # the split-dot kernel needs each nibble plane to hold whole groups:
+    # (K/2) % group == 0 (equivalently an even group count)
     if (_pallas_eligible(m, k, n, x.dtype) and group % 128 == 0
-            and k % group == 0):
+            and k % group == 0 and (k // 2) % group == 0):
         out = _pallas_dequant_matmul4(x.reshape(m, k), p, s, group=group)
         return out.reshape(lead + (n,))
     return _jnp_dequant_matmul4(x, p, s)
