@@ -60,7 +60,8 @@ REQUIRED_ATTRS = [
     # identity / construction
     "tensor_class", "tensor_constructor", "as_numpy", "nan",
     # elementwise unary
-    "absolute", "ceil", "copy", "cos", "cosh", "exp", "floor", "invert",
+    "absolute", "ceil", "copy", "cos", "cosh", "erf", "exp", "floor",
+    "invert",
     "log", "logical_not", "sign", "sin", "sinh", "sqrt", "square", "tan",
     "tanh",
     # shape unary

@@ -38,6 +38,13 @@ class NumpyBackend:
     copy = staticmethod(np.copy)
     cos = staticmethod(np.cos)
     cosh = staticmethod(np.cosh)
+
+    @staticmethod
+    def erf(x):
+        from scipy.special import erf as _erf
+
+        return _erf(np.asarray(x))
+
     exp = staticmethod(np.exp)
     floor = staticmethod(np.floor)
     invert = staticmethod(np.invert)

@@ -101,6 +101,7 @@ class TorchBackend:
     copy = staticmethod(lambda a: _t(a).clone())
     cos = staticmethod(torch.cos)
     cosh = staticmethod(torch.cosh)
+    erf = staticmethod(lambda a: torch.erf(_t(a)))
     exp = staticmethod(torch.exp)
     floor = staticmethod(torch.floor)
     invert = staticmethod(torch.bitwise_not)

@@ -81,6 +81,7 @@ class XlaBackend:
 
     cos = staticmethod(jnp.cos)
     cosh = staticmethod(jnp.cosh)
+    erf = staticmethod(jax.lax.erf)
     exp = staticmethod(jnp.exp)
     floor = staticmethod(jnp.floor)
     invert = staticmethod(jnp.invert)

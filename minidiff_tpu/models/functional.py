@@ -31,9 +31,14 @@ def silu(x: "md.Tensor") -> "md.Tensor":
 
 
 def gelu(x: "md.Tensor") -> "md.Tensor":
-    # tanh approximation (no erf op in the registry)
+    # tanh approximation (HF "gelu_new"/"gelu_pytorch_tanh")
     c = 0.7978845608028654  # sqrt(2/pi)
     return 0.5 * x * (1.0 + md.tanh(c * (x + 0.044715 * x**3)))
+
+
+def gelu_erf(x: "md.Tensor") -> "md.Tensor":
+    """Exact GELU 0.5*x*(1+erf(x/sqrt(2))) — Gemma/original-BERT variant."""
+    return 0.5 * x * (1.0 + md.erf(x * 0.7071067811865476))
 
 
 def logsumexp(z: "md.Tensor", axis: int = -1, keepdims: bool = False) -> "md.Tensor":

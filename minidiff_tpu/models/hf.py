@@ -403,6 +403,119 @@ def to_hf_state_dict(model: "TransformerLM", params) -> "Dict[str, Any]":
 
 
 # ---------------------------------------------------------------------------
+# Gemma family (GeGLU + (1+w) RMSNorm + sqrt(d)-scaled embeddings)
+# ---------------------------------------------------------------------------
+
+
+def from_hf_gemma(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
+    """GemmaForCausalLM -> (TransformerLM, params).
+
+    Three Gemma-isms map onto EXACT conversion-time folds, so the model
+    class needs no new runtime switches beyond the GeGLU MLP kind:
+
+    * RMSNorm computes ``x_hat * (1 + w)`` — fold ``g = 1 + w``.
+    * The embedding stream is scaled by ``sqrt(hidden)`` once at the
+      input.  RMSNorm is scale-invariant in x, so a sqrt(d)-scaled
+      residual stream behaves identically through every block; folding
+      ``tok_emb *= sqrt(d)`` reproduces it, and dividing the FINAL
+      norm's gain by sqrt(d) cancels the scale at the (tied) head —
+      algebraically exact, no per-step multiply.
+    * ``hidden_act``: ``gelu_pytorch_tanh`` (current checkpoints) is our
+      tanh GELU -> mlp="geglu"; plain ``gelu`` (original release) is the
+      exact-erf GELU -> mlp="geglu_erf" over the md.erf op.
+
+    GQA/MQA (gemma-2b kv=1) maps like LLaMA.  Checkpoints whose
+    ``head_dim != hidden // heads`` are refused loudly (our fused
+    projections assume the standard factorization), as are gemma-2 style
+    soft-capping / query_pre_attn_scalar configs.
+    """
+    cfg = hf_model.config
+    d = cfg.hidden_size
+    h = cfg.num_attention_heads
+    hd_cfg = getattr(cfg, "head_dim", d // h)
+    if hd_cfg != d // h:
+        raise ValueError(
+            f"from_hf_gemma: head_dim={hd_cfg} != hidden//heads={d // h}; "
+            "this conversion maps the standard factorization only")
+    if getattr(cfg, "attn_logit_softcapping", None) or getattr(
+            cfg, "final_logit_softcapping", None):
+        raise ValueError("from_hf_gemma: gemma-2 soft-capping is unmapped")
+    qpas = getattr(cfg, "query_pre_attn_scalar", None)
+    if qpas is not None and int(qpas) != d // h:
+        raise ValueError(
+            "from_hf_gemma: query_pre_attn_scalar != head_dim is unmapped")
+    act = getattr(cfg, "hidden_act", None) or getattr(
+        cfg, "hidden_activation", None) or "gelu_pytorch_tanh"
+    if act in ("gelu_pytorch_tanh", "gelu_new"):
+        mlp_kind = "geglu"
+    elif act == "gelu":
+        mlp_kind = "geglu_erf"
+    else:
+        raise ValueError(
+            f"from_hf_gemma: hidden_act={act!r}; GeGLU gelu variants only")
+    raw = hf_model.state_dict()
+    sd = _LazyF64(raw)
+    kv = getattr(cfg, "num_key_value_heads", None) or h
+    hd = d // h
+    scale = float(np.sqrt(d))
+    model = TransformerLM(
+        vocab_size=cfg.vocab_size, dim=d, num_heads=h,
+        num_layers=cfg.num_hidden_layers,
+        max_seq_len=cfg.max_position_embeddings,
+        mlp_hidden=cfg.intermediate_size, num_kv_heads=kv, rope=True,
+        rope_base=float(getattr(cfg, "rope_theta", 10000.0)),
+        tie_embeddings=True, attn_bias=False, mlp_bias=False,
+        norm="rms", norm_eps=float(cfg.rms_norm_eps), mlp=mlp_kind,
+        dtype=dtype,
+    )
+    perm = _rope_perm(hd)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        wq = _permute_heads(sd[p + "self_attn.q_proj.weight"].T, h)
+        wk = _permute_heads(sd[p + "self_attn.k_proj.weight"].T, kv)
+        wv = sd[p + "self_attn.v_proj.weight"].T
+        attn: "Dict[str, Any]" = {
+            "out": {"w": _tensor(sd[p + "self_attn.o_proj.weight"].T,
+                                 dtype)},
+        }
+        if kv == h:
+            qkv = np.stack(
+                [wq.reshape(d, h, hd), wk.reshape(d, h, hd),
+                 wv.reshape(d, h, hd)], axis=2,
+            ).reshape(d, 3 * d)
+            attn["qkv"] = {"w": _tensor(qkv, dtype)}
+        else:
+            wkv = np.stack(
+                [wk.reshape(d, kv, hd), wv.reshape(d, kv, hd)], axis=2,
+            ).reshape(d, 2 * kv * hd)
+            attn["wq"] = {"w": _tensor(wq, dtype)}
+            attn["wkv"] = {"w": _tensor(wkv, dtype)}
+        gate = sd[p + "mlp.gate_proj.weight"].T
+        up = sd[p + "mlp.up_proj.weight"].T
+        inner = gate.shape[1]
+        fc1 = np.stack([gate, up], axis=2).reshape(d, 2 * inner)
+        blocks.append({
+            "ln1": {"g": _tensor(
+                1.0 + sd[p + "input_layernorm.weight"], dtype)},
+            "attn": attn,
+            "ln2": {"g": _tensor(
+                1.0 + sd[p + "post_attention_layernorm.weight"], dtype)},
+            "fc1": {"w": _tensor(fc1, dtype)},
+            "fc2": {"w": _tensor(sd[p + "mlp.down_proj.weight"].T, dtype)},
+        })
+    params: "Dict[str, Any]" = {
+        "tok_emb": _tensor(sd["model.embed_tokens.weight"] * scale, dtype),
+        "blocks": blocks,
+        # final norm gain divided by sqrt(d): cancels the folded embedding
+        # scale at the tied head (see docstring)
+        "ln_f": {"g": _tensor(
+            (1.0 + sd["model.norm.weight"]) / scale, dtype)},
+    }
+    return model, params
+
+
+# ---------------------------------------------------------------------------
 # Phi family (parallel residual block + partial rotary)
 # ---------------------------------------------------------------------------
 
@@ -506,6 +619,8 @@ def from_hf(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
         return from_hf_gpt2(hf_model, dtype=dtype)
     if any(k.endswith("self_attn.dense.weight") for k in keys):
         return from_hf_phi(hf_model, dtype=dtype)
+    if str(getattr(hf_model.config, "model_type", "")).startswith("gemma"):
+        return from_hf_gemma(hf_model, dtype=dtype)
     if any(k.startswith("model.layers.") for k in keys):
         return from_hf_llama(hf_model, dtype=dtype)
     raise ValueError(

@@ -208,17 +208,21 @@ class TransformerBlock(Module):
         self.parallel = bool(parallel_block)
         self.ln2 = None if self.parallel else _make_norm(
             norm, dim, dtype, eps=norm_eps)
-        if mlp not in ("gelu", "swiglu"):
+        if mlp not in ("gelu", "gelu_erf", "swiglu", "geglu", "geglu_erf"):
             raise ValueError(
-                f"unknown mlp kind {mlp!r} (expected 'gelu'/'swiglu')")
+                f"unknown mlp kind {mlp!r} (expected 'gelu'/'gelu_erf'/"
+                "'swiglu'/'geglu'/'geglu_erf')")
         self.mlp = mlp
         # mlp_hidden overrides the ratio for checkpoints whose intermediate
         # size is not an integer multiple of dim (LLaMA-style)
         hidden = mlp_hidden if mlp_hidden is not None else mlp_ratio * dim
-        # SwiGLU: fc1 projects to gate+value (2*hidden, fused column-wise so
-        # a tp shard holds matching gate/value columns), h = silu(a) * b
-        self.fc1 = Linear(dim, (2 if mlp == "swiglu" else 1) * hidden,
+        # Gated kinds (SwiGLU / Gemma's GeGLU): fc1 projects to gate+value
+        # (2*hidden, fused column-wise so a tp shard holds matching
+        # gate/value columns), h = act(a) * b
+        gated = mlp in ("swiglu", "geglu", "geglu_erf")
+        self.fc1 = Linear(dim, (2 if gated else 1) * hidden,
                           bias=mlp_bias, dtype=dtype)
+        self._gated = gated
         self.fc2 = Linear(hidden, dim, bias=mlp_bias, dtype=dtype)
         self.hidden = hidden
         self.dropout = float(dropout)
@@ -246,9 +250,13 @@ class TransformerBlock(Module):
         h = self.fc1.apply(
             params["fc1"],
             x if self.parallel else self.ln2.apply(params["ln2"], x))
-        if self.mlp == "swiglu":
+        if self._gated:
+            gate_act = {"swiglu": F.silu, "geglu": F.gelu,
+                        "geglu_erf": F.gelu_erf}[self.mlp]
             hp = h.reshape(h.shape[:-1] + (self.hidden, 2))
-            h = F.silu(hp[..., 0]) * hp[..., 1]
+            h = gate_act(hp[..., 0]) * hp[..., 1]
+        elif self.mlp == "gelu_erf":
+            h = F.gelu_erf(h)
         else:
             h = F.gelu(h)
         return self.fc2.apply(params["fc2"], h)

@@ -428,6 +428,11 @@ ravel = wrapping.create_unary_op_func(
 sign = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("sign")), is_differentiable=False
 )
+erf = wrapping.create_unary_op_func(
+    forward_func=as_tensor_func(backend_fn("erf")),
+    # d/dx erf(x) = 2/sqrt(pi) * exp(-x^2)
+    grad=lambda x, grad: grad * 1.1283791670955126 * exp(-(x * x)),
+)
 sin = wrapping.create_unary_op_func(
     forward_func=as_tensor_func(backend_fn("sin")),
     grad=lambda x, grad: grad * cos(x),
@@ -1707,6 +1712,7 @@ __all__ = [
     "copy",
     "cos",
     "cosh",
+    "erf",
     "exp",
     "flatten",
     "flip",

@@ -376,3 +376,91 @@ def test_phi_compiled_decode_matches_eager():
     got = generate_compiled(model, params, md.Tensor(ids), 7)
     np.testing.assert_array_equal(np.asarray(got.detach()),
                                   np.asarray(want.detach()))
+
+
+# -- Gemma family: GeGLU + (1+w) RMSNorm + folded sqrt(d) embeddings -------
+
+
+def _gemma_tiny(kv_heads=2, act="gelu_pytorch_tanh"):
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    cfg = GemmaConfig(
+        vocab_size=97, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=kv_heads, head_dim=8,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        rope_theta=10000.0, hidden_act=act,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(11)
+    return GemmaForCausalLM(cfg).double().eval()
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2, 1])
+def test_gemma_logits(backend, kv_heads):
+    hf = _gemma_tiny(kv_heads)
+    model, params = from_hf(hf)  # dispatcher keys on config.model_type
+    assert model.blocks[0].mlp == "geglu"
+    ids = np.random.RandomState(12).randint(0, 97, size=(2, 9))
+    ours = _our_logits(model, params, ids)
+    want = _hf_logits(hf, ids)
+    # HF GemmaRMSNorm hard-codes float32 stats even for double models;
+    # 1e-5/1e-7 is the same tolerance class as the LLaMA f32-cast tests
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-7)
+
+
+def test_gemma_exact_erf_gelu(backend):
+    # original-release checkpoints use the EXACT erf GELU -> md.erf path
+    hf = _gemma_tiny(act="gelu")
+    model, params = from_hf(hf)
+    assert model.blocks[0].mlp == "geglu_erf"
+    ids = np.random.RandomState(13).randint(0, 97, size=(1, 7))
+    np.testing.assert_allclose(_our_logits(model, params, ids),
+                               _hf_logits(hf, ids), rtol=1e-5, atol=1e-7)
+
+
+def test_gemma_greedy_generate_matches_hf(backend):
+    hf = _gemma_tiny()
+    model, params = from_hf(hf)
+    ids = np.random.RandomState(14).randint(0, 97, size=(1, 5))
+    with torch.no_grad():
+        want = hf.generate(
+            torch.tensor(ids, dtype=torch.long), max_new_tokens=8,
+            do_sample=False, pad_token_id=0).numpy()
+    got = generate(model, params, md.Tensor(ids), max_new_tokens=8,
+                   greedy=True)
+    np.testing.assert_array_equal(np.asarray(got.detach()), want)
+
+
+def test_gemma_cached_decode_agrees(backend):
+    hf = _gemma_tiny()
+    model, params = from_hf(hf)
+    ids = np.random.RandomState(15).randint(0, 97, size=(1, 6))
+    a = generate(model, params, md.Tensor(ids), max_new_tokens=6,
+                 greedy=True)
+    b = generate_cached(model, params, md.Tensor(ids), 6)
+    np.testing.assert_array_equal(np.asarray(a.detach()),
+                                  np.asarray(b.detach()))
+
+
+def test_gemma_softcap_refused():
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    cfg = GemmaConfig(vocab_size=97, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      head_dim=8)
+    cfg.attn_logit_softcapping = 50.0
+    torch.manual_seed(16)
+    with pytest.raises(ValueError, match="soft-capping"):
+        from_hf(GemmaForCausalLM(cfg))
+
+
+def test_gemma_nonstandard_head_dim_refused():
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    cfg = GemmaConfig(vocab_size=97, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      head_dim=16)  # != hidden // heads
+    torch.manual_seed(17)
+    with pytest.raises(ValueError, match="head_dim"):
+        from_hf(GemmaForCausalLM(cfg))

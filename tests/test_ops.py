@@ -94,7 +94,8 @@ def rand_axis_subset():
 # ---------------------------------------------------------------------------
 
 ELEMENTWISE_UNARY = [
-    "absolute", "cos", "cosh", "exp", "log", "sin", "sinh", "tan", "tanh",
+    "absolute", "cos", "cosh", "erf", "exp", "log", "sin", "sinh", "tan",
+    "tanh",
 ]
 
 
