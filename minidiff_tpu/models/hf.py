@@ -19,6 +19,10 @@ precision; tests pin float64 agreement at 1e-10):
   fused QKV column order changes: HF groups [q|k|v] each head-major, we
   keep HEAD-major (h, 3, hd) so TP shards hold whole heads
   (transformer.py project_qkv).
+* **Phi** (parallel residual blocks + PARTIAL rotary + biased
+  projections/head) and **Gemma** (GeGLU, (1+w) RMSNorm, sqrt(d)-scaled
+  embeddings — all three folded exactly at conversion) map onto the same
+  TransformerLM options; see their converters below.
 * **LLaMA / Mistral / Qwen-style** (RMSNorm + SwiGLU + RoPE + GQA) maps
   with two layout moves: torch Linear weights (out, in) transpose to our
   (in, out), and q/k output columns permute per head from HF's rotate-half
@@ -44,7 +48,8 @@ from minidiff_tpu.models.transformer import TransformerLM
 if TYPE_CHECKING:
     from typing import Any, Dict, Optional, Tuple
 
-__all__ = ["from_hf", "from_hf_gpt2", "from_hf_llama", "to_hf_state_dict"]
+__all__ = ["from_hf", "from_hf_gpt2", "from_hf_llama",
+           "from_hf_phi", "from_hf_gemma", "to_hf_state_dict"]
 
 
 def _np(t) -> np.ndarray:
