@@ -315,10 +315,12 @@ def _arr(t: "md.Tensor") -> np.ndarray:
 
 def to_hf_state_dict(model: "TransformerLM", params) -> "Dict[str, Any]":
     """Inverse of from_hf_*: a TransformerLM parameter tree -> torch state
-    dict in the matching HF layout (GPT-2 when the model uses learned
-    positions + LayerNorm, LLaMA-family when rope + RMSNorm).  Exact inverse
-    of the import mapping — ``to_hf_state_dict(*from_hf(m))`` reproduces
-    ``m.state_dict()`` bitwise (modulo dtype).  Load with
+    dict in the matching HF layout — GPT-2 (learned positions + LayerNorm),
+    Phi (parallel blocks), Gemma (GeGLU + unfolded norm/embedding scales),
+    or LLaMA-family (rope + RMSNorm + SwiGLU).  Exact inverse of the
+    import mapping — ``to_hf_state_dict(*from_hf(m))`` reproduces
+    ``m.state_dict()`` bitwise for GPT-2/LLaMA/Phi and to f64 rounding for
+    Gemma (whose import folds multiply by sqrt(d)).  Load with
     ``hf_model.load_state_dict(sd, strict=False)`` (non-persistent HF
     buffers like GPT-2's causal-mask ``attn.bias`` are not weights)."""
     torch = _torch()
@@ -331,6 +333,74 @@ def to_hf_state_dict(model: "TransformerLM", params) -> "Dict[str, Any]":
     kv = blk0.attn.num_kv_heads
     d = model.dim
     sd: "Dict[str, Any]" = {}
+    if getattr(blk0, "parallel", False):  # Phi layout
+        rot = blk0.attn.rope_dim or hd
+        inv = np.argsort(_rope_perm_partial(hd, rot))
+        sd["model.embed_tokens.weight"] = T(_arr(params["tok_emb"]))
+        for i, bp in enumerate(params["blocks"]):
+            p = f"model.layers.{i}."
+            w = _arr(bp["attn"]["qkv"]["w"]).reshape(d, h, 3, hd)
+            b = _arr(bp["attn"]["qkv"]["b"]).reshape(h, 3, hd)
+            sd[p + "self_attn.q_proj.weight"] = T(
+                w[:, :, 0][:, :, inv].reshape(d, d).T)
+            sd[p + "self_attn.q_proj.bias"] = T(
+                b[:, 0][:, inv].reshape(d))
+            sd[p + "self_attn.k_proj.weight"] = T(
+                w[:, :, 1][:, :, inv].reshape(d, d).T)
+            sd[p + "self_attn.k_proj.bias"] = T(
+                b[:, 1][:, inv].reshape(d))
+            sd[p + "self_attn.v_proj.weight"] = T(
+                w[:, :, 2].reshape(d, d).T)
+            sd[p + "self_attn.v_proj.bias"] = T(b[:, 2].reshape(d))
+            sd[p + "self_attn.dense.weight"] = T(_arr(bp["attn"]["out"]["w"]).T)
+            sd[p + "self_attn.dense.bias"] = T(_arr(bp["attn"]["out"]["b"]))
+            sd[p + "mlp.fc1.weight"] = T(_arr(bp["fc1"]["w"]).T)
+            sd[p + "mlp.fc1.bias"] = T(_arr(bp["fc1"]["b"]))
+            sd[p + "mlp.fc2.weight"] = T(_arr(bp["fc2"]["w"]).T)
+            sd[p + "mlp.fc2.bias"] = T(_arr(bp["fc2"]["b"]))
+            sd[p + "input_layernorm.weight"] = T(_arr(bp["ln1"]["g"]))
+            sd[p + "input_layernorm.bias"] = T(_arr(bp["ln1"]["b"]))
+        sd["model.final_layernorm.weight"] = T(_arr(params["ln_f"]["g"]))
+        sd["model.final_layernorm.bias"] = T(_arr(params["ln_f"]["b"]))
+        sd["lm_head.weight"] = T(_arr(params["head"]["w"]).T)
+        sd["lm_head.bias"] = T(_arr(params["head"]["b"]))
+        return sd
+    if model.rope and blk0.mlp in ("geglu", "geglu_erf"):  # Gemma layout
+        # unfold the conversion-time folds (see from_hf_gemma): the sqrt(d)
+        # embedding scale divides back out, norm gains shed the (1 + w)
+        # convention, the final norm regains the sqrt(d) the head fold
+        # removed.  Exact to f64 rounding (one multiply+divide per value).
+        scale = float(np.sqrt(d))
+        inv = np.argsort(_rope_perm(hd))
+        sd["model.embed_tokens.weight"] = T(_arr(params["tok_emb"]) / scale)
+        for i, bp in enumerate(params["blocks"]):
+            p = f"model.layers.{i}."
+            ap = bp["attn"]
+            if "qkv" in ap:
+                w = _arr(ap["qkv"]["w"]).reshape(d, h, 3, hd)
+                wq, wk, wv = w[:, :, 0], w[:, :, 1], w[:, :, 2]
+            else:
+                wq = _arr(ap["wq"]["w"]).reshape(d, h, hd)
+                wkv = _arr(ap["wkv"]["w"]).reshape(d, kv, 2, hd)
+                wk, wv = wkv[:, :, 0], wkv[:, :, 1]
+            sd[p + "self_attn.q_proj.weight"] = T(
+                wq[:, :, inv].reshape(d, h * hd).T)
+            sd[p + "self_attn.k_proj.weight"] = T(
+                wk[:, :, inv].reshape(d, kv * hd).T)
+            sd[p + "self_attn.v_proj.weight"] = T(wv.reshape(d, kv * hd).T)
+            sd[p + "self_attn.o_proj.weight"] = T(_arr(ap["out"]["w"]).T)
+            fc1 = _arr(bp["fc1"]["w"])
+            inner = fc1.shape[1] // 2
+            pair = fc1.reshape(d, inner, 2)
+            sd[p + "mlp.gate_proj.weight"] = T(pair[:, :, 0].T)
+            sd[p + "mlp.up_proj.weight"] = T(pair[:, :, 1].T)
+            sd[p + "mlp.down_proj.weight"] = T(_arr(bp["fc2"]["w"]).T)
+            sd[p + "input_layernorm.weight"] = T(_arr(bp["ln1"]["g"]) - 1.0)
+            sd[p + "post_attention_layernorm.weight"] = T(
+                _arr(bp["ln2"]["g"]) - 1.0)
+        sd["model.norm.weight"] = T(_arr(params["ln_f"]["g"]) * scale - 1.0)
+        sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+        return sd
     if not model.rope:  # GPT-2 layout
         sd["transformer.wte.weight"] = T(_arr(params["tok_emb"]))
         sd["transformer.wpe.weight"] = T(_arr(params["pos_emb"]))

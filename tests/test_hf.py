@@ -464,3 +464,40 @@ def test_gemma_nonstandard_head_dim_refused():
     torch.manual_seed(17)
     with pytest.raises(ValueError, match="head_dim"):
         from_hf(GemmaForCausalLM(cfg))
+
+
+def test_phi_roundtrip_export(backend):
+    hf = _phi_tiny()
+    model, params = from_hf(hf)
+    sd = to_hf_state_dict(model, params)
+    want = hf.state_dict()
+    assert set(sd) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(sd[k].numpy(), want[k].numpy(),
+                                      err_msg=k)
+
+
+def test_gemma_roundtrip_export(backend):
+    hf = _gemma_tiny(kv_heads=2)
+    model, params = from_hf(hf)
+    sd = to_hf_state_dict(model, params)
+    want = hf.state_dict()
+    assert set(sd) == set(want)
+    for k in want:
+        np.testing.assert_allclose(sd[k].numpy(), want[k].numpy(),
+                                   rtol=1e-14, atol=1e-15, err_msg=k)
+
+
+def test_gemma_export_loads_into_fresh_hf_model(backend):
+    hf = _gemma_tiny()
+    model, params = from_hf(hf)
+    sd = to_hf_state_dict(model, params)
+    fresh = _gemma_tiny()  # same seed/config, then overwrite
+    with torch.no_grad():
+        for k, v in fresh.state_dict().items():
+            v.zero_()
+    missing, unexpected = fresh.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    ids = np.random.RandomState(18).randint(0, 97, size=(1, 6))
+    np.testing.assert_allclose(_hf_logits(fresh, ids), _hf_logits(hf, ids),
+                               rtol=1e-12, atol=1e-12)
