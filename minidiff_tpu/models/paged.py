@@ -46,7 +46,7 @@ import numpy as np
 
 import minidiff_tpu as md
 from minidiff_tpu.models import functional as F
-from minidiff_tpu.models.server import _BUCKET, DecodeServer, _is_tensor
+from minidiff_tpu.models.server import _BUCKET, DecodeServer
 from minidiff_tpu.models.speculative import _chunk_step
 
 if TYPE_CHECKING:
