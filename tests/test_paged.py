@@ -316,3 +316,77 @@ def test_paged_kernel_single_page_slot():
     # pos inside the first page: only page 0 of the table is live
     _paged_kernel_case(b=2, kv=2, g=2, maxp=4, used=[1, 1],
                        dtype=jnp.float32, seed=3)
+
+
+# -- adversarial page-boundary edges for the rows (prefix/chunked) path ----
+
+
+def test_paged_prefix_on_exact_page_boundary():
+    # prefix of exactly PAGE tokens: suffix KV starts in page 1; decode
+    # from position p0+s0 must allocate and read across the boundary
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=512, rope=True)
+    params = model.init()
+    srv = PagedDecodeServer(model, params, max_batch=2, window=512)
+    rng = np.random.default_rng(20)
+    sys_prompt = list(rng.integers(0, 17, PAGE))  # exactly one page
+    pid = srv.register_prefix(sys_prompt)
+    suffix = list(rng.integers(0, 17, 5))
+    s = srv.submit(suffix, max_new_tokens=6, prefix=pid)
+    assert srv.pages_in_use() == 2  # ceil((128 + 5) / 128)
+    _drain(srv)
+    assert srv.collect(s) == _reference(model, params,
+                                        sys_prompt + suffix, 6)
+
+
+def test_paged_prefix_combined_lands_on_boundary():
+    # p0 + s0 == 2*PAGE exactly: the FIRST decode step crosses into a
+    # fresh page (step() must allocate before the program runs)
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=512)
+    params = model.init()
+    srv = PagedDecodeServer(model, params, max_batch=2, window=512)
+    rng = np.random.default_rng(21)
+    sys_prompt = list(rng.integers(0, 17, 100))
+    pid = srv.register_prefix(sys_prompt)
+    suffix = list(rng.integers(0, 17, 2 * PAGE - 100))  # combined = 256
+    s = srv.submit(suffix, max_new_tokens=4, prefix=pid)
+    assert srv.pages_in_use() == 2
+    _drain(srv)
+    assert srv.pages_in_use() == 3  # decode crossed into page 3
+    assert srv.collect(s) == _reference(model, params,
+                                        sys_prompt + suffix, 4)
+
+
+def test_paged_chunked_prompt_on_exact_boundary():
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=512)
+    params = model.init()
+    srv = PagedDecodeServer(model, params, max_batch=2, window=512,
+                            prefill_chunk=128)
+    rng = np.random.default_rng(22)
+    p = list(rng.integers(0, 17, 256))  # exactly 2 chunks, 2 pages
+    s = srv.submit(p, max_new_tokens=4)
+    assert srv.pages_in_use() == 2
+    _drain(srv)
+    assert srv.collect(s) == _reference(model, params, p, 4)
+
+
+def test_paged_prefix_neighbor_isolation():
+    # a direct-path slot and a prefix-path slot decode together; the
+    # prefix slot's row scatter must not touch the neighbor's pages
+    model = TransformerLM(vocab_size=17, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256)
+    params = model.init()
+    srv = PagedDecodeServer(model, params, max_batch=2, window=256)
+    rng = np.random.default_rng(23)
+    p_direct = list(rng.integers(0, 17, 7))
+    s1 = srv.submit(p_direct, max_new_tokens=8)
+    sys_prompt = list(rng.integers(0, 17, 6))
+    pid = srv.register_prefix(sys_prompt)
+    suffix = list(rng.integers(0, 17, 4))
+    s2 = srv.submit(suffix, max_new_tokens=8, prefix=pid)
+    _drain(srv)
+    assert srv.collect(s1) == _reference(model, params, p_direct, 8)
+    assert srv.collect(s2) == _reference(model, params,
+                                         sys_prompt + suffix, 8)
