@@ -306,3 +306,62 @@ def test_grouped_moe_lm_trains():
         params, state, loss = step(params, state, x, y)
         losses.append(float(loss.item()))
     assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_grouped_extreme_capacity_drop(backend):
+    # capacity 1: nearly every token drops; dump-slot collisions must not
+    # corrupt live slots, and outputs still match the one-hot oracle
+    np.random.seed(40)
+    dense = MoEFeedForward(dim=8, num_experts=4, mlp_ratio=1, k=1,
+                           capacity_factor=0.02, grouped=False)
+    grouped = MoEFeedForward(dim=8, num_experts=4, mlp_ratio=1, k=1,
+                             capacity_factor=0.02, grouped=True)
+    np.random.seed(41)
+    p1 = dense.init()
+    np.random.seed(41)
+    p2 = grouped.init()
+    x = md.Tensor(np.random.RandomState(42).randn(2, 32, 8))
+    assert dense.capacity(64) == 1
+    y1, _ = dense.apply_with_aux(p1, x)
+    y2, _ = grouped.apply_with_aux(p2, x)
+    np.testing.assert_allclose(np.asarray(y2.detach(), np.float64),
+                               np.asarray(y1.detach(), np.float64),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_grouped_fewer_tokens_than_experts(backend):
+    np.random.seed(43)
+    dense = MoEFeedForward(dim=8, num_experts=16, mlp_ratio=1, k=1,
+                           grouped=False)
+    grouped = MoEFeedForward(dim=8, num_experts=16, mlp_ratio=1, k=1,
+                             grouped=True)
+    np.random.seed(44)
+    p1 = dense.init()
+    np.random.seed(44)
+    p2 = grouped.init()
+    x = md.Tensor(np.random.RandomState(45).randn(1, 4, 8))  # T=4 < E=16
+    y1, _ = dense.apply_with_aux(p1, x)
+    y2, _ = grouped.apply_with_aux(p2, x)
+    np.testing.assert_allclose(np.asarray(y2.detach(), np.float64),
+                               np.asarray(y1.detach(), np.float64),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_grouped_bf16_matches_one_hot():
+    md.set_backend("xla")
+    np.random.seed(46)
+    dense = MoEFeedForward(dim=16, num_experts=8, mlp_ratio=2, k=2,
+                           grouped=False, dtype=md.bfloat16)
+    grouped = MoEFeedForward(dim=16, num_experts=8, mlp_ratio=2, k=2,
+                             grouped=True, dtype=md.bfloat16)
+    np.random.seed(47)
+    p1 = dense.init()
+    np.random.seed(47)
+    p2 = grouped.init()
+    x = md.Tensor(np.random.RandomState(48).randn(2, 64, 16)).astype(
+        md.bfloat16)
+    y1, a1 = dense.apply_with_aux(p1, x)
+    y2, a2 = grouped.apply_with_aux(p2, x)
+    np.testing.assert_allclose(
+        np.asarray(y2.astype(md.float32).detach()),
+        np.asarray(y1.astype(md.float32).detach()), rtol=3e-2, atol=3e-2)
