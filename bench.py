@@ -368,7 +368,13 @@ def _decode_throughput() -> dict:
     except Exception as e:
         out["paged_bench_error"] = str(e)[:120]
     try:
-        out.update(SB.packed_vs_padded(model_srv, seq_len=1024))
+        from benchmarks import serving_bench as SB2
+        from minidiff_tpu.models import TransformerLM as _TLM2
+
+        model_pack = _TLM2(vocab_size=T.VOCAB, dim=T.DIM,
+                           num_heads=T.HEADS, num_layers=T.LAYERS,
+                           max_seq_len=1024, dtype=md.bfloat16)
+        out.update(SB2.packed_vs_padded(model_pack, seq_len=1024))
     except Exception as e:
         out["packed_bench_error"] = str(e)[:120]
 

@@ -41,9 +41,15 @@ class NumpyBackend:
 
     @staticmethod
     def erf(x):
-        from scipy.special import erf as _erf
+        try:  # scipy's vectorized erf when present (not a declared dep)
+            from scipy.special import erf as _erf
 
-        return _erf(np.asarray(x))
+            return _erf(np.asarray(x))
+        except ImportError:  # stdlib fallback: exact, element-at-a-time
+            import math
+
+            return np.vectorize(math.erf, otypes=[np.float64])(
+                np.asarray(x, np.float64)).astype(np.asarray(x).dtype)
 
     exp = staticmethod(np.exp)
     floor = staticmethod(np.floor)

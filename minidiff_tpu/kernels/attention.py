@@ -41,6 +41,12 @@ _FWD_BLOCKS = ((1024, 1024), (512, 512), (1024, 512), (512, 1024),
                (256, 512), (256, 256), (128, 256), (128, 128))
 _BWD_BLOCKS = ((512, 512), (1024, 512), (512, 1024), (256, 512),
                (256, 256), (128, 128))
+# AUTOTUNE=0 static picks: conservative r3 tables.  The large candidates
+# above are validated by the race's compile-or-lose-loudly path; the
+# static path has no such fallback, so it must not lead with tiles whose
+# VMEM footprint can overflow at untested (dtype, head-dim) combinations.
+_STATIC_FWD = ((256, 512), (256, 256), (128, 256), (128, 128))
+_STATIC_BWD = ((512, 512), (256, 512), (256, 256), (128, 128))
 _NEG_INF = -1e30
 
 
@@ -1079,8 +1085,8 @@ def _attn_decision(bh, s, sk, d, dtype, causal, window=None, sinks=0,
     if key not in _attn_cache:
         if _os.environ.get("MINIDIFF_TPU_AUTOTUNE", "1") == "0":
             _attn_cache[key] = (
-                _pick_blocks(_FWD_BLOCKS, s, sk),
-                _pick_blocks(_BWD_BLOCKS, s, sk),
+                _pick_blocks(_STATIC_FWD, s, sk),
+                _pick_blocks(_STATIC_BWD, s, sk),
             )
         else:
             from minidiff_tpu.kernels import tunecache

@@ -333,8 +333,10 @@ class TransformerLM(Module):
         # tie_embeddings: logits = x @ tok_emb^T — no separate head weight;
         # the embedding gets gradient from both its uses through the tape
         self.tie_embeddings = tie_embeddings
+        if tie_embeddings and head_bias:
+            raise ValueError(
+                "head_bias requires an untied head (tie_embeddings=False)")
         if not tie_embeddings:
-            assert not (tie_embeddings and head_bias)
             self.head = Linear(dim, vocab_size, bias=head_bias, dtype=dtype)
         self.dtype = dtype
 

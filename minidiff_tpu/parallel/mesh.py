@@ -124,7 +124,8 @@ def transformer_sharding_rules(params: "Any") -> "Any":
         blocks.append({
             "ln1": norm_rules(blk["ln1"]),
             "attn": attn_rules(blk["attn"]),
-            "ln2": norm_rules(blk["ln2"]),
+            # parallel blocks (Phi) have no ln2 — mirror the actual tree
+            **({"ln2": norm_rules(blk["ln2"])} if "ln2" in blk else {}),
             # column-parallel fc1 also covers SwiGLU: its gate/value columns
             # are PAIR-major, so a tp shard holds matching pairs
             # (mlp_bias=False drops the b leaves — mirror what exists)
@@ -144,6 +145,8 @@ def transformer_sharding_rules(params: "Any") -> "Any":
         rules["pos_emb"] = PartitionSpec()
     if "head" in params:
         rules["head"] = {"w": PartitionSpec(None, "tp")}
+        if "b" in params["head"]:  # head_bias (Phi): column-parallel
+            rules["head"]["b"] = PartitionSpec("tp")
     return rules
 
 
@@ -183,6 +186,8 @@ def mamba_sharding_rules(params: "Any") -> "Any":
     }
     if "head" in params:
         rules["head"] = {"w": PartitionSpec(None, "tp")}
+        if "b" in params["head"]:  # head_bias (Phi): column-parallel
+            rules["head"]["b"] = PartitionSpec("tp")
     return rules
 
 

@@ -365,8 +365,12 @@ def _ring_block(blk, params, x, sp: int, axis_name: str, positions=None,
                            causal=attn.causal, expand_kv=attn.expand_kv,
                            window=attn.window, sinks=attn.sinks)
     o = md.transpose(o, axes=(0, 2, 1, 3)).reshape((b, s, d))
-    x = x + attn.out.apply(params["attn"]["out"], o)
-
+    a = attn.out.apply(params["attn"]["out"], o)
+    if getattr(blk, "parallel", False):
+        # Phi-style parallel residual: both branches read the SAME ln1(x)
+        # (matching TransformerBlock.apply / functional.block_finish)
+        return x + a + blk.apply_mlp(params, xa)
+    x = x + a
     return x + blk.apply_mlp(params, x)
 
 

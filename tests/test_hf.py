@@ -501,3 +501,74 @@ def test_gemma_export_loads_into_fresh_hf_model(backend):
     ids = np.random.RandomState(18).randint(0, 97, size=(1, 6))
     np.testing.assert_allclose(_hf_logits(fresh, ids), _hf_logits(hf, ids),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_phi_sharding_rules_and_tp_step():
+    # parallel blocks have no ln2 and a biased head: the sharding rules
+    # must mirror the actual tree (review finding: KeyError 'ln2')
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from transformers import PhiConfig, PhiForCausalLM
+
+    from minidiff_tpu import parallel
+    from minidiff_tpu.models import SGD, lm_loss
+
+    md.set_backend("xla")
+    cfg = PhiConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        partial_rotary_factor=0.5, max_position_embeddings=64,
+        resid_pdrop=0.0, embd_pdrop=0.0, attention_dropout=0.0)
+    torch.manual_seed(22)
+    hf = PhiForCausalLM(cfg).double().eval()
+    model, params = from_hf(hf)
+    rules = parallel.transformer_sharding_rules(params)
+    assert "ln2" not in rules["blocks"][0]
+    assert "b" in rules["head"]
+    mesh = parallel.make_mesh({"dp": 4, "tp": 2})
+    step, place_params, place_batch = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.01), loss_fn=lm_loss, param_specs=rules)
+    x = md.Tensor(np.random.RandomState(20).randint(0, 96, size=(8, 8)))
+    xb, yb = place_batch(x, x)
+    p = place_params(params)
+    p, s, loss = step(p, None, xb, yb)
+    assert np.isfinite(float(loss.item()))
+
+
+def test_phi_ring_attention_parity():
+    # review finding: the ring block ignored parallel residuals — the
+    # sequence-parallel step must match the single-device step exactly
+    import jax as _jax
+
+    if len(_jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from minidiff_tpu import parallel
+    from minidiff_tpu.models import SGD, lm_loss, make_train_step
+
+    md.set_backend("xla")
+    hf = _phi_tiny()
+    model, params = from_hf(hf)
+    x = md.Tensor(np.random.RandomState(21).randint(0, 97, size=(2, 16)))
+
+    step1 = make_train_step(model, SGD(0.05), loss_fn=lm_loss)
+    p1, _, loss1 = step1(params, None, x, x)
+
+    mesh = parallel.make_mesh({"sp": 4})
+    ring_step, ring_params, ring_state = parallel.make_ring_train_step(
+        model, mesh, SGD(0.05), init_params=params)
+    ring_params, ring_state, loss4 = ring_step(ring_params, ring_state, x, x)
+    np.testing.assert_allclose(float(loss4.item()), float(loss1.item()),
+                               rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ring_params["blocks"][0]["fc1"]["w"]),
+        np.asarray(p1["blocks"][0]["fc1"]["w"]), rtol=1e-8, atol=1e-10)
+
+
+def test_tied_head_bias_refused():
+    from minidiff_tpu.models import TransformerLM
+
+    with pytest.raises(ValueError, match="head_bias"):
+        TransformerLM(vocab_size=16, dim=8, num_heads=2,
+                      tie_embeddings=True, head_bias=True)

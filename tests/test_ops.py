@@ -769,3 +769,24 @@ def test_var_std_ddof_grads(backend):
     mu = 7.0 / 3.0
     expect = 2 * (np.array([1.0, 2.0, 4.0]) - mu) / 2.0
     np.testing.assert_allclose(np.asarray(x.grad), expect, rtol=1e-10)
+
+
+def test_numpy_erf_fallback_without_scipy(monkeypatch):
+    """The numpy oracle's erf must work on installs without scipy (review
+    finding: scipy is not a declared dependency)."""
+    import builtins
+    import math
+
+    real_import = builtins.__import__
+
+    def no_scipy(name, *a, **k):
+        if name.startswith("scipy"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_scipy)
+    from minidiff_tpu.backend.numpy_backend import NumpyBackend
+
+    x = np.array([0.0, 0.5, -1.5, 3.0])
+    out = NumpyBackend.erf(x)
+    np.testing.assert_allclose(out, [math.erf(v) for v in x], rtol=1e-12)
