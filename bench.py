@@ -10,8 +10,14 @@ jax.value_and_grad and the same SGD update, in one jax.jit program.
 vs_baseline > 1.0 means the framework trains the same model FASTER than the
 handwritten jax.grad implementation (the flash backward is where it wins).
 
-Prints ONE JSON line.  A secondary matmul-parity check (BASELINE config 4)
-rides in `detail`.
+Prints the headline JSON line TWICE: once immediately after the train-step
+measurement (so a driver timeout still captures the number — rounds 2 and 4
+lost their perf evidence to rc!=0 runs that died before the single print),
+and once enriched with the detail sections at the end.  Both lines carry the
+same metric/value; parse either.  Detail rows run under a wall-clock budget
+(``MINIDIFF_BENCH_BUDGET_S``, default 480 s measured from process start);
+rows that would start past the budget are skipped and named in
+``detail["budget_exhausted"]``.
 
 Timing protocol: the device sits behind an async tunnel, so each measurement
 chains K data-dependent steps (params feed back in) closed by a scalar host
@@ -40,6 +46,22 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+
+# Wall-clock budget for the EXPENDABLE detail rows, measured from process
+# start.  The headline is never skipped; each detail row checks the clock
+# before starting and is dropped (by name) once the budget is spent, so a
+# driver with a hard timeout always gets a parseable line well before it.
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("MINIDIFF_BENCH_BUDGET_S", "480"))
+_SKIPPED: list = []
+
+
+def _row_allowed(name: str) -> bool:
+    if time.monotonic() - _T0 > _BUDGET_S:
+        _SKIPPED.append(name)
+        return False
+    return True
+
 
 # flagship config: head_dim 128 (flash-eligible), bf16 compute
 VOCAB, DIM, HEADS, LAYERS, SEQ, BATCH = 512, 1024, 8, 4, 1024, 8
@@ -189,7 +211,12 @@ def _matmul_parity() -> dict:
 
 
 def _decode_throughput() -> dict:
-    """Serving path vs the handwritten jax.lax.scan twin (chained timing)."""
+    """Serving path vs the handwritten jax.lax.scan twin (chained timing).
+
+    Every row checks the wall-clock budget before starting (``_row_allowed``)
+    and is individually exception-guarded, so a slow or broken row can never
+    cost the driver the rows that already ran.
+    """
     import minidiff_tpu as md
     from benchmarks import decode_twin as T
     from minidiff_tpu.models import TransformerLM, generate_compiled
@@ -219,6 +246,8 @@ def _decode_throughput() -> dict:
     # crashed before the single json print.  A row that fails reports its
     # error string and the rest still run.
     out: dict = {}
+    if not _row_allowed("decode"):
+        return out
     try:
         t_fw, t_twin, ratio = T.chain_time_pair(run_fw, run_twin, prompt_np)
         out.update({
@@ -238,6 +267,8 @@ def _decode_throughput() -> dict:
     # decode so throughput drift cancels.
     from minidiff_tpu.models import quantize_for_serving
 
+    if not _row_allowed("decode_int8"):
+        return out
     try:
         qparams = quantize_for_serving(params)
 
@@ -255,6 +286,8 @@ def _decode_throughput() -> dict:
 
     # int8 weights + int8 KV cache (fused sdpa_int8_cache kernel): the
     # remaining HBM stream is the quantized weights plus int8 cache lines
+    if not _row_allowed("decode_int8kv"):
+        return out
     try:
         def run_int8kv(prompt_j):
             return generate_compiled(model, qparams, md.Tensor(prompt_j),
@@ -269,6 +302,8 @@ def _decode_throughput() -> dict:
 
     # int4 weight-only (packed nibbles + group scales, dequant_matmul4):
     # half the int8 weight stream again; paired against int8
+    if not _row_allowed("decode_int4"):
+        return out
     try:
         q4params = quantize_for_serving(params, bits=4)
 
@@ -286,6 +321,8 @@ def _decode_throughput() -> dict:
     # the halved KV stream to beat the dequant overhead (BENCH_r03 showed
     # 0.62x there); at a 4k cache the KV lines dominate the step's HBM
     # traffic and int8-KV must win.  b4 keeps prefill tractable.
+    if not _row_allowed("decode_int8kv_4k"):
+        return out
     try:
         model_lc = TransformerLM(vocab_size=T.VOCAB, dim=T.DIM,
                                  num_heads=T.HEADS, num_layers=T.LAYERS,
@@ -319,6 +356,8 @@ def _decode_throughput() -> dict:
     # int4 ties int8 on speed (the i32-lane unpack VPU ceiling sits at
     # int8's HBM rate — see kernels/quant.py roofline note) and wins on
     # capacity.
+    if not _row_allowed("decode_big"):
+        return out
     try:
         model_big = TransformerLM(vocab_size=T.VOCAB, dim=2048,
                                   num_heads=16, num_kv_heads=4,
@@ -355,6 +394,8 @@ def _decode_throughput() -> dict:
         out["decode_big_error"] = str(e)[:120]
 
     # paged vs dense continuous-batching step programs + sequence packing
+    if not _row_allowed("paged_bench"):
+        return out
     try:
         from benchmarks import serving_bench as SB
         from minidiff_tpu.models import TransformerLM as _TLM
@@ -367,6 +408,8 @@ def _decode_throughput() -> dict:
         out.update(SB.paged_vs_dense(model_srv, params_srv))
     except Exception as e:
         out["paged_bench_error"] = str(e)[:120]
+    if not _row_allowed("packed_bench"):
+        return out
     try:
         from benchmarks import serving_bench as SB2
         from minidiff_tpu.models import TransformerLM as _TLM2
@@ -379,6 +422,8 @@ def _decode_throughput() -> dict:
         out["packed_bench_error"] = str(e)[:120]
 
     # grouped-dispatch MoE step vs the dense-FFN step at equal FLOPs
+    if not _row_allowed("moe_bench"):
+        return out
     try:
         from benchmarks import moe_bench as MB
 
@@ -388,6 +433,8 @@ def _decode_throughput() -> dict:
 
     # Mamba SSM compiled decode (O(1) state, no KV cache) at the same
     # d/L/batch — absolute throughput, not a ratio (different model class)
+    if not _row_allowed("decode_ssm"):
+        return out
     try:
         from minidiff_tpu.models import MambaLM, generate_compiled_ssm
 
@@ -465,15 +512,6 @@ def main() -> None:
     t_md, t_jax, train_ratio = _time_param_pair(
         md_step, params0, jax_step, raw0, probe)
 
-    # headline secured above — detail sections are each expendable
-    try:
-        mm = _matmul_parity()
-    except Exception as e:
-        mm = {"matmul_parity_error": str(e)[:120]}
-    try:
-        decode = _decode_throughput()
-    except Exception as e:
-        decode = {"decode_section_error": str(e)[:120]}
     n_params = sum(int(np.prod(t.shape)) for t in jax.tree.leaves(raw0))
     # 6*P*T covers fwd (2PT) + bwd (4PT) for the matmul params; attention
     # adds 4*b*h*s^2*hd fwd (x3.5 with bwd, /2 causal)
@@ -482,20 +520,12 @@ def main() -> None:
         6 * n_params * tok_per_step
         + 3.5 * 4 * BATCH * HEADS * SEQ * SEQ * (DIM // HEADS) / 2
     )
-
-    # any Pallas compile failure seen anywhere in this run is evidence the
-    # driver should record (empty in a healthy build)
-    from minidiff_tpu.kernels.matmul import kernel_failures
-
-    failures = sorted(f"{fam} @ {key}" for fam, key in kernel_failures())
-
-    print(json.dumps({
+    headline = {
         "metric": "transformer_lm_train_step_speedup_vs_jax_grad",
         "value": round(train_ratio, 4),
         "unit": "x (jax_grad_time / framework_time)",
         "vs_baseline": round(train_ratio, 4),
         "detail": {
-            "kernel_compile_failures": failures,
             "model": f"TransformerLM d{DIM} h{HEADS} L{LAYERS} S{SEQ} "
                      f"V{VOCAB} b{BATCH} bf16 ({n_params/1e6:.1f}M params)",
             "framework_ms_per_step": round(t_md * 1e3, 3),
@@ -503,11 +533,39 @@ def main() -> None:
             "framework_tflops": round(flops / t_md / 1e12, 2),
             "initial_loss_framework": round(l1, 4),
             "initial_loss_jax": round(l2, 4),
-            **mm,
-            **decode,
-            "device": str(jax.devices()[0]),
         },
-    }))
+    }
+    # Headline secured: print it NOW (flushed — stdout may be a pipe whose
+    # buffer a timeout-kill would discard) so a driver timeout during the
+    # expendable detail sections still captures the number.
+    print(json.dumps(headline), flush=True)
+
+    if _row_allowed("matmul_parity"):
+        try:
+            mm = _matmul_parity()
+        except Exception as e:
+            mm = {"matmul_parity_error": str(e)[:120]}
+    else:
+        mm = {}
+    try:
+        decode = _decode_throughput()
+    except Exception as e:
+        decode = {"decode_section_error": str(e)[:120]}
+
+    # any Pallas compile failure seen anywhere in this run is evidence the
+    # driver should record (empty in a healthy build)
+    from minidiff_tpu.kernels.matmul import kernel_failures
+
+    failures = sorted(f"{fam} @ {key}" for fam, key in kernel_failures())
+
+    headline["detail"].update({
+        "kernel_compile_failures": failures,
+        **mm,
+        **decode,
+        "budget_exhausted": list(_SKIPPED),
+        "device": str(jax.devices()[0]),
+    })
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

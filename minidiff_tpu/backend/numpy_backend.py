@@ -48,8 +48,15 @@ class NumpyBackend:
         except ImportError:  # stdlib fallback: exact, element-at-a-time
             import math
 
-            return np.vectorize(math.erf, otypes=[np.float64])(
-                np.asarray(x, np.float64)).astype(np.asarray(x).dtype)
+            xa = np.asarray(x)
+            out = np.vectorize(math.erf, otypes=[np.float64])(
+                xa.astype(np.float64))
+            # match scipy's promotion: floating inputs keep their dtype,
+            # integer/bool inputs promote to float64 (casting back would
+            # truncate erf's (-1, 1) range to {-1, 0, 1})
+            if np.issubdtype(xa.dtype, np.floating):
+                return out.astype(xa.dtype)
+            return out
 
     exp = staticmethod(np.exp)
     floor = staticmethod(np.floor)

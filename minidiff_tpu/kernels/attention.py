@@ -1107,3 +1107,14 @@ def _attn_decision(bh, s, sk, d, dtype, causal, window=None, sinks=0,
                     tunecache.record("attention", key, dec)
             _attn_cache[key] = dec
     return _attn_cache[key]
+
+
+# Decision-relevant sources for the persistent tune cache (see
+# tunecache._fingerprint): the flash kernels, the padding/mask machinery
+# they compile, and the block-candidate tables a recorded pick indexes.
+TUNE_FINGERPRINT_SOURCES = (
+    _fwd_kernel, _bwd_dkv_kernel, _bwd_dq_kernel, _flash_fwd, _flash_bwd,
+    _causal_mask, _block_live, _apply_kv_mask, _apply_seg_mask,
+    _pad_flash_inputs, _recompute_p_ds, _blocks_for, _pick_blocks,
+    _FWD_BLOCKS, _BWD_BLOCKS,
+)

@@ -456,3 +456,13 @@ def rms_grads(x, g, dy, eps: float = 1e-6):
             _row_block(r, d))
         return dx.reshape(x.shape), dg.astype(g.dtype)
     return _jnp_rms_grads(x, g, dy, float(eps))
+
+
+# Decision-relevant sources for the persistent tune cache (see
+# tunecache._fingerprint): the fused kernels + the row-block/eligibility
+# logic a recorded verdict depends on.
+TUNE_FINGERPRINT_SOURCES = (
+    _fwd_kernel, _rms_fwd_kernel, _bwd_kernel, _rms_bwd_kernel,
+    _pallas_ln_fwd, _pallas_ln_bwd, _pallas_rms_fwd, _pallas_rms_bwd,
+    _row_block, _eligible, _pad_partial,
+)

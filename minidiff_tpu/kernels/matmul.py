@@ -643,3 +643,14 @@ def _choose(variant: str, x: jax.Array, y: jax.Array):
                     tunecache.record("matmul", key, dec)
             _choice_cache[key] = dec
     return _choice_cache[key]
+
+
+# Decision-relevant sources for the persistent tune cache: a recorded tile
+# pick stays valid across releases unless the kernels themselves or the
+# candidate tables change (tunecache._fingerprint).  Editing anything else
+# in this module must NOT wipe the family's verdicts.
+TUNE_FINGERPRINT_SOURCES = (
+    _mm_kernel, _pallas_matmul_2d, _mm_nt_kernel, _mm_tn_kernel,
+    _pallas_matmul_nt_2d, _pallas_matmul_tn_2d, _tiles_fit,
+    _TILE_CANDIDATES, _MIN_FLOPS,
+)

@@ -171,20 +171,43 @@ def paged_attention_reference(q, pool_k, pool_v, table, pos, scale: float,
         preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+_FALLBACK_WARNED: set = set()
+
+
 def paged_attention(q, pool_k, pool_v, table, pos, scale=None, window=None,
                     sinks: int = 0):
-    """Dispatch: fused page-walk kernel on TPU, gathered reference off it."""
+    """Dispatch: fused page-walk kernel on TPU, gathered reference off it.
+
+    Eligibility: ``hd`` is the kernel blocks' lane dimension — multiples of
+    64 lower through Mosaic (64 pads to half-utilized lanes but still beats
+    the O(window) gather).  Head dims off the 64 grid (80, 96 — Phi-class)
+    fall back to the gathered reference; that negates the kernel's
+    HBM-traffic claim, so the fallback WARNS once per shape instead of
+    staying silent (ADVICE r4).
+    """
     b, kv, g, hd = q.shape
     scale = float(scale) if scale is not None else 1.0 / (hd ** 0.5)
-    if (_pallas_enabled() and q.dtype in _SUPPORTED
-            and hd % 128 == 0 and pool_k.shape[2] == PAGE):
-        try:
-            return _pallas_paged_attention(q, pool_k, pool_v, table, pos,
-                                           scale, window, int(sinks))
-        except Exception as e:  # lowering failure: loud, then fall back
-            report_kernel_failure(
-                "paged-attn", (b, kv, g, hd, table.shape[1],
-                               str(jnp.dtype(q.dtype))), e)
+    if _pallas_enabled() and q.dtype in _SUPPORTED:
+        if hd % 64 == 0 and pool_k.shape[2] == PAGE:
+            try:
+                return _pallas_paged_attention(q, pool_k, pool_v, table,
+                                               pos, scale, window,
+                                               int(sinks))
+            except Exception as e:  # lowering failure: loud, then fall back
+                report_kernel_failure(
+                    "paged-attn", (b, kv, g, hd, table.shape[1],
+                                   str(jnp.dtype(q.dtype))), e)
+        else:
+            shape_key = (hd, pool_k.shape[2])
+            if shape_key not in _FALLBACK_WARNED:
+                _FALLBACK_WARNED.add(shape_key)
+                import warnings
+
+                warnings.warn(
+                    f"paged_attention: head_dim={hd} (page={pool_k.shape[2]})"
+                    " is not fused-kernel eligible (needs hd % 64 == 0 and"
+                    f" page == {PAGE}); serving falls back to the O(window)"
+                    " gathered reference path", stacklevel=2)
     return paged_attention_reference(q, pool_k, pool_v, table, pos, scale,
                                      window, int(sinks))
 

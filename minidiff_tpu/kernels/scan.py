@@ -261,3 +261,11 @@ def linear_scan(a, b, axis: int = -1):
                         t, trail, bt, cb, t_pad, c_pad)
         return y.reshape(a.shape)
     return _jnp_scan(a, b, ax)
+
+
+# Decision-relevant sources for the persistent tune cache (see
+# tunecache._fingerprint).
+TUNE_FINGERPRINT_SOURCES = (
+    _scan_kernel, _pallas_scan, _combine_shift, _block_scan, _run_padded,
+    _tiles, _canonical,
+)

@@ -16,13 +16,20 @@ JSON lists decode back to tuples).  Files are written atomically
 (tmp+rename); a corrupt or unreadable file degrades to an empty cache,
 never an error.
 
-Staleness control: each file carries a ``__fingerprint__`` entry — a hash
-of the kernel family's own source file plus a schema version.  Editing a
-kernel module invalidates its persisted decisions automatically on next
-load (a decision that still lowers but is now the SLOW choice would
-otherwise persist silently forever).  ``record`` re-reads and merges the
-on-disk file before the atomic replace, so two concurrent processes
-(parallel bench + training job) do not drop each other's decisions.
+Staleness control: each file carries a ``__fingerprint__`` entry.  When the
+family module declares ``TUNE_FINGERPRINT_SOURCES`` (a tuple of the kernel
+functions and candidate tables whose change would invalidate a persisted
+verdict), the fingerprint hashes exactly those sources — editing a
+docstring, a test helper, or an unrelated kernel in the same file keeps the
+family's decisions alive across releases.  Without the declaration it falls
+back to hashing the whole module file.  Either way a changed fingerprint
+discards the persisted decisions on next load (a decision that still lowers
+but is now the SLOW choice would otherwise persist silently forever).
+
+``record`` re-reads the on-disk file before the atomic replace and merges
+ONLY the keys this process actually raced (a dirty set) over it, so two
+concurrent processes (parallel bench + training job) do not drop — or
+overwrite with a stale loaded snapshot — each other's decisions.
 
 Callers must only ``record`` verdicts from races that ran to completion:
 a transient failure (device OOM, tunnel hiccup) maps to an in-memory
@@ -35,6 +42,8 @@ NumPy/CuPy (SURVEY §0).
 from __future__ import annotations
 
 import hashlib
+import importlib
+import inspect
 import json
 import os
 import threading
@@ -42,6 +51,7 @@ import threading
 _LOCK = threading.Lock()
 _LOADED: dict = {}
 _FPRINTS: dict = {}
+_DIRTY: dict = {}  # family -> set of key-reprs recorded by THIS process
 
 _MISS = object()
 _SCHEMA = "2"
@@ -69,21 +79,52 @@ def _file(family: str):
     return os.path.join(root, f"{family}_{_device_tag()}.json")
 
 
-def _fingerprint(family: str) -> str:
-    """Hash of the family's kernel source + schema version.
+def _family_sources(family: str):
+    """The declared fingerprint inputs for a family, or None.
 
-    A decision keyed under one fingerprint is discarded when the kernel
-    module changes — re-racing is minutes, shipping a stale slow pick is
-    forever.
+    Each element of the module's ``TUNE_FINGERPRINT_SOURCES`` is a callable
+    (hashed by its dedented source text) or any other object (hashed by
+    ``repr`` — candidate tables, schema tags).  Any failure → None, which
+    sends the caller to the whole-file fallback.
+    """
+    try:
+        mod = importlib.import_module(f"minidiff_tpu.kernels.{family}")
+        items = getattr(mod, "TUNE_FINGERPRINT_SOURCES", None)
+        if items is None:
+            return None
+        out = []
+        for it in items:
+            if callable(it):
+                out.append(inspect.getsource(it))
+            else:
+                out.append(repr(it))
+        return out
+    except Exception:  # pragma: no cover - frozen/odd installs
+        return None
+
+
+def _fingerprint(family: str) -> str:
+    """Hash of the family's decision-relevant kernel sources + schema.
+
+    A decision keyed under one fingerprint is discarded when those sources
+    change — re-racing is minutes, shipping a stale slow pick is forever.
+    Only the DECLARED kernel functions/candidate tables participate (see
+    ``_family_sources``), so editing unrelated code in the same module no
+    longer wipes a whole family's verdicts every release.
     """
     if family not in _FPRINTS:
         h = hashlib.sha1(_SCHEMA.encode())
-        src = os.path.join(os.path.dirname(__file__), f"{family}.py")
-        try:
-            with open(src, "rb") as fh:
-                h.update(fh.read())
-        except Exception:  # pragma: no cover - frozen/odd installs
-            h.update(b"no-source")
+        srcs = _family_sources(family)
+        if srcs is not None:
+            for s in srcs:
+                h.update(s.encode())
+        else:
+            src = os.path.join(os.path.dirname(__file__), f"{family}.py")
+            try:
+                with open(src, "rb") as fh:
+                    h.update(fh.read())
+            except Exception:  # pragma: no cover - frozen/odd installs
+                h.update(b"no-source")
         _FPRINTS[family] = h.hexdigest()
     return _FPRINTS[family]
 
@@ -128,12 +169,18 @@ def record(family: str, key, value) -> None:
     with _LOCK:
         d = _LOADED.setdefault(family, {})
         d[repr(key)] = value
+        dirty = _DIRTY.setdefault(family, set())
+        dirty.add(repr(key))
         try:
             os.makedirs(os.path.dirname(f), exist_ok=True)
-            # merge entries another process recorded since our load; our
-            # own keys win (we just raced them on this device)
+            # start from the freshest disk contents and overlay ONLY the
+            # keys this process raced itself: entries merely loaded at
+            # lookup time must not clobber a concurrent process's newer
+            # verdicts for keys we never measured
             merged = _read_disk(f, family)
-            merged.update(d)
+            merged.update({k: d[k] for k in dirty if k in d})
+            merged.update(
+                {k: v for k, v in d.items() if k not in merged})
             _LOADED[family] = merged
             out = dict(merged)
             out["__fingerprint__"] = _fingerprint(family)

@@ -280,3 +280,11 @@ def xent_grad(z, lab, g):
                               g.reshape(r), _row_block(r, v))
         return dz.reshape(z.shape)
     return _jnp_xent_grad(z, lab, g)
+
+
+# Decision-relevant sources for the persistent tune cache (see
+# tunecache._fingerprint).
+TUNE_FINGERPRINT_SOURCES = (
+    _fwd_kernel, _bwd_kernel, _pallas_xent_fwd, _pallas_xent_bwd,
+    _row_block, _eligible,
+)

@@ -100,9 +100,10 @@ class MoEFeedForward(Module):
     def _routing_choices(self, params, xt, c):
         """Shared top-k queue arithmetic.
 
-        Yields per choice ``(idx (T,), oh (T, E) f32, gate (T, 1),
-        pos_tok (T,), keep (T,))`` plus the aux loss via the returned
-        closure; ALL position/queue arithmetic runs in f32 regardless of
+        Returns ``(choices, aux)``: a list of per-choice tuples
+        ``(idx (T,), oh (T, E) f32, gate (T, 1), pos_tok (T,), keep (T,))``
+        and the load-balancing aux loss.  ALL position/queue arithmetic
+        runs in f32 regardless of
         model dtype (a bf16 cumsum loses integer exactness past 256,
         silently colliding tokens onto the same capacity slot).
         """

@@ -790,3 +790,11 @@ def test_numpy_erf_fallback_without_scipy(monkeypatch):
     x = np.array([0.0, 0.5, -1.5, 3.0])
     out = NumpyBackend.erf(x)
     np.testing.assert_allclose(out, [math.erf(v) for v in x], rtol=1e-12)
+    # integer inputs promote to float64 like scipy's erf — casting back
+    # would truncate the (-1, 1) range to {-1, 0, 1} (ADVICE r4)
+    xi = np.array([0, 1, -2])
+    oi = NumpyBackend.erf(xi)
+    assert oi.dtype == np.float64
+    np.testing.assert_allclose(oi, [math.erf(v) for v in xi], rtol=1e-12)
+    # float32 keeps its dtype
+    assert NumpyBackend.erf(np.float32(0.5)).dtype == np.float32

@@ -257,13 +257,12 @@ def test_paged_prefix_pages_released_and_reused():
 
 
 def _paged_kernel_case(b, kv, g, maxp, used, dtype, window=None, sinks=0,
-                       seed=0):
+                       seed=0, hd=128):
     import jax.numpy as jnp
 
     from minidiff_tpu.kernels import paged as PK
 
     rng = np.random.default_rng(seed)
-    hd = 128
     P = b * maxp + 1
     q = jnp.asarray(rng.standard_normal((b, kv, g, hd)), dtype)
     pk = jnp.asarray(rng.standard_normal((P, kv, PAGE, hd)), dtype)
@@ -308,6 +307,39 @@ def test_paged_kernel_interpret_window_sinks():
 
     _paged_kernel_case(b=2, kv=1, g=2, maxp=4, used=[4, 3],
                        dtype=jnp.float32, window=192, sinks=2, seed=2)
+
+
+def test_paged_kernel_interpret_head_dim_64():
+    import jax.numpy as jnp
+
+    # GPT-2-class head_dim: lane dim 64 is fused-kernel eligible (ADVICE
+    # r4 widened the gate from hd % 128 to hd % 64)
+    _paged_kernel_case(b=2, kv=2, g=2, maxp=3, used=[2, 3],
+                       dtype=jnp.float32, seed=5, hd=64)
+
+
+def test_paged_dispatch_warns_once_on_ineligible_head_dim(monkeypatch):
+    import warnings
+
+    import jax.numpy as jnp
+
+    from minidiff_tpu.kernels import paged as PK
+
+    monkeypatch.setattr(PK, "_pallas_enabled", lambda: True)
+    PK._FALLBACK_WARNED.clear()
+    rng = np.random.default_rng(0)
+    hd = 80  # Phi-class: off the 64 grid -> gathered fallback, loudly
+    q = jnp.asarray(rng.standard_normal((1, 1, 2, hd)), jnp.float32)
+    pk = jnp.asarray(rng.standard_normal((3, 1, PAGE, hd)), jnp.float32)
+    pv = jnp.asarray(rng.standard_normal((3, 1, PAGE, hd)), jnp.float32)
+    table = jnp.asarray([[1, 2]], jnp.int32)
+    pos = jnp.asarray([150], jnp.int32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        PK.paged_attention(q, pk, pv, table, pos)
+        PK.paged_attention(q, pk, pv, table, pos)  # second call: silent
+    msgs = [x for x in w if "not fused-kernel eligible" in str(x.message)]
+    assert len(msgs) == 1
 
 
 def test_paged_kernel_single_page_slot():

@@ -21,9 +21,11 @@ def cache_dir(tmp_path, monkeypatch):
     monkeypatch.setenv("MINIDIFF_TPU_TUNE_CACHE", str(tmp_path))
     tunecache._LOADED.clear()
     tunecache._FPRINTS.clear()
+    tunecache._DIRTY.clear()
     yield tmp_path
     tunecache._LOADED.clear()
     tunecache._FPRINTS.clear()
+    tunecache._DIRTY.clear()
 
 
 def test_roundtrip_and_tuple_decode(cache_dir):
@@ -71,6 +73,45 @@ def test_concurrent_process_entries_merge(cache_dir):
     tunecache._LOADED.clear()
     assert tunecache.lookup("matmul", ("a",)) == (True, True)
     assert tunecache.lookup("matmul", ("b",)) == (True, (128, 128, 128))
+
+
+def test_loaded_snapshot_does_not_clobber_fresher_disk(cache_dir):
+    # ADVICE r4: a key this process only LOADED (never raced) must not
+    # overwrite a concurrent process's fresher verdict when we record an
+    # unrelated key of our own.
+    tunecache.record("matmul", ("shared",), [128, 128, 128])
+    tunecache._LOADED.clear()
+    tunecache._DIRTY.clear()
+    tunecache.lookup("matmul", ("shared",))  # loads the old verdict
+    # "process B" re-races the shared key and persists a fresher verdict
+    saved = dict(tunecache._LOADED["matmul"])
+    tunecache._LOADED["matmul"] = {}
+    tunecache._DIRTY.clear()
+    tunecache.record("matmul", ("shared",), [512, 512, 512])
+    # back in "process A": record an unrelated key; A's stale loaded copy
+    # of ("shared",) must not win over B's fresher one
+    tunecache._LOADED["matmul"] = saved
+    tunecache._DIRTY.clear()
+    tunecache.record("matmul", ("mine",), True)
+    tunecache._LOADED.clear()
+    assert tunecache.lookup("matmul", ("shared",)) == (
+        True, (512, 512, 512))
+    assert tunecache.lookup("matmul", ("mine",)) == (True, True)
+
+
+def test_fingerprint_uses_declared_sources_only(cache_dir):
+    # Families declaring TUNE_FINGERPRINT_SOURCES hash exactly those
+    # sources; the whole-file fallback fingerprint differs, proving the
+    # declaration is actually in effect (an edit outside the declared
+    # functions keeps decisions alive).
+    for fam in ("matmul", "attention", "layernorm", "xent", "scan"):
+        srcs = tunecache._family_sources(fam)
+        assert srcs is not None and len(srcs) >= 5, fam
+        fp = tunecache._fingerprint(fam)
+        # recompute from the declaration alone — must be deterministic
+        tunecache._FPRINTS.clear()
+        assert tunecache._fingerprint(fam) == fp
+    assert tunecache._family_sources("definitely_not_a_family") is None
 
 
 def test_disabled_cache(monkeypatch):
