@@ -1,14 +1,26 @@
 """Toposort-order cache for repeated backward passes over identical graphs.
 
-Parity with the reference (minidiff/caching.py): under ``reuse_graph``, every
-OpNode also records a structural hash (nested tuples of forward-fn ids) and a
-nested ``_tensor_graph`` list.  The first backward for a given graph *shape*
-runs a real toposort and inverts the nested list into index paths; subsequent
-backwards with the same hash replay the order by indexing — no DFS.
+Capability parity with the reference (minidiff/caching.py): under
+``reuse_graph``, every OpNode also records a structural hash and a nested
+``_tensor_graph`` list; the first backward for a given graph *shape* pays a
+traversal, and subsequent backwards with the same hash replay the order by
+indexing into the nested list — no DFS.
+
+Algorithm (deliberately different shape from the reference, which toposorts
+first and then inverts the nested list with a post-hoc stack walk over it):
+here ONE fused DFS over the OpNode graph emits the postorder AND assigns
+each visited tensor its index path as it descends.  The key observation is
+that ``OpNode.__init__`` lays a node's ``_tensor_graph`` out deterministically
+— for each first-occurrence tensor input, ``[child graph (if non-leaf),
+tensor]`` in op-input order — so while expanding a node whose graph list
+lives at path ``P``, the k-th unique input's slots are computable on the
+spot (``P + (i,)``); the nested list itself is never walked to *build* the
+cache, only to *replay* it.
 
 In the TPU build this is the eager-mode cache; the heavyweight analog is
 :mod:`minidiff_tpu.func`, where the same "same structure ⇒ reuse" idea keys
-jitted XLA executables.
+jitted XLA executables, and :mod:`minidiff_tpu.compiled_backward`, which
+keys one compiled reverse-sweep executable by the same structural hash.
 """
 
 from __future__ import annotations
@@ -17,64 +29,105 @@ from contextvars import ContextVar
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:
-    from typing import List, Tuple
+    from typing import List
 
     import minidiff_tpu as md
 
-_caching_graph = ContextVar("caching_graph", default=False)
-_cached_graph_indices = ContextVar("cached_indices", default=None)
+_replay_enabled = ContextVar("graph_replay_enabled", default=False)
+_replay_paths = ContextVar("graph_replay_paths", default=None)
 
 
 class reuse_graph:
-    """Context manager enabling structural graph caching (caching.py:15-23)."""
+    """Context manager enabling structural graph caching.
+
+    Same user contract as the reference's ``reuse_graph``
+    (minidiff/caching.py:15-23): inside the context, backwards over graphs
+    with identical structure skip the traversal (and, on the XLA backend,
+    replay one compiled executable — compiled_backward.py).
+    """
 
     def __enter__(self):
-        self._prev = _caching_graph.get()
-        _caching_graph.set(True)
-        _cached_graph_indices.set({})
+        self._prev = _replay_enabled.get()
+        _replay_enabled.set(True)
+        _replay_paths.set({})
 
     def __exit__(self, exc_type, exc, tb):
-        _caching_graph.set(self._prev)
-        _cached_graph_indices.set({})
+        _replay_enabled.set(self._prev)
+        _replay_paths.set({})
 
 
 def currently_caching() -> bool:
-    return _caching_graph.get()
+    return _replay_enabled.get()
 
 
 def backward_indices_for_root(root_node: "md.OpNode") -> tuple:
-    """Index paths (into the nested _tensor_graph) for the toposort order.
+    """Index paths (into the nested ``_tensor_graph``) in toposort order.
 
-    Cache miss: toposort once, then walk the nested list to find each sorted
-    tensor's index path (caching.py:31-65).  Cache hit: return memoized paths.
+    Cache miss: one fused DFS assigns paths while producing the postorder
+    (see module docstring).  Cache hit: return the memoized paths.  The
+    emitted order is identical to ``OpNode.toposort()`` — same visit-time
+    seen-check, same child ordering — so replay and fresh traversals are
+    interchangeable.
     """
-    if not _caching_graph.get():
+    import minidiff_tpu as md
+
+    if not _replay_enabled.get():
         raise ValueError(
             "toposort replay requires an active reuse_graph() context")
 
     graph_hash = root_node.hash
-    indices_dict = _cached_graph_indices.get()
-    if graph_hash in indices_dict:
-        return indices_dict[graph_hash]
+    memo = _replay_paths.get()
+    if graph_hash in memo:
+        return memo[graph_hash]
 
-    sorted_tensors = root_node.toposort()
-    if not sorted_tensors:
-        indices_dict[graph_hash] = ()
-        return ()
+    order: list = []
+    seen: set = set()
+    # Frames: ("node", opnode, base) expands a node whose _tensor_graph
+    # list sits at index path `base`; ("child", tensor, tpath, gpath)
+    # visits a tensor whose own slot is `tpath` and whose producing
+    # node's graph list (None for leaves) is `gpath`; ("emit", _, tpath)
+    # appends after the subtree completes.
+    work: list = [("node", root_node, ())]
+    while work:
+        frame = work.pop()
+        kind = frame[0]
+        if kind == "emit":
+            order.append(frame[2])
+        elif kind == "child":
+            _, tensor, tpath, gpath = frame
+            if id(tensor) in seen:
+                continue
+            seen.add(id(tensor))
+            work.append(("emit", None, tpath))
+            if gpath is not None:
+                work.append(("node", tensor.op_node, gpath))
+        else:
+            _, node, base = frame
+            if node is None:
+                continue
+            # reproduce __init__'s slot layout: first-occurrence tensor
+            # inputs in op-input order, non-leaves preceded by their graph
+            children: list = []
+            slot = 0
+            local_seen: set = set()
+            for op_input in node.op_inputs:
+                if not isinstance(op_input, md.Tensor):
+                    continue
+                if id(op_input) in local_seen:
+                    continue
+                local_seen.add(id(op_input))
+                if op_input.is_leaf:
+                    children.append((op_input, base + (slot,), None))
+                    slot += 1
+                else:
+                    children.append(
+                        (op_input, base + (slot + 1,), base + (slot,)))
+                    slot += 2
+            for tensor, tpath, gpath in reversed(children):
+                work.append(("child", tensor, tpath, gpath))
 
-    tensor_to_path = {id(t): None for t in sorted_tensors}
-
-    stack = [([i], item) for i, item in enumerate(root_node._tensor_graph)]
-    while stack:
-        path, item = stack.pop()
-        if isinstance(item, list):
-            stack.extend((path + [i], sub) for i, sub in enumerate(item))
-            continue
-        if id(item) in tensor_to_path:
-            tensor_to_path[id(item)] = path
-
-    indices = tuple(tensor_to_path[id(t)] for t in sorted_tensors)
-    indices_dict[graph_hash] = indices
+    indices = tuple(order)
+    memo[graph_hash] = indices
     return indices
 
 
@@ -100,5 +153,5 @@ def replay_traversal(root_node: "md.OpNode") -> "List[md.Tensor]":
             path[i] = item
     except (IndexError, TypeError):
         path = root_node.toposort()
-        _cached_graph_indices.get().pop(root_node.hash, None)
+        _replay_paths.get().pop(root_node.hash, None)
     return path

@@ -35,11 +35,13 @@ def test_cached_backward_matches_uncached(backend):
 
 
 def test_cache_hit_skips_toposort(backend, monkeypatch):
-    calls = {"n": 0}
+    import minidiff_tpu.caching as mdc
+
+    topo_calls = {"n": 0}
     original = OpNode.toposort
 
     def counting(self):
-        calls["n"] += 1
+        topo_calls["n"] += 1
         return original(self)
 
     monkeypatch.setattr(OpNode, "toposort", counting)
@@ -49,8 +51,35 @@ def test_cache_hit_skips_toposort(backend, monkeypatch):
             w = md.Tensor(np.random.randn(3, 3), allow_grad=True)
             out = md.sum(md.sin(w) * w)
             out.backward(cleanup_mode="keep")
-    # only the first backward of the (structurally identical) graph toposorts
-    assert calls["n"] == 1
+        # one memo entry serves all four structurally identical graphs ...
+        assert len(mdc._replay_paths.get()) == 1
+    # ... and the path-building DFS is fused into the cache-miss handler:
+    # OpNode.toposort (the uncached traversal) never runs inside the context
+    assert topo_calls["n"] == 0
+
+
+def test_fused_path_builder_matches_toposort_order(backend):
+    """The fused DFS (paths assigned while descending) must emit exactly
+    OpNode.toposort's postorder, so replayed and fresh traversals are
+    interchangeable — exercised on a diamond with a repeated input."""
+    import minidiff_tpu.caching as mdc
+
+    with md.reuse_graph():
+        a = md.Tensor(np.random.randn(3), allow_grad=True)
+        b = md.Tensor(np.random.randn(3), allow_grad=True)
+        s = md.sin(a) * b          # shared intermediate
+        out = md.sum(s * s + md.cos(s) + a)   # diamond + repeated s + leaf reuse
+        replayed = mdc.replay_traversal(out.op_node)
+        fresh = out.op_node.toposort()
+        assert [id(t) for t in replayed] == [id(t) for t in fresh]
+        out.backward(cleanup_mode="keep")
+    # grads stay correct through the replayed order
+    sa = np.asarray(a.detach(), np.float64)
+    sb = np.asarray(b.detach(), np.float64)
+    sv = np.sin(sa) * sb
+    want_a = (2 * sv - np.sin(sv)) * np.cos(sa) * sb + 1.0
+    np.testing.assert_allclose(np.asarray(a.grad, np.float64), want_a,
+                               rtol=1e-5)
 
 
 def test_different_structures_get_different_cache_entries(backend):
