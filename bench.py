@@ -210,6 +210,69 @@ def _matmul_parity() -> dict:
     }
 
 
+def _higher_order_cycle() -> dict:
+    """README second-order cycle under reuse_graph: compiled vs eager.
+
+    The compiled path serves f.backward(allow_higher_order=True) as a
+    first-order replay and x.grad.backward() as ONE forward+sweep1+sweep2
+    executable (compiled_backward); the eager path re-tapes every VJP with
+    a separate device dispatch each.  Paired rounds cancel tunnel drift.
+    """
+    import minidiff_tpu as md
+    import minidiff_tpu.compiled_backward as mcb
+
+    n = 128
+    rng = np.random.RandomState(11)
+    xv = jnp.asarray(rng.randn(n, n), jnp.float32)
+
+    def cycle():
+        x = md.Tensor(xv, allow_grad=True)
+        t = md.sin(x)
+        for _ in range(6):
+            t = md.tanh(t * x + 0.1)
+        f = md.sum(t * t)
+        f.backward(allow_higher_order=True)
+        x.grad.backward()
+        return x.grad._data
+
+    def run_k(k):
+        out = None
+        for _ in range(k):
+            out = cycle()
+        return float(jnp.sum(out).astype(jnp.float32))
+
+    probe = jnp.ones((8, 128), jnp.float32)
+    lat = _pull_latency(probe)
+    k = 8
+    pairs = []
+    val_c = val_e = None
+    for _ in range(3):
+        mcb._HO_CYCLES.clear()
+        with md.reuse_graph():
+            run_k(2)  # trace/warm
+            t0 = time.perf_counter()
+            val_c = run_k(k)
+            t_comp = max(time.perf_counter() - t0 - lat, 1e-9) / k
+        os.environ["MINIDIFF_TPU_COMPILED_BACKWARD"] = "0"
+        try:
+            with md.reuse_graph():
+                run_k(1)
+                t0 = time.perf_counter()
+                val_e = run_k(k)
+                t_eager = max(time.perf_counter() - t0 - lat, 1e-9) / k
+        finally:
+            os.environ.pop("MINIDIFF_TPU_COMPILED_BACKWARD", None)
+        pairs.append((t_comp, t_eager))
+    assert val_c is not None and abs(val_c - val_e) < 1e-2 * max(
+        1.0, abs(val_e)), (val_c, val_e)
+    t_c = min(p[0] for p in pairs)
+    ratio = sorted(pe / pc for pc, pe in pairs)[len(pairs) // 2]
+    return {
+        "ho_cycle_ms": round(t_c * 1e3, 3),
+        "ho_cycle_speedup_vs_eager": round(ratio, 4),
+    }
+
+
 def _decode_throughput() -> dict:
     """Serving path vs the handwritten jax.lax.scan twin (chained timing).
 
@@ -547,6 +610,11 @@ def main() -> None:
             mm = {"matmul_parity_error": str(e)[:120]}
     else:
         mm = {}
+    if _row_allowed("ho_cycle"):
+        try:
+            mm.update(_higher_order_cycle())
+        except Exception as e:
+            mm["ho_cycle_error"] = str(e)[:120]
     try:
         decode = _decode_throughput()
     except Exception as e:

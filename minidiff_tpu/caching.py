@@ -54,6 +54,12 @@ class reuse_graph:
     def __exit__(self, exc_type, exc, tb):
         _replay_enabled.set(self._prev)
         _replay_paths.set({})
+        try:
+            import minidiff_tpu.compiled_backward as mcb
+
+            mcb.clear_cycle_live()  # drop pinned tensors between sweeps
+        except Exception:  # pragma: no cover - import-order edges
+            pass
 
 
 def currently_caching() -> bool:

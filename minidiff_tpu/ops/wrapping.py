@@ -59,15 +59,28 @@ def _should_allow_grad(op_inputs: "Sequence[Any]") -> bool:
 
 
 def _validate_op_inputs(op_inputs: "Sequence[Any]", tensor_only: bool) -> None:
-    if tensor_only:
-        if all(isinstance(t, md.Tensor) for t in op_inputs):
-            return
+    seen_tensor = False
+    for t in op_inputs:
+        if isinstance(t, md.Tensor):
+            seen_tensor = True
+            origin = t._ho_origin
+            if origin is not None and not origin.taped:
+                # a tape-free replay of a gradient that WOULD carry a tape
+                # under the eager sweep: building new ops on it would
+                # silently stop higher-order backprop at this tensor —
+                # refuse loudly instead (detach() opts into tape-free use)
+                raise RuntimeError(
+                    "this tensor is a compiled-replay gradient without a "
+                    "tape; using it as an op input would silently diverge "
+                    "from eager higher-order semantics.  Call .detach() to "
+                    "use its value, or set MINIDIFF_TPU_COMPILED_BACKWARD=0 "
+                    "to keep the eager sweep")
+        elif tensor_only:
+            raise ValueError(
+                "every argument to this op must be a minidiff_tpu Tensor")
+    if not seen_tensor:
         raise ValueError(
-            "every argument to this op must be a minidiff_tpu Tensor")
-    if any(isinstance(t, md.Tensor) for t in op_inputs):
-        return
-    raise ValueError(
-        "at least one argument to this op must be a minidiff_tpu Tensor")
+            "at least one argument to this op must be a minidiff_tpu Tensor")
 
 
 def as_tensor_func(func: "Callable[..., Any]") -> "Callable[..., md.Tensor]":

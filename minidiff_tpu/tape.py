@@ -212,20 +212,33 @@ class OpNode:
             if cleanup_mode == "destroy":
                 cleanup_mode = "prune"
 
+        stash_higher = False
         if mdc.currently_caching() and getattr(self, "_cache_meta_complete", False):
             traversal_path = mdc.replay_traversal(self)
             # reuse_graph's executable cache: same structural hash => the
             # whole reverse sweep replays as ONE compiled XLA call (first-
             # order, fresh-grads sweeps on the XLA backend; silently eager
             # otherwise).  SURVEY.md §7 step 7.
-            if not allow_higher_order and reset_grads:
-                import minidiff_tpu.compiled_backward as mcb
+            import minidiff_tpu.compiled_backward as mcb
 
+            if not allow_higher_order and reset_grads:
                 if mcb.try_run(
                     self, traversal_path, seed_grad, retain_grads,
                     cleanup_mode, root_output=root_output,
                 ):
                     return
+            elif allow_higher_order and reset_grads:
+                # higher-order cycle (compiled_backward.try_run_higher):
+                # once a full f.backward(higher) -> grad.backward() cycle
+                # has been traced for this structure, sweep 1 replays
+                # compiled (grad VALUES + markers); until then it runs
+                # eagerly below and stashes its records afterwards
+                if mcb.try_run_higher(
+                    self, traversal_path, seed_grad, cleanup_mode,
+                    root_output,
+                ):
+                    return
+                stash_higher = True
         else:
             traversal_path = self.toposort()
 
@@ -261,6 +274,10 @@ class OpNode:
                     for child in node.tensor_inputs:
                         child.consumer_refs -= 1
                     tensor.wipe()
+            if stash_higher:
+                import minidiff_tpu.compiled_backward as mcb
+
+                mcb.stash_cycle(self, traversal_path, seed_grad, root_output)
         finally:
             # fused-backward memos (sdpa/norm/xent/linear_scan) only carry
             # state BETWEEN the grad calls of one sweep; dropping them here

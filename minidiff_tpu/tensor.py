@@ -114,7 +114,8 @@ class Tensor:
     # fixed layout: Tensors are allocated on every op call and every jit
     # dispatch, so skipping the per-instance __dict__ measurably cuts both
     # construction time and allocator pressure on hot serving paths
-    __slots__ = ("_data", "_allow_grad", "consumer_refs", "grad", "op_node", "__weakref__")
+    __slots__ = ("_data", "_allow_grad", "consumer_refs", "grad", "op_node",
+                 "_ho_origin", "__weakref__")
 
     def __init__(
         self,
@@ -136,6 +137,9 @@ class Tensor:
         self.consumer_refs = 0
         self.grad: Optional[Tensor] = None
         self.op_node: Optional[OpNode] = None
+        # set by compiled_backward's higher-order cycle machinery on grad
+        # tensors it produced/marked; None for every ordinary tensor
+        self._ho_origin = None
 
     # -------- graph state --------
     @property
@@ -204,6 +208,16 @@ class Tensor:
         Silently a no-op on leaves or grad-untracked tensors, matching the
         reference.
         """
+        if self._ho_origin is not None:
+            # this tensor is a gradient the compiled higher-order cycle
+            # machinery produced/marked: serve the recognized second-order
+            # cycle as one executable (compiled_backward.try_run_cycle);
+            # falls through to the eager tape only when one exists
+            import minidiff_tpu.compiled_backward as mcb
+
+            if mcb.try_run_cycle(self, retain_grads, cleanup_mode,
+                                 allow_higher_order, reset_grads):
+                return
         if not self._allow_grad:
             return
         if self.is_leaf:

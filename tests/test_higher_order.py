@@ -285,3 +285,133 @@ def test_jvp_degenerate_functions(backend):
     y2, t2 = md.jvp(lambda z: 2.0 * z)(x, v)
     np.testing.assert_allclose(
         np.asarray(backend_mod.as_numpy(t2._data)), 2.0 * np.array([3.0, 4.0]))
+
+
+# -- compiled higher-order cycle (VERDICT r4 item 5) ------------------------
+#
+# Under reuse_graph, the README cycle f.backward(allow_higher_order=True)
+# followed by x.grad.backward() compiles into ONE executable (forward
+# rebuild + re-taped sweep 1 + second-order sweep); from iteration 2 the
+# first sweep replays compiled too.  Values must match the eager sweep
+# exactly, and every divergence (tape-free replayed grads used as op
+# inputs) must be LOUD, never silent.
+
+
+def _cycle_build(xv, yv):
+    x = md.Tensor(xv, allow_grad=True)
+    y = md.Tensor(yv, allow_grad=True)
+    s = md.exp(md.sin(x) * y)          # needs_output VJP (exp) + sharing
+    f = md.sum(s * s + 2.0 * x)
+    return x, y, f
+
+
+def test_cycle_compiles_once_and_matches_eager():
+    import minidiff_tpu.compiled_backward as mcb
+
+    md.set_backend("xla")
+    # eager reference, outside reuse_graph
+    x0, y0, f0 = _cycle_build(0.7, -1.3)
+    f0.backward(allow_higher_order=True)
+    g1x = float(np.asarray(x0.grad.detach()))
+    g1y = float(np.asarray(y0.grad.detach()))
+    x0.grad.backward()
+    g2x = float(np.asarray(x0.grad.detach()))
+    g2y = float(np.asarray(y0.grad.detach()))
+
+    mcb._HO_CYCLES.clear()
+    with md.reuse_graph():
+        for i in range(3):
+            x, y, f = _cycle_build(0.7, -1.3)
+            f.backward(allow_higher_order=True)
+            np.testing.assert_allclose(float(np.asarray(x.grad.detach())),
+                                       g1x, rtol=1e-10)
+            np.testing.assert_allclose(float(np.asarray(y.grad.detach())),
+                                       g1y, rtol=1e-10)
+            if i >= 1:
+                # warm: sweep 1 replayed compiled -> grads are tape-free
+                assert x.grad.op_node is None
+            x.grad.backward()
+            np.testing.assert_allclose(float(np.asarray(x.grad.detach())),
+                                       g2x, rtol=1e-10)
+            np.testing.assert_allclose(float(np.asarray(y.grad.detach())),
+                                       g2y, rtol=1e-10)
+    # ONE cycle executable serves every iteration
+    assert sum(len(e["cycles"]) for e in mcb._HO_CYCLES.values()) == 1
+
+
+def test_cycle_replayed_grad_op_use_is_loud():
+    import minidiff_tpu.compiled_backward as mcb
+
+    md.set_backend("xla")
+    mcb._HO_CYCLES.clear()
+    with md.reuse_graph():
+        for i in range(2):
+            x, y, f = _cycle_build(0.4, 0.9)
+            f.backward(allow_higher_order=True)
+            if i == 0:
+                x.grad.backward()   # confirm the cycle -> warm next iter
+            else:
+                # warm iteration: x.grad is a tape-free replay; using it as
+                # an op input would silently stop higher-order backprop
+                with pytest.raises(RuntimeError,
+                                   match="compiled-replay gradient"):
+                    md.sum(x.grad * 3.0)
+                # detach() is the documented escape hatch
+                v = md.sum(x.grad.detach() * 3.0)
+                assert np.isfinite(float(np.asarray(v.detach())))
+
+
+def test_cycle_state_cleared_on_context_exit():
+    import minidiff_tpu.compiled_backward as mcb
+
+    md.set_backend("xla")
+    mcb._HO_CYCLES.clear()
+    with md.reuse_graph():
+        x, y, f = _cycle_build(0.2, 0.5)
+        f.backward(allow_higher_order=True)
+        assert any(e["live"] is not None for e in mcb._HO_CYCLES.values())
+    # live tensor refs dropped when the context exits
+    assert all(e["live"] is None for e in mcb._HO_CYCLES.values())
+
+
+def test_cycle_numpy_backend_stays_eager():
+    import minidiff_tpu.compiled_backward as mcb
+
+    md.set_backend("numpy")
+    try:
+        x0, y0, f0 = _cycle_build(0.7, -1.3)
+        f0.backward(allow_higher_order=True)
+        x0.grad.backward()
+        g2x = float(np.asarray(x0.grad.detach()))
+        mcb._HO_CYCLES.clear()
+        with md.reuse_graph():
+            for _ in range(2):
+                x, y, f = _cycle_build(0.7, -1.3)
+                f.backward(allow_higher_order=True)
+                x.grad.backward()
+                np.testing.assert_allclose(
+                    float(np.asarray(x.grad.detach())), g2x, rtol=1e-10)
+        assert not mcb._HO_CYCLES  # no stash off-xla
+    finally:
+        md.set_backend("xla")
+
+
+def test_cycle_second_root_variants_get_separate_executables():
+    import minidiff_tpu.compiled_backward as mcb
+
+    md.set_backend("xla")
+    # eager reference for y.grad.backward()
+    x0, y0, f0 = _cycle_build(0.7, -1.3)
+    f0.backward(allow_higher_order=True)
+    y0.grad.backward()
+    g2y = float(np.asarray(y0.grad.detach()))
+
+    mcb._HO_CYCLES.clear()
+    with md.reuse_graph():
+        for i in range(2):
+            x, y, f = _cycle_build(0.7, -1.3)
+            f.backward(allow_higher_order=True)
+            y.grad.backward()
+            np.testing.assert_allclose(float(np.asarray(y.grad.detach())),
+                                       g2y, rtol=1e-10)
+    assert sum(len(e["cycles"]) for e in mcb._HO_CYCLES.values()) == 1
