@@ -493,6 +493,16 @@ def _decode_throughput() -> dict:
         out.update(MB.moe_vs_dense())
     except Exception as e:
         out["moe_bench_error"] = str(e)[:120]
+    # grouped-vs-one-hot crossover at the scale the grouped design is FOR
+    # (E=64: the one-hot dispatch tensordots cost ~2.5*T^2*d FLOPs there)
+    if not _row_allowed("moe_crossover"):
+        return out
+    try:
+        from benchmarks import moe_bench as MB3
+
+        out.update(MB3.grouped_crossover(64))
+    except Exception as e:
+        out["moe_crossover_error"] = str(e)[:120]
 
     # Mamba SSM compiled decode (O(1) state, no KV cache) at the same
     # d/L/batch — absolute throughput, not a ratio (different model class)

@@ -75,7 +75,8 @@ REQUIRED_ATTRS = [
     "add", "astype", "broadcast_to", "dot", "equal", "expand_dims",
     "floor_divide", "getitem", "greater", "greater_equal", "less",
     "less_equal", "logical_and", "logical_or", "logical_xor", "matmul",
-    "matmul_nt", "matmul_tn", "sdpa", "layernorm", "rmsnorm", "softmax_xent",
+    "matmul_nt", "matmul_tn", "sdpa", "layernorm", "rmsnorm",
+    "add_layernorm", "add_rmsnorm", "softmax_xent",
     "quantize_int8", "dequant_matmul", "quantize_int8_rows", "sdpa_int8_cache",
     "quantize_int4", "dequant_matmul4", "unpack_int4",
     "conv2d", "conv2d_input_grad", "conv2d_kernel_grad",

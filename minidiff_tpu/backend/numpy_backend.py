@@ -342,6 +342,20 @@ class NumpyBackend:
         return y.astype(xd.dtype)
 
     @staticmethod
+    def add_layernorm(x, a, g, b, eps: float = 1e-5):
+        """Fused residual-add + LayerNorm: stacked (2, *x.shape) with
+        [0] = x + a and [1] = layernorm(x + a).  On TPU this is one
+        HBM pass (kernels/layernorm.py); here it is the semantics oracle."""
+        t = np.asarray(x) + np.asarray(a)
+        return np.stack([t, NumpyBackend.layernorm(t, g, b, eps=eps)])
+
+    @staticmethod
+    def add_rmsnorm(x, a, g, eps: float = 1e-6):
+        """Fused residual-add + RMSNorm (see add_layernorm)."""
+        t = np.asarray(x) + np.asarray(a)
+        return np.stack([t, NumpyBackend.rmsnorm(t, g, eps=eps)])
+
+    @staticmethod
     def softmax_xent(z, lab):
         """Per-row softmax cross-entropy loss = lse(z) - z[label]; the
         oracle for the fused TPU kernel (kernels/xent.py).  Same

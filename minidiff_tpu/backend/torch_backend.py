@@ -489,6 +489,18 @@ class TorchBackend:
         return y.to(x.dtype)
 
     @staticmethod
+    def add_layernorm(x, a, g, b, eps: float = 1e-5):
+        # stacked (2, ...): [0] = x + a, [1] = layernorm(x + a) — see the
+        # numpy oracle / kernels/layernorm.py for the fusion story
+        t = _t(x) + _t(a)
+        return torch.stack([t, TorchBackend.layernorm(t, g, b, eps=eps)])
+
+    @staticmethod
+    def add_rmsnorm(x, a, g, eps: float = 1e-6):
+        t = _t(x) + _t(a)
+        return torch.stack([t, TorchBackend.rmsnorm(t, g, eps=eps)])
+
+    @staticmethod
     def softmax_xent(z, lab):
         # same accumulation rule as the numpy oracle
         z, lab = _t(z), _t(lab)

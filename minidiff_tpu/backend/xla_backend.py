@@ -321,6 +321,22 @@ class XlaBackend:
         return _ln.rmsnorm(x, g, eps=eps)
 
     @staticmethod
+    def add_layernorm(x: jax.Array, a: jax.Array, g: jax.Array,
+                      b: jax.Array, eps: float = 1e-5) -> jax.Array:
+        # fused residual-add + LN: one Pallas pass writes both the summed
+        # stream and its norm (kernels/layernorm.py add_layernorm)
+        from minidiff_tpu.kernels import layernorm as _ln
+
+        return _ln.add_layernorm(x, a, g, b, eps=eps)
+
+    @staticmethod
+    def add_rmsnorm(x: jax.Array, a: jax.Array, g: jax.Array,
+                    eps: float = 1e-6) -> jax.Array:
+        from minidiff_tpu.kernels import layernorm as _ln
+
+        return _ln.add_rmsnorm(x, a, g, eps=eps)
+
+    @staticmethod
     def softmax_xent(z: jax.Array, lab: jax.Array) -> jax.Array:
         # fused one-pass loss kernel on TPU when the race says so —
         # kernels/xent.py

@@ -106,6 +106,29 @@ def _causal_mask(s, qi, ki, bq, bk, window=None, sinks=0):
     return jnp.where(keep, s, _NEG_INF)
 
 
+def _masked_scores(s, qi, ki, bq, bk, window, sinks):
+    """Apply the causal/window mask only on blocks it can actually bite.
+
+    A live block strictly below the diagonal and entirely inside the
+    window band is FULLY visible — running the iota/compare/select chain
+    there burns VPU cycles for a no-op (the profile doc prices the mask
+    at ~2 of the ~10 VPU ops per score element).  The edge predicate is a
+    scalar, so Mosaic's scalar core steers around the mask branch for
+    interior blocks.  Sinks only ADD visibility, so a block that is fully
+    visible without sink help needs no mask either.
+    """
+    fully_visible = qi * bq >= ki * bk + bk - 1
+    if window is not None:
+        fully_visible = fully_visible & (
+            (qi * bq + bq - 1) - ki * bk < window)
+    return jax.lax.cond(
+        fully_visible,
+        lambda t: t,
+        lambda t: _causal_mask(t, qi, ki, bq, bk, window=window,
+                               sinks=sinks),
+        s)
+
+
 def _block_live(qi, ki, bq, bk, window, sinks):
     """Whether the (qi, ki) block holds ANY visible (row, col) pair under
     causal + window + sink masking — dead blocks skip their MXU work, which
@@ -170,7 +193,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
             preferred_element_type=jnp.float32,
         ) * jnp.float32(scale)  # (bq, bk)
         if causal:
-            s = _causal_mask(s, qi, ki, bq, bk, window=window, sinks=sinks)
+            s = _masked_scores(s, qi, ki, bq, bk, window, sinks)
         if mask_ref is not None:
             s = _apply_kv_mask(s, mask_ref)
         if qseg_ref is not None:
@@ -299,7 +322,7 @@ def _recompute_p_ds(q, k, v, do, lse, delta, scale, causal, qi, ki, bq, bk,
         preferred_element_type=jnp.float32,
     ) * jnp.float32(scale)  # (bq, bk)
     if causal:
-        s = _causal_mask(s, qi, ki, bq, bk, window=window, sinks=sinks)
+        s = _masked_scores(s, qi, ki, bq, bk, window, sinks)
     if mask_ref is not None:
         s = _apply_kv_mask(s, mask_ref)
     if qseg_ref is not None:
@@ -1114,7 +1137,8 @@ def _attn_decision(bh, s, sk, d, dtype, causal, window=None, sinks=0,
 # they compile, and the block-candidate tables a recorded pick indexes.
 TUNE_FINGERPRINT_SOURCES = (
     _fwd_kernel, _bwd_dkv_kernel, _bwd_dq_kernel, _flash_fwd, _flash_bwd,
-    _causal_mask, _block_live, _apply_kv_mask, _apply_seg_mask,
+    _causal_mask, _masked_scores, _block_live, _apply_kv_mask,
+    _apply_seg_mask,
     _pad_flash_inputs, _recompute_p_ds, _blocks_for, _pick_blocks,
     _FWD_BLOCKS, _BWD_BLOCKS,
 )

@@ -257,6 +257,25 @@ def block_qkv(blk, params, x, positions=None):
     return q, k, v
 
 
+def residual_norm(norm, params, x, a):
+    """``(t, z) = (x + a, norm(x + a))`` via the fused add+norm op.
+
+    On TPU the fused Pallas kernel writes both the summed residual stream
+    and its norm in ONE pass (the separate add's write + norm's re-read of
+    the stream was the LN sites' measured bandwidth overhang); elsewhere
+    the backend computes the same stacked pair composed.  ``norm`` is a
+    LayerNorm or RMSNorm module; higher-order grads re-tape through the
+    composed VJPs like every other op."""
+    from minidiff_tpu.models.transformer import RMSNorm
+
+    if isinstance(norm, RMSNorm):
+        pair = md.add_rmsnorm(x, a, params["g"], eps=norm.eps)
+    else:
+        pair = md.add_layernorm(x, a, params["g"], params["b"],
+                                eps=norm.eps)
+    return pair[0], pair[1]
+
+
 def block_finish(blk, params, x, o):
     """Close a TransformerBlock around attention output ``o`` (b, h, s, hd):
     merge heads, out-projection residual, then the block's MLP residual
@@ -271,5 +290,5 @@ def block_finish(blk, params, x, o):
         # every cached-decode path (one extra LN per block, negligible)
         xa = blk.ln1.apply(params["ln1"], x)
         return x + a + blk.apply_mlp(params, xa)
-    x = x + a
-    return x + blk.apply_mlp(params, x)
+    t, z = residual_norm(blk.ln2, params["ln2"], x, a)
+    return t + blk.apply_mlp_normed(params, z)

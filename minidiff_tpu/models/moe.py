@@ -206,18 +206,18 @@ class MoEFeedForward(Module):
         y = md.tensordot(combine, out, axes=([1, 2], [0, 1]))
         return y.reshape((b, s, d)), aux
 
-    def _apply_grouped(self, params, xt, c):
-        """Gather/scatter dispatch: tables instead of one-hot contractions.
+    def dispatch_grouped(self, params, xt, c):
+        """Gather-based dispatch: ``(expert_in (E, C, d), choices, aux)``.
 
         A slot-to-token table sends each capacity slot to the row that
         fills it (or to an appended zero row for empty slots), so the
-        expert input is ONE differentiable row gather; the combine side is
-        one gather of expert outputs per top-k choice, weighted by the
-        gate.  Bit-identical to the one-hot path (each kept slot is hit by
-        exactly one token) at O(k*T*d) moved bytes and zero dispatch
-        FLOPs — vs the dense masks' 2.5*k*T^2*d.  The int tables are
-        non-differentiable; gradients flow through the gathers (scatter-add
-        transpose) and the gate exactly as in the dense formulation.
+        expert input is ONE differentiable row gather.  Bit-identical to
+        the one-hot dispatch (each kept slot is hit by exactly one token)
+        at O(k*T*d) moved bytes and zero dispatch FLOPs — vs the dense
+        masks' 2.5*k*T^2*d.  The int tables are non-differentiable;
+        gradients flow through the gather (scatter-add transpose) exactly
+        as in the dense formulation.  Shared by the single-device grouped
+        path and the expert-parallel all_to_all path (parallel/moe_ep.py).
         """
         t, d = xt.shape
         e = self.num_experts
@@ -231,14 +231,26 @@ class MoEFeedForward(Module):
             md.index_add(tfs, slot, tok_ids - t)
         xz = md.concat([xt, md.zeros((1, d)).astype(xt.dtype)], axis=0)
         expert_in = xz[tfs[:e * c]].reshape((e, c, d))
-        out = self._experts_forward(params, expert_in)   # (E, C, d)
+        return expert_in, choices, aux
+
+    def combine_grouped(self, choices, out):
+        """Gather-based combine: one expert-output gather per top-k choice,
+        weighted by the gate; ``out`` is the (E, C, d) expert outputs."""
+        e, c, d = out.shape
         out_flat = md.concat([out.reshape((e * c, d)),
                               md.zeros((1, d)).astype(out.dtype)], axis=0)
         y = None
         for slot, gatekeep in choices:
             contrib = out_flat[slot] * gatekeep.astype(out.dtype)
             y = contrib if y is None else y + contrib
-        return y, aux
+        return y
+
+    def _apply_grouped(self, params, xt, c):
+        """Grouped routing: gather dispatch -> stacked experts -> gather
+        combine (see dispatch_grouped for the cost argument)."""
+        expert_in, choices, aux = self.dispatch_grouped(params, xt, c)
+        out = self._experts_forward(params, expert_in)   # (E, C, d)
+        return self.combine_grouped(choices, out), aux
 
     def apply(self, params, x):
         y, _ = self.apply_with_aux(params, x)

@@ -241,15 +241,21 @@ class TransformerBlock(Module):
     def apply_mlp(self, params, x):
         """The MLP residual BRANCH (callers add it to x): norm -> fc1 ->
         activation -> fc2.  The one home for this math — the eager step,
-        compiled decode, speculative, and ring paths all call it.
+        compiled decode, speculative, and ring paths all call it."""
+        return self.apply_mlp_normed(
+            params,
+            x if self.parallel else self.ln2.apply(params["ln2"], x))
+
+    def apply_mlp_normed(self, params, z):
+        """The MLP branch on an ALREADY-normed input ``z`` — the entry
+        point for the fused residual-add+norm path (F.residual_norm hands
+        back norm(x + a) directly, so ln2 must not run again).
 
         SwiGLU keeps fc1's columns PAIR-major ((hidden, 2): gate and value
         for the same hidden unit adjacent), so a tp column shard holds
         matching gate/value pairs and the elementwise silu(a)*b needs no
         collective (same trick as the qkv head-major layout)."""
-        h = self.fc1.apply(
-            params["fc1"],
-            x if self.parallel else self.ln2.apply(params["ln2"], x))
+        h = self.fc1.apply(params["fc1"], z)
         if self._gated:
             gate_act = {"swiglu": F.silu, "geglu": F.gelu,
                         "geglu_erf": F.gelu_erf}[self.mlp]
@@ -281,11 +287,13 @@ class TransformerBlock(Module):
             if self.dropout > 0.0 and rng is not None:
                 h = F.dropout(h, self.dropout, key=md.fold_in(rng, 2))
             return x + a + h
-        x = x + a
-        h = self.apply_mlp(params, x)
+        # fused residual-add + ln2: t = x + a and norm(t) in one HBM pass
+        # on TPU (md.add_layernorm / md.add_rmsnorm)
+        t, z = F.residual_norm(self.ln2, params["ln2"], x, a)
+        h = self.apply_mlp_normed(params, z)
         if self.dropout > 0.0 and rng is not None:
             h = F.dropout(h, self.dropout, key=md.fold_in(rng, 2))
-        return x + h
+        return t + h
 
 
 class TransformerLM(Module):

@@ -508,7 +508,7 @@ def clear_fused_memos() -> None:
     operand/result buffers (potentially hundreds of MB of activations on
     eager backends) do not outlive the step that used them."""
     for memo in (_linear_scan_r_memo, _sdpa_fused_memo, _ln_fused_memo,
-                 _rms_fused_memo, _xent_fused_memo):
+                 _rms_fused_memo, _xent_fused_memo, _addnorm_fused_memo):
         memo.clear()
 
 
@@ -1509,6 +1509,154 @@ rmsnorm = wrapping.create_binary_op_func(
 )
 
 
+# ---------------------------------------------------------------------------
+# add_layernorm / add_rmsnorm — fused residual-add + norm (VERDICT r4
+# item 3).  Returns the STACKED pair (2, *x.shape): [0] = t = x + a (the
+# residual stream, consumed by the next residual), [1] = norm(t).  On TPU
+# the forward is ONE Pallas pass (t crosses HBM once instead of twice) and
+# the first-order backward is one fused pass producing dx = norm_dx + g0
+# (the residual cotangent folded in).  VJPs are the composed closed form in
+# framework ops — grad[0]/grad[1] slices and the norm algebra — so the
+# oracle gradchecks the kernels and higher-order gradients re-tape.  Under
+# md.jit the [0]/[1] getitems are free XLA views.
+# ---------------------------------------------------------------------------
+
+
+_addnorm_fused_memo: dict = {}
+
+
+def _addnorm_fused(kind, g, grad, eps, output):
+    """Single-entry memo for the fused add+norm backward kernel: the engine
+    calls the per-input grad fns back-to-back with the same operands (the
+    _sdpa_fused protocol); (dx, dg[, db]) are computed once."""
+    if md.grad_allowed_():
+        return None  # higher-order backward must re-tape the composed form
+    import minidiff_tpu.backend as _backend
+
+    if _backend.backend_name() != "xla" or output is None:
+        return None
+    key = (kind, id(g), id(grad), id(output), float(eps))
+    if _addnorm_fused_memo.get("key") != key:
+        from minidiff_tpu.kernels import layernorm as _ln
+
+        t = output._data[0]
+        r = _ln._rows(t.shape)
+        if not _ln._ln_decision(r, t.shape[-1], t.dtype, float(eps),
+                                kind=("rms" if kind == "rms" else "ln")):
+            return None  # composed VJPs fuse with neighbors inside md.jit
+        g0 = grad._data[0]
+        dy = grad._data[1]
+        if kind == "rms":
+            val = _ln.addrms_grads(t, g._data, dy, g0, float(eps))
+        else:
+            val = _ln.addln_grads(t, g._data, dy, g0, float(eps))
+        _addnorm_fused_memo["key"] = key
+        _addnorm_fused_memo["refs"] = (g, grad, output)
+        _addnorm_fused_memo["val"] = val
+    return _addnorm_fused_memo["val"]
+
+
+def _addln_t(x, a, _output):
+    return _output[0] if _output is not None else x + a
+
+
+def add_layernorm_grad_x(x, a, g, b, grad, eps=1e-5, _output=None):
+    fused = _addnorm_fused("ln", g, grad, eps, _output)
+    if fused is not None:
+        return md.Tensor(fused[0])
+    t = _addln_t(x, a, _output)
+    xhat, rsig, acc = _ln_xhat(t, eps)
+    w = grad[1].astype(acc) * g.astype(acc)
+    m1 = md.mean(w, axis=-1, keepdims=True)
+    m2 = md.mean(w * xhat, axis=-1, keepdims=True)
+    return grad[0] + ((w - m1 - xhat * m2) * rsig).astype(t.dtype)
+
+
+def add_layernorm_grad_g(x, a, g, b, grad, eps=1e-5, _output=None):
+    fused = _addnorm_fused("ln", g, grad, eps, _output)
+    if fused is not None:
+        return md.Tensor(fused[1])
+    t = _addln_t(x, a, _output)
+    xhat, _, acc = _ln_xhat(t, eps)
+    s = grad[1].astype(acc) * xhat
+    red = tuple(range(len(t.shape) - 1))
+    if red:
+        s = md.sum(s, axis=red)
+    return s.astype(g.dtype)
+
+
+def add_layernorm_grad_b(x, a, g, b, grad, eps=1e-5, _output=None):
+    fused = _addnorm_fused("ln", g, grad, eps, _output)
+    if fused is not None:
+        return md.Tensor(fused[2])
+    g1 = grad[1]
+    acc = (g1.dtype if str(g1.dtype).endswith(("float64", "float32"))
+           else md.float32)
+    s = g1.astype(acc)
+    red = tuple(range(len(g1.shape) - 1))
+    if red:
+        s = md.sum(s, axis=red)
+    return s.astype(b.dtype)
+
+
+for _f in (add_layernorm_grad_x, add_layernorm_grad_g,
+           add_layernorm_grad_b):
+    _f.needs_output = True
+
+add_layernorm = wrapping.create_op_func(
+    forward_func=as_tensor_func(backend_fn("add_layernorm")),
+    grad_funcs=[add_layernorm_grad_x, add_layernorm_grad_x,
+                add_layernorm_grad_g, add_layernorm_grad_b],
+    kwargs_to_grads=True,
+    op_name="add_layernorm",
+)
+
+
+def add_rmsnorm_grad_x(x, a, g, grad, eps=1e-6, _output=None):
+    fused = _addnorm_fused("rms", g, grad, eps, _output)
+    if fused is not None:
+        return md.Tensor(fused[0])
+    t = _addln_t(x, a, _output)
+    acc = (t.dtype if str(t.dtype).endswith(("float64", "float32"))
+           else md.float32)
+    ta = t.astype(acc)
+    rsig = 1.0 / md.sqrt(
+        md.mean(ta * ta, axis=-1, keepdims=True) + eps)
+    xhat = ta * rsig
+    w = grad[1].astype(acc) * g.astype(acc)
+    m = md.mean(w * xhat, axis=-1, keepdims=True)
+    return grad[0] + ((w - xhat * m) * rsig).astype(t.dtype)
+
+
+def add_rmsnorm_grad_g(x, a, g, grad, eps=1e-6, _output=None):
+    fused = _addnorm_fused("rms", g, grad, eps, _output)
+    if fused is not None:
+        return md.Tensor(fused[1])
+    t = _addln_t(x, a, _output)
+    acc = (t.dtype if str(t.dtype).endswith(("float64", "float32"))
+           else md.float32)
+    ta = t.astype(acc)
+    rsig = 1.0 / md.sqrt(
+        md.mean(ta * ta, axis=-1, keepdims=True) + eps)
+    s = grad[1].astype(acc) * (ta * rsig)
+    red = tuple(range(len(t.shape) - 1))
+    if red:
+        s = md.sum(s, axis=red)
+    return s.astype(g.dtype)
+
+
+for _f in (add_rmsnorm_grad_x, add_rmsnorm_grad_g):
+    _f.needs_output = True
+
+add_rmsnorm = wrapping.create_op_func(
+    forward_func=as_tensor_func(backend_fn("add_rmsnorm")),
+    grad_funcs=[add_rmsnorm_grad_x, add_rmsnorm_grad_x,
+                add_rmsnorm_grad_g],
+    kwargs_to_grads=True,
+    op_name="add_rmsnorm",
+)
+
+
 # softmax_xent — per-row softmax cross-entropy loss (extension op; the LM
 # loss block is the train step's last non-matmul HBM consumer).  Forward
 # dispatches to the fused one-pass Pallas kernel on TPU (kernels/xent.py);
@@ -1785,6 +1933,8 @@ __all__ = [
     "scatter_add",
     "sdpa",
     "layernorm",
+    "add_layernorm",
+    "add_rmsnorm",
     "rmsnorm",
     "softmax_xent",
     "concat",

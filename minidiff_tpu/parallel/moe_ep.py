@@ -62,10 +62,20 @@ def moe_ep_ffn(moe: "MoEFeedForward", params: "Any", x: "md.Tensor",
     t = b * s
     c = moe.capacity(t)
     xt = x.reshape((t, d))
-    dispatch, combine, aux = moe.compute_routing(params, xt, c)
 
-    dispatch = dispatch.astype(xt.dtype)
-    expert_in = md.tensordot(dispatch, xt, axes=([0], [0]))  # (E, C, d)
+    if moe.grouped:
+        # grouped dispatch (VERDICT r4 item 4): the slot-table row gather
+        # replaces the (T, E, C) one-hot tensordot INSIDE the shard_map —
+        # the exchanged (E, C, d) buffer is identical, so the all_to_all
+        # pair and the expert matmuls are untouched; only the O(E*C*T*d)
+        # dispatch/combine FLOPs become O(k*T*d) gathers.  The one-hot
+        # branch below remains the parity oracle.
+        expert_in, choices, aux = moe.dispatch_grouped(params, xt, c)
+    else:
+        dispatch, combine, aux = moe.compute_routing(params, xt, c)
+        dispatch = dispatch.astype(xt.dtype)
+        expert_in = md.tensordot(dispatch, xt, axes=([0], [0]))  # (E, C, d)
+
     # exchange: send expert-chunk j to device j; receive every device's slots
     # for the experts resident here -> (E/N, N*C, d)
     expert_in = md.all_to_all(expert_in, axis_name=axis_name,
@@ -77,7 +87,10 @@ def moe_ep_ffn(moe: "MoEFeedForward", params: "Any", x: "md.Tensor",
     # inverse exchange: every token's slot outputs return to its home device
     out = md.all_to_all(out, axis_name=axis_name,
                         split_axis=1, concat_axis=0)  # (E, C, d)
-    y = md.tensordot(combine, out, axes=([1, 2], [0, 1]))
+    if moe.grouped:
+        y = moe.combine_grouped(choices, out)
+    else:
+        y = md.tensordot(combine, out, axes=([1, 2], [0, 1]))
     return y.reshape((b, s, d)), aux
 
 

@@ -375,3 +375,153 @@ def test_transformer_layernorm_unchanged(backend):
     got = _np(ln.apply(params, x))
     want = _ref_ln(_np(x), _np(params["g"]), _np(params["b"]), eps=ln.eps)
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# fused residual-add + norm (md.add_layernorm / md.add_rmsnorm, r5)
+# ---------------------------------------------------------------------------
+
+
+def test_add_layernorm_forward_matches_unfused(backend):
+    rng = np.random.default_rng(0)
+    x = md.Tensor(rng.normal(size=(3, 5, 8)))
+    a = md.Tensor(rng.normal(size=(3, 5, 8)))
+    g = md.Tensor(rng.normal(size=8))
+    b = md.Tensor(rng.normal(size=8))
+    pair = md.add_layernorm(x, a, g, b)
+    assert pair.shape == (2, 3, 5, 8)
+    t_ref = _np(x) + _np(a)
+    np.testing.assert_allclose(_np(pair[0]), t_ref, rtol=1e-12)
+    np.testing.assert_allclose(_np(pair[1]),
+                               _ref_ln(t_ref, _np(g), _np(b)), rtol=1e-6)
+
+
+def test_add_layernorm_gradcheck(backend):
+    rng = np.random.default_rng(1)
+    x = md.Tensor(rng.normal(size=(4, 8)), allow_grad=True)
+    a = md.Tensor(rng.normal(size=(4, 8)), allow_grad=True)
+    g = md.Tensor(rng.normal(size=8), allow_grad=True)
+    b = md.Tensor(rng.normal(size=8), allow_grad=True)
+
+    def f(x, a, g, b):
+        pair = md.add_layernorm(x, a, g, b)
+        # consume BOTH outputs with different weights so g0 and dy are
+        # both nonzero through the VJPs
+        return md.sum(pair[1] * pair[1]) + md.sum(pair[0] * 0.7)
+
+    fds, ads = compute_grads(x, a, g, b, func=f)
+    for fd, ad in zip(fds, ads):
+        np.testing.assert_allclose(_np(fd), _np(ad), rtol=1e-3, atol=1e-4)
+
+
+def test_add_rmsnorm_gradcheck(backend):
+    rng = np.random.default_rng(2)
+    x = md.Tensor(rng.normal(size=(4, 8)), allow_grad=True)
+    a = md.Tensor(rng.normal(size=(4, 8)), allow_grad=True)
+    g = md.Tensor(rng.normal(size=8), allow_grad=True)
+
+    def f(x, a, g):
+        pair = md.add_rmsnorm(x, a, g)
+        return md.sum(pair[1] * pair[1]) + md.sum(pair[0] * 0.3)
+
+    fds, ads = compute_grads(x, a, g, func=f)
+    for fd, ad in zip(fds, ads):
+        np.testing.assert_allclose(_np(fd), _np(ad), rtol=1e-3, atol=1e-4)
+
+
+def test_add_layernorm_second_order(backend):
+    rng = np.random.default_rng(3)
+    xv = rng.normal(size=(2, 8))
+    x = md.Tensor(xv, allow_grad=True)
+    a = md.Tensor(rng.normal(size=(2, 8)), allow_grad=True)
+    g = md.Tensor(np.ones(8), allow_grad=True)
+    b = md.Tensor(np.zeros(8), allow_grad=True)
+    out = md.sum(md.add_layernorm(x, a, g, b)[1] ** 3)
+    out.backward(allow_higher_order=True)
+    gx = _np(x.grad)
+    x.grad.backward()
+    hxx = _np(x.grad)  # d/dx of sum(dL/dx) — just assert finite + nonzero
+    assert np.isfinite(hxx).all() and np.abs(hxx).sum() > 0
+    assert np.isfinite(gx).all()
+
+
+def test_add_norm_matches_separate_ops_in_block(backend):
+    """TransformerBlock.apply's fused path must agree with the unfused
+    t = x + a; z = norm(t) composition on forward AND grads."""
+    rng = np.random.default_rng(4)
+    x = md.Tensor(rng.normal(size=(2, 3, 8)), allow_grad=True)
+    a = md.Tensor(rng.normal(size=(2, 3, 8)), allow_grad=True)
+    g = md.Tensor(rng.normal(size=8), allow_grad=True)
+    b = md.Tensor(rng.normal(size=8), allow_grad=True)
+
+    pair = md.add_layernorm(x, a, g, b)
+    loss_f = md.sum(pair[1] * 2.0 + pair[0])
+    loss_f.backward(retain_grads=True)
+    gx_f, ga_f, gg_f, gb_f = (_np(t.grad) for t in (x, a, g, b))
+
+    for t in (x, a, g, b):
+        t.grad = None
+        t.wipe()
+    t2 = x + a
+    z2 = md.layernorm(t2, g, b)
+    loss_u = md.sum(z2 * 2.0 + t2)
+    loss_u.backward(retain_grads=True)
+    np.testing.assert_allclose(gx_f, _np(x.grad), rtol=1e-10)
+    np.testing.assert_allclose(ga_f, _np(a.grad), rtol=1e-10)
+    np.testing.assert_allclose(gg_f, _np(g.grad), rtol=1e-10)
+    np.testing.assert_allclose(gb_f, _np(b.grad), rtol=1e-10)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_pallas_addln_matches_unfused_kernels(dtype):
+    """Interpret-mode kernel parity: the fused add+LN fwd/bwd kernels vs
+    the unfused pipeline (t bitwise; y / dx at ulp tolerance — XLA keeps
+    the in-kernel sum at f32 before the stats, which only INCREASES
+    precision)."""
+    import jax.numpy as jnp
+
+    from minidiff_tpu.kernels import layernorm as L
+
+    dt = getattr(jnp, dtype)
+    tol = 1e-6 if dtype == "float32" else 3.2e-2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((64, 256)), dt)
+    a = jnp.asarray(rng.standard_normal((64, 256)), dt)
+    g = jnp.asarray(rng.standard_normal(256), dt)
+    b = jnp.asarray(rng.standard_normal(256), dt)
+    dy = jnp.asarray(rng.standard_normal((64, 256)), dt)
+    g0 = jnp.asarray(rng.standard_normal((64, 256)), dt)
+    t = x + a
+    out = L._pallas_addln_fwd(x, a, g, b, 1e-5, 32, interpret=True)
+    y_ref = L._pallas_ln_fwd(t, g, b, 1e-5, 32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[0], np.float32),
+                                  np.asarray(t, np.float32))
+    np.testing.assert_allclose(np.asarray(out[1], np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=tol, atol=tol)
+    dx_f, dg_f, db_f = L._pallas_addln_bwd(t, g, dy, g0, 1e-5, 32,
+                                           interpret=True)
+    dx_r, dg_r, db_r = L._pallas_ln_bwd(t, g, dy, 1e-5, 32, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx_f, np.float32),
+                               np.asarray(dx_r + g0, np.float32),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(dg_f), np.asarray(dg_r),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(db_f), np.asarray(db_r),
+                               rtol=1e-6)
+    # rms variants
+    outr = L._pallas_addrms_fwd(x, a, g, 1e-6, 32, interpret=True)
+    yr = L._pallas_rms_fwd(t, g, 1e-6, 32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(outr[0], np.float32),
+                                  np.asarray(t, np.float32))
+    np.testing.assert_allclose(np.asarray(outr[1], np.float32),
+                               np.asarray(yr, np.float32),
+                               rtol=tol, atol=tol)
+    dxr_f, dgr_f = L._pallas_addrms_bwd(t, g, dy, g0, 1e-6, 32,
+                                        interpret=True)
+    dxr_r, dgr_r = L._pallas_rms_bwd(t, g, dy, 1e-6, 32, interpret=True)
+    np.testing.assert_allclose(np.asarray(dxr_f, np.float32),
+                               np.asarray(dxr_r + g0, np.float32),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(dgr_f), np.asarray(dgr_r),
+                               rtol=1e-6)
