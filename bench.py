@@ -471,6 +471,16 @@ def _decode_throughput() -> dict:
         out.update(SB.paged_vs_dense(model_srv, params_srv))
     except Exception as e:
         out["paged_bench_error"] = str(e)[:120]
+    # speculative x continuous batching: self-draft ceiling (acceptance
+    # 1.0) — prices the round mechanism against k+1 dense steps
+    if not _row_allowed("spec_server"):
+        return out
+    try:
+        from benchmarks import serving_bench as SBS
+
+        out.update(SBS.speculative_server(model_srv, params_srv))
+    except Exception as e:
+        out["spec_server_error"] = str(e)[:120]
     if not _row_allowed("packed_bench"):
         return out
     try:

@@ -144,6 +144,81 @@ def paged_vs_dense(model, params, max_batch=8, window=1024,
     return out
 
 
+def speculative_server(model, params, draft=None, draft_params=None,
+                       max_batch=8, window=1024, prompt_len=16, k=4,
+                       rounds=8):
+    """Speculative continuous batching vs the plain dense step server.
+
+    Times a device-side chain of ``rounds`` speculative rounds (tokens and
+    positions feed back in-trace; the emitted count is data) against the
+    dense server's step chain, tok/s each.  Default draft = the target
+    itself (acceptance 1.0) — the MECHANISM's ceiling: it prices the k
+    draft forwards + (k+1)-chunk verify against k+1 single-token steps.
+    Pass a real (smaller) draft for production acceptance rates; the
+    ``spec_server_accept_rate`` row reports what the chain measured.
+    """
+    from minidiff_tpu.models.server import (
+        DecodeServer,
+        SpeculativeDecodeServer,
+    )
+
+    draft = draft if draft is not None else model
+    draft_params = draft_params if draft_params is not None else params
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, model.vocab_size, prompt_len))
+               for _ in range(max_batch)]
+    max_new = window - prompt_len - k - 2
+
+    spec = SpeculativeDecodeServer(model, params, draft, draft_params,
+                                   k=k, max_batch=max_batch, window=window)
+    dense = DecodeServer(model, params, max_batch=max_batch, window=window)
+    for p in prompts:
+        spec.submit(p, max_new_tokens=max_new)
+        dense.submit(p, max_new_tokens=max_new)
+
+    round_fn = spec._round_fn or spec._build_round()
+    spec._round_fn = round_fn
+    b = max_batch
+
+    @jax.jit
+    def spec_chain(tp, dp, tc, dc, toks, pos):
+        total = jnp.zeros((), jnp.int32)
+        for _ in range(rounds):
+            tc, dc, emit, acc = round_fn(tp, dp, tc, dc, toks, pos)
+            adv = acc + 1
+            toks = emit[jnp.arange(b), acc]
+            pos = pos + adv
+            total = total + jnp.sum(adv)
+        return total.astype(jnp.float32)
+
+    spec_args = (spec._params_raw, spec._draft_params_raw, spec._state,
+                 spec._dstate, jnp.asarray(np.asarray(spec._tok), jnp.int32),
+                 jnp.asarray(np.asarray(spec._pos), jnp.int32))
+    dense_chain = _server_chain(dense, CHAIN_STEPS)
+    dense_args = (dense._params_raw, dense._state,
+                  jnp.asarray(dense._tok), jnp.asarray(dense._pos),
+                  jnp.asarray(np.zeros((max_batch, 2), np.uint32)))
+
+    probe = jnp.ones((8, 128), jnp.float32)
+    lat = _lat(probe)
+    emitted = float(np.asarray(spec_chain(*spec_args)))  # also warms
+    pairs = []
+    for _ in range(REPEATS):
+        ts = _time_fn(spec_chain, spec_args, lat, rounds=1)
+        td = _time_fn(dense_chain, dense_args, lat, rounds=1)
+        pairs.append((ts, td))
+    ts = min(p[0] for p in pairs)
+    td = min(p[1] for p in pairs)
+    spec_tps = emitted / ts
+    dense_tps = max_batch * CHAIN_STEPS / td
+    return {
+        "spec_server_tok_per_s": round(spec_tps, 1),
+        "spec_server_accept_rate": round(
+            emitted / (max_batch * rounds * (k + 1)), 4),
+        "spec_server_vs_dense_server": round(spec_tps / dense_tps, 4),
+    }
+
+
 def dense_kv_bytes(srv) -> int:
     per = 0
     for cache in srv._state:

@@ -82,6 +82,7 @@ from minidiff_tpu.models.pack import (  # noqa: F401
 )
 from minidiff_tpu.models.server import (  # noqa: F401
     DecodeServer,
+    SpeculativeDecodeServer,
     SSMDecodeServer,
 )
 from minidiff_tpu.models.unet import UNet2D  # noqa: F401

@@ -43,7 +43,7 @@ if TYPE_CHECKING:
 
     from minidiff_tpu.models.transformer import TransformerLM
 
-__all__ = ["DecodeServer", "SSMDecodeServer"]
+__all__ = ["DecodeServer", "SpeculativeDecodeServer", "SSMDecodeServer"]
 
 _BUCKET = 128
 
@@ -566,6 +566,226 @@ class DecodeServer(_ServerBase):
                                      is_leaf=_is_tensor), nxt._data)
 
         return prefill
+
+
+class SpeculativeDecodeServer(DecodeServer):
+    """Speculative decoding × continuous batching (VERDICT r4 item 7).
+
+    DecodeServer slots where ``step()`` runs ONE draft-and-verify round
+    for every live slot: the draft model proposes ``k`` tokens per row
+    from its own batched KV cache, the target verifies all rows in a
+    single (k+1)-chunk forward, and each row accepts its longest
+    agreeing prefix plus the target's bonus token — per-slot acceptance
+    is DATA (the ``_chunk_step`` per-row position/mask idiom), so rows at
+    different depths advance at their own pace inside one compiled
+    program.  Greedy-only: that is what makes the output token-identical
+    to each request's solo speculative (= solo greedy) decode.
+
+    ``step()`` returns ``{slot: [tokens]}`` — one to k+1 tokens per live
+    slot per call (the base server's scalar-per-slot contract widens).
+    """
+
+    def __init__(self, model, params, draft, draft_params, k: int = 4,
+                 **kw):
+        import jax
+
+        assert kw.get("greedy", True), (
+            "speculative exactness is greedy-only (sampling would need "
+            "per-token rejection sampling)")
+        assert kw.get("prefill_chunk") is None, (
+            "chunked prefill is not composed with the speculative server")
+        assert int(k) >= 1
+        self.draft = draft
+        self.k = int(k)
+        self._draft_params_raw = jax.tree.map(
+            lambda t: t._data, draft_params, is_leaf=_is_tensor)
+        super().__init__(model, params, **kw)
+        self._dstate = self._alloc_draft_state()
+        self._round_fn = None
+        self._dprefill_cache: dict = {}
+
+    def _alloc_draft_state(self):
+        import jax.numpy as jnp
+
+        d = self.draft
+        dt = self._draft_params_raw["tok_emb"].dtype
+        kv = d.blocks[0].attn.num_kv_heads
+        hd = d.blocks[0].attn.head_dim
+        return [
+            {"k": jnp.zeros((self.max_batch, kv, self.window, hd), dt),
+             "v": jnp.zeros((self.max_batch, kv, self.window, hd), dt)}
+            for _ in d.blocks
+        ]
+
+    def submit(self, prompt, max_new_tokens, seed: int = 0, prefix=None):
+        import jax.numpy as jnp
+
+        assert prefix is None, (
+            "prefix caching is not composed with the speculative server")
+        prompt = list(prompt)
+        s0 = len(prompt)
+        # verification chunks overhang up to k positions past the last
+        # emitted token: the cache window and both models' position
+        # tables must cover it
+        need = s0 + max_new_tokens + self.k
+        assert need <= self.window, (need, self.window)
+        if not self.draft.rope:
+            assert need <= self.draft.max_seq_len, (
+                "draft pos_emb too small (+k overhang)")
+        slot = super().submit(prompt, max_new_tokens, seed)
+        sb = -(-s0 // _BUCKET) * _BUCKET
+        if sb not in self._dprefill_cache:
+            self._dprefill_cache[sb] = self._build_draft_prefill(sb)
+        padded = np.zeros((1, sb), np.int64)
+        padded[0, :s0] = prompt
+        self._dstate = self._dprefill_cache[sb](
+            self._draft_params_raw, self._dstate, jnp.asarray(padded),
+            jnp.asarray(slot, jnp.int32))
+        return slot
+
+    def _build_draft_prefill(self, sb: int):
+        """Prompt prefill for the DRAFT cache row (no token selection —
+        the draft only ever continues from target-accepted tokens)."""
+        import jax
+
+        model, L, B = self.draft, self.window, self.max_batch
+
+        @jax.jit
+        def prefill(raw_p, caches_raw, toks, slot):
+            with md.no_grad():
+                p = jax.tree.map(md.Tensor, raw_p)
+                caches = jax.tree.map(md.Tensor, caches_raw)
+                toks_t = md.Tensor(toks)
+                s = sb
+                pos = md.arange(s)
+                x = p["tok_emb"][toks_t]
+                if not model.rope:
+                    x = x + p["pos_emb"][:s]
+                sel_b = (md.arange(B) == md.Tensor(slot)).astype(md.float32)
+                new_caches = []
+                for blk, bp, cache in zip(model.blocks, p["blocks"],
+                                          caches):
+                    attn = blk.attn
+                    q, kk, vv = F.block_qkv(blk, bp, x, pos)
+                    row_k = md.zeros(
+                        (1, attn.num_kv_heads, L, attn.head_dim)).astype(
+                        cache["k"].dtype)
+                    row_v = md.zeros_like(row_k)
+                    row_k[:, :, :s, :] = kk.astype(row_k.dtype)
+                    row_v[:, :, :s, :] = vv.astype(row_v.dtype)
+                    sel = sel_b.reshape((B, 1, 1, 1)).astype(
+                        cache["k"].dtype)
+                    new_caches.append({
+                        "k": cache["k"] * (1.0 - sel) + sel * row_k,
+                        "v": cache["v"] * (1.0 - sel) + sel * row_v,
+                    })
+                    o = md.sdpa(q, attn.expand_kv(kk), attn.expand_kv(vv),
+                                causal=True, window=model.window,
+                                sinks=model.sinks)
+                    x = F.block_finish(blk, bp, x, o)
+                return jax.tree.map(lambda t: t._data, new_caches,
+                                    is_leaf=_is_tensor)
+
+        return prefill
+
+    def _build_round(self):
+        """One speculative round over the whole pool: draft k, verify in
+        one chunk, accept per row.  The per-round math is the loop body of
+        speculative.generate_speculative_compiled, batched over slots."""
+        import jax
+
+        target, draft, L, k = self.model, self.draft, self.window, self.k
+        c = k + 1
+
+        @jax.jit
+        def round_fn(tp, dp, tc_raw, dc_raw, toks, pos):
+            with md.no_grad():
+                p_t = jax.tree.map(md.Tensor, tp)
+                p_d = jax.tree.map(md.Tensor, dp)
+                t_caches = jax.tree.map(md.Tensor, tc_raw)
+                d_caches = jax.tree.map(md.Tensor, dc_raw)
+                tok = md.Tensor(toks)
+                pos_t = md.Tensor(pos)
+                b = toks.shape[0]
+
+                drafts = []
+                cur = tok
+                for j in range(k):
+                    d_caches, dl = _chunk_step(
+                        draft, p_d, d_caches, cur.reshape((b, 1)),
+                        pos_t + j, L)
+                    cur = md.argmax(dl[:, 0, :], axis=-1).astype(md.int32)
+                    drafts.append(cur)
+                # cache-fill d_k at pos+k (full acceptance starts the next
+                # round at pos+k+1 — see speculative.py)
+                d_caches, _ = _chunk_step(
+                    draft, p_d, d_caches, cur.reshape((b, 1)), pos_t + k, L)
+                d_toks = md.transpose(md.stack(drafts), axes=(1, 0))
+
+                chunk = md.concat([tok.reshape((b, 1)), d_toks], axis=1)
+                t_caches, t_logits = _chunk_step(
+                    target, p_t, t_caches, chunk, pos_t, L)
+                g = md.argmax(t_logits, axis=-1).astype(md.int32)
+
+                match = (d_toks == g[:, :k]).astype(md.int32)
+                pref = md.cumsum(match, axis=1)
+                steps_ = md.arange(1, k + 1).astype(md.int32)
+                acc = md.sum(
+                    (pref == steps_.reshape((1, k))).astype(md.int32),
+                    axis=1)
+                jvec = md.arange(c).astype(md.int32).reshape((1, c))
+                acc_col = acc.reshape((b, 1))
+                bonus = md.sum(g * (jvec == acc_col).astype(md.int32),
+                               axis=1)
+                d_pad = md.concat(
+                    [d_toks, md.zeros((b, 1)).astype(md.int32)], axis=1)
+                emit = md.where(jvec < acc_col, d_pad,
+                                md.broadcast_to(bonus.reshape((b, 1)),
+                                                (b, c)))
+                return (
+                    jax.tree.map(lambda t: t._data, t_caches,
+                                 is_leaf=_is_tensor),
+                    jax.tree.map(lambda t: t._data, d_caches,
+                                 is_leaf=_is_tensor),
+                    emit._data, acc._data,
+                )
+
+        return round_fn
+
+    def step(self) -> "Dict[int, list]":
+        """One speculative round for every live slot; returns
+        ``{slot: [emitted tokens]}`` (1..k+1 per slot, budget/eos
+        truncated)."""
+        import jax.numpy as jnp
+
+        if self._round_fn is None:
+            self._round_fn = self._build_round()
+        live = [s for s in range(self.max_batch)
+                if s not in self._free and self._budget[s] > 0]
+        if not live:
+            return {}
+        self._state, self._dstate, emit, acc = self._round_fn(
+            self._params_raw, self._draft_params_raw, self._state,
+            self._dstate, jnp.asarray(np.asarray(self._tok), jnp.int32),
+            jnp.asarray(np.asarray(self._pos), jnp.int32))
+        emit = np.asarray(emit)
+        acc = np.asarray(acc)
+        emitted: "Dict[int, list]" = {}
+        for s in live:
+            n_acc = int(acc[s]) + 1
+            toks_s = [int(t) for t in emit[s, :min(n_acc, self._budget[s])]]
+            if self.eos_id is not None and self.eos_id in toks_s:
+                toks_s = toks_s[:toks_s.index(self.eos_id) + 1]
+                self._budget[s] = len(toks_s)  # zeroed by the -= below
+            self._out[s].extend(toks_s)
+            emitted[s] = toks_s
+            # the cache advanced by the full acceptance regardless of
+            # budget truncation (a finishing slot's rows go dead anyway)
+            self._pos[s] += n_acc
+            self._tok[s] = int(emit[s, n_acc - 1])
+            self._steps[s] += 1
+            self._budget[s] -= len(toks_s)
+        return emitted
 
 
 class SSMDecodeServer(_ServerBase):

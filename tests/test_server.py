@@ -443,3 +443,119 @@ def test_chunked_prefill_validation():
                           prefill_chunk=128)
     with pytest.raises(NotImplementedError):
         srv.submit(list(range(1, 7)) * 25, max_new_tokens=2)  # 150 tokens
+
+
+# -- speculative decoding x continuous batching (r5) ------------------------
+
+
+def _spec_models(rope=False, window=None, sinks=0, kv=None):
+    np.random.seed(0)
+    target = TransformerLM(vocab_size=64, dim=32, num_heads=2, num_layers=2,
+                           max_seq_len=256, rope=rope, window=window,
+                           sinks=sinks, num_kv_heads=kv)
+    tparams = target.init()
+    np.random.seed(1)
+    draft = TransformerLM(vocab_size=64, dim=16, num_heads=2, num_layers=1,
+                          max_seq_len=256, rope=rope)
+    dparams = draft.init()
+    return target, tparams, draft, dparams
+
+
+def _solo_spec(target, tparams, draft, dparams, prompt, n, k):
+    from minidiff_tpu.models.speculative import generate_speculative_compiled
+
+    toks, _ = generate_speculative_compiled(
+        target, tparams, draft, dparams,
+        md.Tensor(np.asarray([prompt])), n, k=k)
+    return [int(t) for t in _np(toks)[0][len(prompt):]]
+
+
+@pytest.mark.parametrize("rope", [False, True])
+def test_speculative_server_matches_solo_speculative(rope):
+    from minidiff_tpu.models import SpeculativeDecodeServer
+
+    target, tparams, draft, dparams = _spec_models(rope=rope)
+    srv = SpeculativeDecodeServer(target, tparams, draft, dparams, k=3,
+                                  max_batch=4, window=256)
+    rng = np.random.RandomState(2)
+    prompts = [list(rng.randint(1, 64, size=n)) for n in (5, 9, 3, 7)]
+    maxnew = [12, 7, 15, 4]
+    slots = [srv.submit(p, m, seed=i)
+             for i, (p, m) in enumerate(zip(prompts, maxnew))]
+    _drain(srv)
+    for i, (p, m) in enumerate(zip(prompts, maxnew)):
+        got = srv.collect(slots[i])
+        want = _solo_spec(target, tparams, draft, dparams, p, m, 3)
+        assert got == want, i
+
+
+def test_speculative_server_staggered_arrivals_and_reuse():
+    from minidiff_tpu.models import SpeculativeDecodeServer
+
+    target, tparams, draft, dparams = _spec_models()
+    srv = SpeculativeDecodeServer(target, tparams, draft, dparams, k=2,
+                                  max_batch=2, window=256)
+    rng = np.random.RandomState(3)
+    p1 = list(rng.randint(1, 64, size=6))
+    p2 = list(rng.randint(1, 64, size=4))
+    p3 = list(rng.randint(1, 64, size=11))
+    s1 = srv.submit(p1, 10, seed=0)
+    srv.step()  # rounds advance before the second arrival
+    s2 = srv.submit(p2, 18, seed=1)
+    while srv._budget[s1] > 0:
+        srv.step()
+    out1 = srv.collect(s1)          # releases slot 1
+    s3 = srv.submit(p3, 5, seed=2)  # reuses it while s2 still decodes
+    _drain(srv)
+    assert out1 == _solo_spec(target, tparams, draft, dparams, p1, 10, 2)
+    assert srv.collect(s2) == _solo_spec(target, tparams, draft, dparams,
+                                         p2, 18, 2)
+    assert srv.collect(s3) == _solo_spec(target, tparams, draft, dparams,
+                                         p3, 5, 2)
+
+
+def test_speculative_server_step_emits_upto_k_plus_one():
+    from minidiff_tpu.models import SpeculativeDecodeServer
+
+    target, tparams, draft, dparams = _spec_models()
+    # self-draft: the draft IS the target, so every round accepts k+1
+    srv = SpeculativeDecodeServer(target, tparams, target, tparams, k=3,
+                                  max_batch=2, window=256)
+    p = [5, 9, 2]
+    slot = srv.submit(p, 9, seed=0)   # 1 token from prefill, 8 to go
+    out = srv.step()
+    assert len(out[slot]) == 4        # k+1 accepted every round
+    _drain(srv)
+    got = srv.collect(slot)
+    assert got == _reference(target, tparams, p, 9)
+
+
+def test_speculative_server_eos_and_window_models():
+    from minidiff_tpu.models import SpeculativeDecodeServer
+
+    target, tparams, draft, dparams = _spec_models(window=64, sinks=1, kv=1)
+    srv = SpeculativeDecodeServer(target, tparams, draft, dparams, k=2,
+                                  max_batch=2, window=256)
+    p = [3, 1, 4]
+    want = _solo_spec(target, tparams, draft, dparams, p, 12, 2)
+    eos = want[4]  # pretend token; server must cut at its first occurrence
+    srv2 = SpeculativeDecodeServer(target, tparams, draft, dparams, k=2,
+                                   max_batch=2, window=256, eos_id=eos)
+    slot = srv2.submit(p, 12, seed=0)
+    _drain(srv2)
+    got = srv2.collect(slot)
+    cut = want[:want.index(eos) + 1] if eos in want else want
+    assert got == cut
+
+
+def test_speculative_server_refuses_sampling_and_prefix():
+    from minidiff_tpu.models import SpeculativeDecodeServer
+
+    target, tparams, draft, dparams = _spec_models()
+    with pytest.raises(AssertionError):
+        SpeculativeDecodeServer(target, tparams, draft, dparams,
+                                greedy=False, max_batch=2, window=256)
+    srv = SpeculativeDecodeServer(target, tparams, draft, dparams, k=2,
+                                  max_batch=2, window=256)
+    with pytest.raises(AssertionError):
+        srv.submit([1, 2], 4, prefix=0)
