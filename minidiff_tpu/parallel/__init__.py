@@ -18,6 +18,7 @@ from minidiff_tpu.parallel.moe_ep import (  # noqa: F401
 from minidiff_tpu.parallel.pipeline import (  # noqa: F401
     make_pipeline_train_step,
     stack_stage_params,
+    stack_stage_specs,
     unstack_stage_params,
 )
 from minidiff_tpu.parallel.ring import (  # noqa: F401

@@ -23,6 +23,21 @@ The schedule is classic GPipe: ``n_micro`` microbatches flow through
 ``pp`` stages in ``n_micro + pp - 1`` ticks (statically unrolled — tick
 structure is compile-time, only data is dynamic).  Bubble fraction is
 ``(pp-1)/(n_micro+pp-1)``; raise ``n_micro`` to amortize.
+
+Composing axes (dp x tp x pp): on a mesh with extra axes the shard_map
+goes PARTIAL-MANUAL — ``pp`` (and ``dp`` when present) are manual axes;
+``tp`` stays in GSPMD's hands *inside* the body.  Manual dp shards the
+batch rows (each dp group runs the pipeline on its rows; gradients are
+``md.pmean``-ed over dp before the update), while Megatron
+PartitionSpecs on the stage weights (``tp_rules=
+transformer_sharding_rules(...)``) make XLA insert the tp all-reduces
+inside each block's matmuls.  The explicit ``md.ppermute`` stage shifts
+ride the manual ``pp`` axis.  One program, three forms of parallelism,
+only the pipeline's own communication written by hand.  (dp is manual
+rather than GSPMD-auto deliberately: XLA 0.9's SPMD partitioner
+hard-crashes — ``spmd_partitioner_util.cc`` CHECK — partitioning the
+embedding gather when auto-dp-sharded indices meet a manual-axis
+subgroup.)
 """
 
 from __future__ import annotations
@@ -90,6 +105,30 @@ def unstack_stage_params(stacked: "Any", pp: int) -> "Any":
     return out
 
 
+def stack_stage_specs(rules: "Any", pp: int) -> "Any":
+    """Unstacked per-param PartitionSpec rules (e.g. from
+    ``transformer_sharding_rules``) -> the stacked ``{stages, shared}``
+    layout of ``stack_stage_params``, with the leading stage axis on
+    ``pp`` prepended to every block leaf's spec.
+
+    Used to PLACE the stacked params on a composed (dp x tp x pp) mesh:
+    the pp dimension is consumed by the shard_map's manual in_specs, the
+    remaining axes stay visible to GSPMD inside the body."""
+    blocks = rules["blocks"]
+    assert len(blocks) % pp == 0, (len(blocks), pp)
+    per_stage = len(blocks) // pp
+
+    def _is_spec(s):
+        return isinstance(s, P)
+
+    stages = [
+        jax.tree.map(lambda sp: P("pp", *sp), blocks[j], is_leaf=_is_spec)
+        for j in range(per_stage)
+    ]
+    shared = {k: v for k, v in rules.items() if k != "blocks"}
+    return {"stages": stages, "shared": shared}
+
+
 def _state_specs(raw_state, raw_params, param_specs):
     """Specs for an optimizer-state tree: reuse the param spec tree wherever
     the state embeds a params-shaped subtree, RECURSIVELY (SGD momentum,
@@ -130,6 +169,8 @@ def make_pipeline_train_step(
     loss_fn: "Callable" = lm_loss,
     init_params: "Any" = None,
     remat: bool = False,
+    tp_rules: "Any" = None,
+    batch_spec: "Optional[P]" = None,
 ):
     """Returns (step, stacked_params, opt_state).
 
@@ -146,11 +187,24 @@ def make_pipeline_train_step(
     keeps only the block BOUNDARY activations and recomputes the interiors
     inside the VJP — the schedule-free TPU answer to 1F1B's memory win
     (same peak-activation scaling, no handwritten interleave).
+
+    On a mesh with axes beyond ``pp`` (dp/tp composition): pass
+    ``tp_rules`` (an UNSTACKED spec tree, e.g.
+    ``transformer_sharding_rules(model.init())``) to place the stage
+    weights Megatron-style over the extra axes, and ``batch_spec`` (e.g.
+    ``P('dp', None)``) to shard the batch rows; use the returned
+    ``step.place_batch(x, y)`` for inputs.  Returned params/opt_state are
+    already placed.  Only ``pp`` is manual inside the shard_map — GSPMD
+    inserts every tp/dp collective.
     """
     pp = mesh.shape["pp"]
     assert len(model.blocks) % pp == 0, "num_layers must divide over pp stages"
     per_stage = len(model.blocks) // pp
     optimizer = optimizer or SGD(0.1)
+    has_dp = "dp" in mesh.axis_names
+    extra_axes = [a for a in mesh.axis_names if a != "pp"]
+    if batch_spec is None and has_dp:
+        batch_spec = P("dp")
 
     stacked = stack_stage_params(init_params or model.init(), pp)
     opt_state = optimizer.init(stacked)
@@ -236,19 +290,39 @@ def make_pipeline_train_step(
                     is_leaf=_is_tensor,
                 ),
             }
+            if has_dp:
+                # each dp group saw its own batch rows: the global-batch
+                # gradient (and reported loss) is the mean over dp groups
+                grads = jax.tree.map(
+                    lambda g: md.pmean(g, axis_name="dp"),
+                    grads, is_leaf=_is_tensor)
+                loss = md.pmean(loss, axis_name="dp")
         new_params, new_state = optimizer.update(params, grads, state)
         new_raw_s = _unwrap(new_state) if new_state is not None else None
         return _unwrap(new_params), new_raw_s, loss._data
 
-    jitted = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(param_specs, state_specs, P(), P()),
-            out_specs=(param_specs, state_specs, P()),
-            check_vma=False,
-        )
+    xy_spec = P("dp") if has_dp else P()
+    sm_kwargs = dict(
+        mesh=mesh,
+        in_specs=(param_specs, state_specs, xy_spec, xy_spec),
+        out_specs=(param_specs, state_specs, P()),
+        check_vma=False,
     )
+    if extra_axes:
+        # partial-manual: pp + dp explicit, tp left GSPMD-auto inside
+        sm_kwargs["axis_names"] = frozenset(
+            {"pp", "dp"} & set(mesh.axis_names))
+    jitted = jax.jit(jax.shard_map(body, **sm_kwargs))
+
+    if tp_rules is not None:
+        from minidiff_tpu.parallel.mesh import shard_tree
+
+        place_specs = stack_stage_specs(tp_rules, pp)
+        stacked = shard_tree(stacked, mesh, place_specs)
+        if opt_state is not None:
+            opt_state = shard_tree(
+                opt_state, mesh,
+                _state_specs(_unwrap(opt_state), raw_params, place_specs))
 
     def step(params, state, x, y):
         raw_p, new_raw_s, raw_loss = jitted(
@@ -264,4 +338,14 @@ def make_pipeline_train_step(
         new_state = _wrap(new_raw_s) if new_raw_s is not None else None
         return new_params, new_state, md.Tensor(raw_loss)
 
+    def place_batch(x, y):
+        if batch_spec is None:
+            return x, y
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(mesh, batch_spec)
+        return (md.Tensor(jax.device_put(x._data, sh)),
+                md.Tensor(jax.device_put(y._data, sh)))
+
+    step.place_batch = place_batch
     return step, stacked, opt_state

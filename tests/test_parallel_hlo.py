@@ -142,3 +142,33 @@ def test_pipeline_tick_count():
     got = _collective_counts(step, params, state, xp, yp)
     assert got.get("collective-permute") == 8, got
     assert set(got) == {"collective-permute", "all-reduce"}, got
+
+
+def test_dp_tp_pp_composed_collectives():
+    """dp=2 x tp=2 x pp=2 composed GPipe step (VERDICT r4 item 8): the
+    partial-manual shard_map keeps pp/dp explicit and leaves tp to GSPMD.
+    Expected structure: ticks = n_micro + pp - 1 = 3 stage-shift
+    ppermutes with the final (dead) send DCE'd -> 2 forward + 2 backward
+    = 4 collective-permutes.  All cross-device sums are all-reduces:
+    the Megatron tp pairs (attention-out + fc2 row-parallel forward,
+    their column-parallel input-grad reductions backward) per live tick,
+    the pp psum of shared-param grads, the dp grad pmean, and the loss
+    reductions — 17 instructions after XLA's all-reduce combiner at this
+    size.  No all-gather / reduce-scatter may appear: one would mean a
+    stage-weight PartitionSpec stopped propagating into the body and
+    GSPMD fell back to resharding the weights."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = parallel.make_mesh({"dp": 2, "tp": 2, "pp": 2})
+    pm = TransformerLM(vocab_size=32, dim=16, num_heads=2, num_layers=2,
+                       max_seq_len=8)
+    init = pm.init()
+    step, params, state = parallel.make_pipeline_train_step(
+        pm, mesh, n_micro=2, optimizer=SGD(0.1), init_params=init,
+        tp_rules=parallel.transformer_sharding_rules(init))
+    xp, yp = next(synthetic_lm_batches(4, 8, 32, 1))
+    xp, yp = step.place_batch(xp, yp)
+    got = _collective_counts(step, params, state, xp, yp)
+    assert set(got) == {"all-reduce", "collective-permute"}, got
+    assert got["collective-permute"] == 4, got
+    assert got["all-reduce"] == 17, got

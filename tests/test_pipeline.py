@@ -202,3 +202,67 @@ def test_pipeline_remat_matches_plain():
         np.testing.assert_allclose(
             np.asarray(blk_a["fc1"]["w"]), np.asarray(blk_b["fc1"]["w"]),
             rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_pipeline_dp_tp_pp_composed_matches_single_device():
+    """dp=2 x tp=2 x pp=2 in ONE train step (VERDICT r4 item 8): pp and dp
+    are manual shard_map axes (explicit ppermute ticks, grad pmean over
+    dp), tp rides GSPMD from the Megatron PartitionSpecs placed on the
+    stage weights.  Loss and every updated parameter must match the plain
+    single-device step from identical initial parameters."""
+    np.random.seed(7)
+    from jax.sharding import PartitionSpec as P
+
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=8)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(8, 8, 16, 1))
+
+    solo = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, _, loss1 = solo(init, None, x, y)
+
+    mesh = parallel.make_mesh({"dp": 2, "tp": 2, "pp": 2})
+    step, params, state = parallel.make_pipeline_train_step(
+        model, mesh, n_micro=2, optimizer=SGD(0.1), init_params=init,
+        tp_rules=parallel.transformer_sharding_rules(init))
+    xp, yp = step.place_batch(x, y)
+    params, state, loss = step(params, state, xp, yp)
+
+    np.testing.assert_allclose(float(loss.item()), float(loss1.item()),
+                               rtol=1e-9)
+    un = parallel.unstack_stage_params(params, 2)
+    for path in [
+        lambda p: p["blocks"][0]["attn"]["qkv"]["w"],
+        lambda p: p["blocks"][1]["fc2"]["w"],
+        lambda p: p["tok_emb"],
+        lambda p: p["head"]["w"],
+        lambda p: p["ln_f"]["g"],
+    ]:
+        np.testing.assert_allclose(np.asarray(path(un)), np.asarray(path(p1)),
+                                   rtol=1e-9, atol=1e-10)
+
+
+@needs_8
+def test_pipeline_dp_pp_no_tp_rules():
+    """dp=4 x pp=2 without tp: batch rows shard over dp manually, grads
+    pmean over dp — still exact vs the solo step."""
+    np.random.seed(8)
+    model = TransformerLM(vocab_size=16, dim=16, num_heads=2, num_layers=2,
+                          max_seq_len=8)
+    init = model.init()
+    x, y = next(synthetic_lm_batches(8, 8, 16, 1))
+    solo = make_train_step(model, SGD(0.1), loss_fn=lm_loss)
+    p1, _, loss1 = solo(init, None, x, y)
+
+    mesh = parallel.make_mesh({"dp": 4, "pp": 2})
+    step, params, state = parallel.make_pipeline_train_step(
+        model, mesh, n_micro=2, optimizer=SGD(0.1), init_params=init)
+    xp, yp = step.place_batch(x, y)
+    params, state, loss = step(params, state, xp, yp)
+    np.testing.assert_allclose(float(loss.item()), float(loss1.item()),
+                               rtol=1e-9)
+    un = parallel.unstack_stage_params(params, 2)
+    np.testing.assert_allclose(np.asarray(un["tok_emb"]),
+                               np.asarray(p1["tok_emb"]),
+                               rtol=1e-9, atol=1e-10)
