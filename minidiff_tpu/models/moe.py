@@ -37,6 +37,7 @@ from minidiff_tpu.models.layers import Module
 from minidiff_tpu.models.transformer import (
     LayerNorm,
     MultiHeadAttention,
+    _make_norm,
     lm_loss,
 )
 
@@ -56,14 +57,28 @@ class MoEFeedForward(Module):
     def __init__(self, dim: int, num_experts: int, mlp_ratio: int = 4,
                  k: int = 1, capacity_factor: float = 1.25,
                  dtype: "Optional[Any]" = None,
-                 grouped: "Optional[bool]" = None):
+                 grouped: "Optional[bool]" = None,
+                 mlp: str = "gelu", mlp_hidden: "Optional[int]" = None,
+                 bias: bool = True, renorm_gates: bool = False):
         assert 1 <= k <= num_experts, (k, num_experts)
+        if mlp not in ("gelu", "swiglu"):
+            raise ValueError(
+                f"unknown expert mlp kind {mlp!r} (expected 'gelu'/'swiglu')")
         self.dim = dim
         self.num_experts = num_experts
-        self.ff = mlp_ratio * dim
+        self.ff = mlp_hidden if mlp_hidden is not None else mlp_ratio * dim
         self.k = k
         self.capacity_factor = capacity_factor
         self.dtype = dtype
+        # swiglu experts (Mixtral-style): w1 projects to gate+value pairs
+        # (PAIR-major fused columns, the dense-block trick that keeps
+        # silu(a)*b collective-free under tp); bias=False drops b1/b2.
+        self.mlp = mlp
+        self.bias = bool(bias)
+        # renorm_gates (Mixtral routing): the k selected gates are divided
+        # by their sum, so combine weights sum to 1 per token — HF's
+        # softmax-all -> top-k -> renormalize is algebraically the same.
+        self.renorm_gates = bool(renorm_gates)
         # grouped=True routes by gather/scatter tables instead of the
         # (T, E, C) one-hot tensordots: the dense dispatch costs
         # 2*T*(E*C)*d ≈ 2.5*k*T^2*d FLOPs — at T ≈ 8d it matches the
@@ -77,20 +92,23 @@ class MoEFeedForward(Module):
         d, e, ff = self.dim, self.num_experts, self.ff
         b1 = 1.0 / math.sqrt(d)
         b2 = 1.0 / math.sqrt(ff)
+        w1_cols = 2 * ff if self.mlp == "swiglu" else ff
+        experts: "Dict[str, Any]" = {
+            "w1": md.Tensor(np.random.uniform(-b1, b1, (e, d, w1_cols)),
+                            allow_grad=True, dtype=self.dtype),
+            "w2": md.Tensor(np.random.uniform(-b2, b2, (e, ff, d)),
+                            allow_grad=True, dtype=self.dtype),
+        }
+        if self.bias:
+            experts["b1"] = md.Tensor(np.zeros((e, w1_cols)),
+                                      allow_grad=True, dtype=self.dtype)
+            experts["b2"] = md.Tensor(np.zeros((e, d)), allow_grad=True,
+                                      dtype=self.dtype)
         return {
             "router": {"w": md.Tensor(
                 np.random.uniform(-b1, b1, (d, e)), allow_grad=True,
                 dtype=self.dtype)},
-            "experts": {
-                "w1": md.Tensor(np.random.uniform(-b1, b1, (e, d, ff)),
-                                allow_grad=True, dtype=self.dtype),
-                "b1": md.Tensor(np.zeros((e, ff)), allow_grad=True,
-                                dtype=self.dtype),
-                "w2": md.Tensor(np.random.uniform(-b2, b2, (e, ff, d)),
-                                allow_grad=True, dtype=self.dtype),
-                "b2": md.Tensor(np.zeros((e, d)), allow_grad=True,
-                                dtype=self.dtype),
-            },
+            "experts": experts,
         }
 
     def capacity(self, tokens: int) -> int:
@@ -129,6 +147,17 @@ class MoEFeedForward(Module):
             keep = md.less(pos_tok, float(c)).astype(f32)  # capacity drop
             choices.append((idx, oh, gate, pos_tok, keep))
             remaining = remaining * (1 - oh.astype(probs.dtype))
+
+        if self.renorm_gates:
+            # Mixtral routing: the k selected probabilities renormalize to
+            # sum 1 per token (BEFORE capacity-keep masking — drops zero a
+            # term but never rescale the survivors, matching HF's
+            # no-capacity formulation when nothing drops)
+            total = choices[0][2]
+            for ch in choices[1:]:
+                total = total + ch[2]
+            choices = [(idx, oh, gate / total, pos_tok, keep)
+                       for idx, oh, gate, pos_tok, keep in choices]
 
         frac = md.mean(first_choice, axis=0).astype(probs.dtype)  # f_e
         mean_prob = md.mean(probs, axis=0)    # P_e
@@ -182,11 +211,21 @@ class MoEFeedForward(Module):
 
     def _experts_forward(self, params, expert_in):
         """Stacked expert FFNs: (E, C, d) -> (E, C, d), one batched matmul
-        pair on the MXU."""
-        h = F.gelu(md.matmul(expert_in, params["experts"]["w1"])
-                   + md.expand_dims(params["experts"]["b1"], 1))
-        return (md.matmul(h, params["experts"]["w2"])
-                + md.expand_dims(params["experts"]["b2"], 1))
+        pair on the MXU.  swiglu kind: w1's columns are PAIR-major
+        gate/value (h = silu(a) * b), matching the dense SwiGLU layout."""
+        ep = params["experts"]
+        h = md.matmul(expert_in, ep["w1"])
+        if "b1" in ep:
+            h = h + md.expand_dims(ep["b1"], 1)
+        if self.mlp == "swiglu":
+            hp = h.reshape(h.shape[:-1] + (self.ff, 2))
+            h = F.silu(hp[..., 0]) * hp[..., 1]
+        else:
+            h = F.gelu(h)
+        out = md.matmul(h, ep["w2"])
+        if "b2" in ep:
+            out = out + md.expand_dims(ep["b2"], 1)
+        return out
 
     def apply_with_aux(self, params, x) -> "Tuple[md.Tensor, md.Tensor]":
         b, s, d = x.shape
@@ -258,20 +297,42 @@ class MoEFeedForward(Module):
 
 
 class MoETransformerBlock(Module):
-    """Pre-LN block: x + MHA(LN(x)); x + MoE(LN(x))."""
+    """Pre-LN block: x + MHA(LN(x)); x + MoE(LN(x)).
+
+    Duck-types the dense ``TransformerBlock`` serving contract (``ln1`` /
+    ``attn`` / ``ln2`` / ``apply_mlp`` / ``apply_mlp_normed``), so every
+    cached-decode path — ``functional.block_qkv`` + ``block_finish``,
+    eager KV steps, the compiled decode scan, DecodeServer — runs MoE
+    blocks unchanged; the MoE FFN simply replaces the dense MLP branch.
+    The dense-block attention options (GQA, RoPE, RMSNorm, sliding
+    window, biases) pass straight through to ``MultiHeadAttention``.
+    """
 
     def __init__(self, dim: int, num_heads: int, num_experts: int,
                  mlp_ratio: int = 4, k: int = 1,
                  capacity_factor: float = 1.25, causal: bool = True,
                  dtype: "Optional[Any]" = None,
-                 grouped: "Optional[bool]" = None):
-        self.ln1 = LayerNorm(dim, dtype=dtype)
+                 grouped: "Optional[bool]" = None,
+                 norm: str = "layer", norm_eps: "Optional[float]" = None,
+                 num_kv_heads: "Optional[int]" = None, rope: bool = False,
+                 rope_base: float = 10000.0,
+                 window: "Optional[int]" = None, sinks: int = 0,
+                 attn_bias: bool = False, mlp: str = "gelu",
+                 mlp_hidden: "Optional[int]" = None, mlp_bias: bool = True,
+                 renorm_gates: bool = False):
+        self.ln1 = _make_norm(norm, dim, dtype, eps=norm_eps)
         self.attn = MultiHeadAttention(dim, num_heads, causal=causal,
-                                       dtype=dtype)
-        self.ln2 = LayerNorm(dim, dtype=dtype)
+                                       dtype=dtype,
+                                       num_kv_heads=num_kv_heads, rope=rope,
+                                       rope_base=rope_base, window=window,
+                                       sinks=sinks, bias=attn_bias)
+        self.ln2 = _make_norm(norm, dim, dtype, eps=norm_eps)
+        self.parallel = False  # serving-contract attr (no Phi-style MoE)
         self.moe = MoEFeedForward(dim, num_experts, mlp_ratio, k,
                                   capacity_factor, dtype=dtype,
-                                  grouped=grouped)
+                                  grouped=grouped, mlp=mlp,
+                                  mlp_hidden=mlp_hidden, bias=mlp_bias,
+                                  renorm_gates=renorm_gates)
 
     def init(self):
         return {
@@ -281,11 +342,23 @@ class MoETransformerBlock(Module):
             "moe": self.moe.init(),
         }
 
+    def apply_mlp_normed(self, params, z):
+        """The MoE residual branch on an already-normed (b, s, d) input —
+        the ``block_finish`` entry point (aux dropped: inference sites)."""
+        return self.moe.apply(params["moe"], z)
+
+    def apply_mlp(self, params, x):
+        return self.apply_mlp_normed(params,
+                                     self.ln2.apply(params["ln2"], x))
+
     def apply_with_aux(self, params, x):
-        x = x + self.attn.apply(params["attn"], self.ln1.apply(params["ln1"], x))
-        y, aux = self.moe.apply_with_aux(
-            params["moe"], self.ln2.apply(params["ln2"], x))
-        return x + y, aux
+        xa = self.ln1.apply(params["ln1"], x)
+        a = self.attn.apply(params["attn"], xa)
+        # fused residual-add + ln2 (one HBM pass on TPU), mirroring the
+        # dense TransformerBlock.apply
+        t, z = F.residual_norm(self.ln2, params["ln2"], x, a)
+        y, aux = self.moe.apply_with_aux(params["moe"], z)
+        return t + y, aux
 
     def apply(self, params, x):
         y, _ = self.apply_with_aux(params, x)
@@ -306,44 +379,73 @@ class MoETransformerLM(Module):
                  mlp_ratio: int = 4, k: int = 1,
                  capacity_factor: float = 1.25,
                  dtype: "Optional[Any]" = None,
-                 grouped: "Optional[bool]" = None):
+                 grouped: "Optional[bool]" = None,
+                 norm: str = "layer", norm_eps: "Optional[float]" = None,
+                 num_kv_heads: "Optional[int]" = None, rope: bool = False,
+                 rope_base: float = 10000.0,
+                 window: "Optional[int]" = None, sinks: int = 0,
+                 attn_bias: bool = False, mlp: str = "gelu",
+                 mlp_hidden: "Optional[int]" = None, mlp_bias: bool = True,
+                 renorm_gates: bool = False):
         self.vocab_size = vocab_size
         self.dim = dim
         self.max_seq_len = max_seq_len
         self.num_experts = num_experts
+        # serving-contract attributes (decode_program / DecodeServer read
+        # these off the model exactly as for TransformerLM)
+        self.rope = rope
+        self.window = None if window is None else int(window)
+        self.sinks = int(sinks)
+        self.tie_embeddings = False
         self.blocks = [
             MoETransformerBlock(dim, num_heads, num_experts, mlp_ratio, k,
                                 capacity_factor, causal=True, dtype=dtype,
-                                grouped=grouped)
+                                grouped=grouped, norm=norm,
+                                norm_eps=norm_eps,
+                                num_kv_heads=num_kv_heads, rope=rope,
+                                rope_base=rope_base, window=window,
+                                sinks=sinks, attn_bias=attn_bias, mlp=mlp,
+                                mlp_hidden=mlp_hidden, mlp_bias=mlp_bias,
+                                renorm_gates=renorm_gates)
             for _ in range(num_layers)
         ]
-        self.ln_f = LayerNorm(dim, dtype=dtype)
+        self.ln_f = _make_norm(norm, dim, dtype, eps=norm_eps)
         from minidiff_tpu.models.layers import Linear
 
         self.head = Linear(dim, vocab_size, bias=False, dtype=dtype)
         self.dtype = dtype
 
+    def lm_head(self, params, x):
+        """Hidden states (..., d) -> vocab logits (..., V)."""
+        return self.head.apply(params["head"], x)
+
     def init(self):
         scale = 1.0 / math.sqrt(self.dim)
         tok = np.random.normal(0.0, scale, (self.vocab_size, self.dim))
-        pos = np.random.normal(0.0, scale, (self.max_seq_len, self.dim))
-        return {
+        params = {
             "tok_emb": md.Tensor(tok, allow_grad=True, dtype=self.dtype),
-            "pos_emb": md.Tensor(pos, allow_grad=True, dtype=self.dtype),
             "blocks": [blk.init() for blk in self.blocks],
             "ln_f": self.ln_f.init(),
             "head": self.head.init(),
         }
+        if not self.rope:
+            pos = np.random.normal(0.0, scale,
+                                   (self.max_seq_len, self.dim))
+            params["pos_emb"] = md.Tensor(pos, allow_grad=True,
+                                          dtype=self.dtype)
+        return params
 
     def apply_with_aux(self, params, tokens):
         b, s = tokens.shape
-        x = params["tok_emb"][tokens] + params["pos_emb"][:s]
+        x = params["tok_emb"][tokens]
+        if not self.rope:
+            x = x + params["pos_emb"][:s]
         aux_total = None
         for blk, p in zip(self.blocks, params["blocks"]):
             x, aux = blk.apply_with_aux(p, x)
             aux_total = aux if aux_total is None else aux_total + aux
         x = self.ln_f.apply(params["ln_f"], x)
-        return self.head.apply(params["head"], x), aux_total
+        return self.lm_head(params, x), aux_total
 
     def apply(self, params, tokens):
         logits, _ = self.apply_with_aux(params, tokens)

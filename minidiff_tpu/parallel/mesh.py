@@ -232,32 +232,28 @@ def moe_sharding_rules(params: "Any") -> "Any":
     a ``dp`` axis for batch scaling; ``tp`` composes via the attention rules
     of transformer_sharding_rules if needed).
     """
+    def replicate(sub):
+        return jax.tree.map(
+            lambda _: PartitionSpec(), sub,
+            is_leaf=lambda x: isinstance(x, md.Tensor))
+
     blocks = []
-    for _ in params["blocks"]:
+    for bp in params["blocks"]:
+        # mirror whatever the block tree actually contains (GQA wq/wkv vs
+        # fused qkv, RMSNorm's bare {g}, bias-free experts): expert-stacked
+        # leaves shard their leading E axis on ep, the rest replicate
+        experts = {
+            k: PartitionSpec("ep", *([None] * (v.ndim - 1)))
+            for k, v in bp["moe"]["experts"].items()
+        }
         blocks.append({
-            "ln1": {"g": PartitionSpec(), "b": PartitionSpec()},
-            "attn": {
-                "qkv": {"w": PartitionSpec()},
-                "out": {"w": PartitionSpec()},
-            },
-            "ln2": {"g": PartitionSpec(), "b": PartitionSpec()},
-            "moe": {
-                "router": {"w": PartitionSpec()},
-                "experts": {
-                    "w1": PartitionSpec("ep", None, None),
-                    "b1": PartitionSpec("ep", None),
-                    "w2": PartitionSpec("ep", None, None),
-                    "b2": PartitionSpec("ep", None),
-                },
-            },
+            **{k: replicate(v) for k, v in bp.items() if k != "moe"},
+            "moe": {"router": replicate(bp["moe"]["router"]),
+                    "experts": experts},
         })
-    return {
-        "tok_emb": PartitionSpec(),
-        "pos_emb": PartitionSpec(),
-        "blocks": blocks,
-        "ln_f": {"g": PartitionSpec(), "b": PartitionSpec()},
-        "head": {"w": PartitionSpec()},
-    }
+    rules = {k: replicate(v) for k, v in params.items() if k != "blocks"}
+    rules["blocks"] = blocks
+    return rules
 
 
 def mlp_sharding_rules(params: "Any") -> "Any":

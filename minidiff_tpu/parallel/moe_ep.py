@@ -38,7 +38,6 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 import minidiff_tpu as md
-from minidiff_tpu.models import functional as F
 from minidiff_tpu.models.optim import SGD, Optimizer
 from minidiff_tpu.models.transformer import lm_loss
 from minidiff_tpu.parallel._util import _is_tensor, _unwrap, _wrap
@@ -80,10 +79,9 @@ def moe_ep_ffn(moe: "MoEFeedForward", params: "Any", x: "md.Tensor",
     # for the experts resident here -> (E/N, N*C, d)
     expert_in = md.all_to_all(expert_in, axis_name=axis_name,
                               split_axis=0, concat_axis=1)
-    h = F.gelu(md.matmul(expert_in, params["experts"]["w1"])
-               + md.expand_dims(params["experts"]["b1"], 1))
-    out = (md.matmul(h, params["experts"]["w2"])
-           + md.expand_dims(params["experts"]["b2"], 1))
+    # local resident experts: the shared stacked-FFN forward runs on the
+    # (E/N, N*C, d) shard unchanged (gelu or swiglu kind, optional biases)
+    out = moe._experts_forward(params, expert_in)
     # inverse exchange: every token's slot outputs return to its home device
     out = md.all_to_all(out, axis_name=axis_name,
                         split_axis=1, concat_axis=0)  # (E, C, d)
@@ -144,7 +142,9 @@ def make_moe_ep_train_step(
 
         def objective(p):
             b, s = x.shape
-            h = p["tok_emb"][x] + p["pos_emb"][:s]
+            h = p["tok_emb"][x]
+            if not model.rope:
+                h = h + p["pos_emb"][:s]
             aux_total = None
             for blk, bp in zip(model.blocks, p["blocks"]):
                 h = h + blk.attn.apply(
@@ -155,7 +155,7 @@ def make_moe_ep_train_step(
                 h = h + yf
                 aux_total = aux if aux_total is None else aux_total + aux
             h = model.ln_f.apply(p["ln_f"], h)
-            logits = model.head.apply(p["head"], h)
+            logits = model.lm_head(p, h)
             local = loss_fn(logits, y) + aux_total.astype(
                 logits.dtype) * aux_coef
             # mean over data shards; its cotangent seeds each local term 1/N

@@ -365,3 +365,52 @@ def test_grouped_bf16_matches_one_hot():
     np.testing.assert_allclose(
         np.asarray(y2.astype(md.float32).detach()),
         np.asarray(y1.astype(md.float32).detach()), rtol=3e-2, atol=3e-2)
+
+
+def test_mixtral_shaped_moe_dp_ep_and_explicit_ep():
+    """The Mixtral option set (RoPE + GQA + RMSNorm + SwiGLU experts +
+    renormalized top-2 gates + no-drop capacity) composes with BOTH
+    expert-parallel paths on the 8-mesh: GSPMD dp x ep via
+    moe_sharding_rules (which now mirrors the actual tree: rms {g},
+    GQA wq/wkv, bias-free experts) and the explicit all_to_all EP step."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    md.set_backend("xla")
+    from minidiff_tpu import parallel
+    from minidiff_tpu.models import SGD, make_moe_loss, synthetic_lm_batches
+
+    model = MoETransformerLM(
+        vocab_size=32, dim=16, num_heads=4, num_layers=1, num_experts=8,
+        max_seq_len=16, k=2, capacity_factor=4.0, grouped=True,
+        norm="rms", num_kv_heads=2, rope=True, mlp="swiglu",
+        mlp_hidden=24, mlp_bias=False, renorm_gates=True)
+    init = model.init()
+    mesh = parallel.make_mesh({"dp": 2, "ep": 4})
+    step, place_p, place_b = parallel.make_sharded_train_step(
+        model, mesh, SGD(0.1), loss_fn=make_moe_loss(0.01),
+        param_specs=parallel.moe_sharding_rules(init),
+        apply_fn=model.apply_with_aux)
+    x, y = next(synthetic_lm_batches(4, 16, 32, 1))
+    xp, yp = place_b(x, y)
+    params = place_p(init)
+    params, state, l1 = step(params, None, xp, yp)
+    assert np.isfinite(float(l1.item()))
+    params, state, l2 = step(params, state, xp, yp)
+    assert np.isfinite(float(l2.item()))
+
+    ep_mesh = parallel.make_mesh({"ep": 8})
+    ep_model = MoETransformerLM(
+        vocab_size=32, dim=16, num_heads=4, num_layers=1, num_experts=8,
+        max_seq_len=16, k=2, capacity_factor=4.0, grouped=True,
+        norm="rms", num_kv_heads=2, rope=True, mlp="swiglu",
+        mlp_hidden=24, mlp_bias=False, renorm_gates=True)
+    ep_step, ep_params, ep_state = parallel.make_moe_ep_train_step(
+        ep_model, ep_mesh, optimizer=SGD(0.1))
+    xe, ye = next(synthetic_lm_batches(16, 16, 32, 1))
+    ep_params, ep_state, e1 = ep_step(ep_params, ep_state, xe, ye)
+    assert np.isfinite(float(e1.item()))
+    ep_params, ep_state, e2 = ep_step(ep_params, ep_state, xe, ye)
+    assert np.isfinite(float(e2.item()))
