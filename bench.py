@@ -453,6 +453,16 @@ def _decode_throughput() -> dict:
                                         chain=4)
         out["decode_big_int4_tok_per_s"] = round(8 * 64 / t4b, 1)
         out["decode_big_int4_speedup_vs_int8"] = round(r4b, 4)
+        # int4 is a CAPACITY tier on this hardware (the i32-lane nibble
+        # unpack's VPU ceiling sits at int8's HBM rate, so speed at best
+        # ties — kernels/quant.py roofline): report the weight-residency
+        # win that is its actual product value
+        from minidiff_tpu.models.quant import quantized_bytes
+
+        out["decode_big_int4_weight_bytes_vs_int8"] = round(
+            quantized_bytes(q4_big) / quantized_bytes(q8_big), 4)
+        out["decode_big_int4_weight_bytes_vs_bf16"] = round(
+            quantized_bytes(q4_big) / quantized_bytes(params_big), 4)
     except Exception as e:
         out["decode_big_error"] = str(e)[:120]
 

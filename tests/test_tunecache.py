@@ -119,3 +119,44 @@ def test_disabled_cache(monkeypatch):
     tunecache._LOADED.clear()
     tunecache.record("matmul", ("k",), True)
     assert tunecache.lookup("matmul", ("k",)) == (False, None)
+
+
+def test_seed_fallback(cache_dir, tmp_path, monkeypatch):
+    """A packaged seed file serves decisions a cold writable cache lacks —
+    fingerprint-gated, never merged into record()'s persisted keys."""
+    seed_dir = tmp_path / "seed"
+    seed_dir.mkdir()
+    monkeypatch.setenv("MINIDIFF_TPU_TUNE_SEED", str(seed_dir))
+    tunecache._SEED_LOADED.clear()
+    key = ("nn", 1024, 1024, 1024, "bfloat16", "bfloat16")
+    seed = {repr(key): [256, 256, 512],
+            "__fingerprint__": tunecache._fingerprint("matmul")}
+    fname = f"matmul_{tunecache._device_tag()}.json"
+    (seed_dir / fname).write_text(json.dumps(seed))
+
+    hit, dec = tunecache.lookup("matmul", key)
+    assert hit and dec == (256, 256, 512)
+
+    # a fresh race recorded for a DIFFERENT key must not persist the
+    # seed-served one (record() writes only this process's dirty keys)
+    tunecache.record("matmul", ("other",), False)
+    with open(os.path.join(str(cache_dir), fname)) as fh:
+        persisted = json.load(fh)
+    assert repr(key) not in persisted
+
+    # stale seed (wrong fingerprint) misses
+    tunecache._SEED_LOADED.clear()
+    tunecache._LOADED.clear()
+    seed["__fingerprint__"] = "stale"
+    (seed_dir / fname).write_text(json.dumps(seed))
+    hit, _ = tunecache.lookup("matmul", ("never-raced",))
+    assert not hit
+    tunecache._SEED_LOADED.clear()
+
+
+def test_seed_disabled(cache_dir, monkeypatch):
+    monkeypatch.setenv("MINIDIFF_TPU_TUNE_SEED", "0")
+    tunecache._SEED_LOADED.clear()
+    hit, _ = tunecache.lookup("matmul", ("no-seed",))
+    assert not hit
+    tunecache._SEED_LOADED.clear()
