@@ -466,6 +466,41 @@ def _decode_throughput() -> dict:
     except Exception as e:
         out["decode_big_error"] = str(e)[:120]
 
+    # quantized MoE serving: the expert bank dominates a sparse model's
+    # per-token weight stream; int8 banks through the batched dequant
+    # kernel (md.dequant_matmul_bmm) should track the int8 dense win
+    if not _row_allowed("decode_moe_int8"):
+        return out
+    try:
+        from minidiff_tpu.models import MoETransformerLM
+
+        moe_m = MoETransformerLM(vocab_size=T.VOCAB, dim=1024,
+                                 num_heads=8, num_kv_heads=4,
+                                 num_layers=4, num_experts=8, k=2,
+                                 capacity_factor=4.0, grouped=True,
+                                 max_seq_len=256, norm="rms", rope=True,
+                                 mlp="swiglu", mlp_hidden=2048,
+                                 mlp_bias=False, renorm_gates=True,
+                                 dtype=md.bfloat16)
+        np.random.seed(9)
+        moe_p = moe_m.init()
+        moe_q = quantize_for_serving(moe_p)
+        prompt_moe = np.random.RandomState(10).randint(
+            1, T.VOCAB, size=(8, 16))
+
+        def run_moe_bf(p):
+            return generate_compiled(moe_m, moe_p, md.Tensor(p), 64)._data
+
+        def run_moe_i8(p):
+            return generate_compiled(moe_m, moe_q, md.Tensor(p), 64)._data
+
+        tmq, _, rmq = T.chain_time_pair(run_moe_i8, run_moe_bf, prompt_moe,
+                                        chain=4)
+        out["decode_moe_int8_tok_per_s"] = round(8 * 64 / tmq, 1)
+        out["decode_moe_int8_speedup_vs_bf16"] = round(rmq, 4)
+    except Exception as e:
+        out["decode_moe_int8_error"] = str(e)[:120]
+
     # paged vs dense continuous-batching step programs + sequence packing
     if not _row_allowed("paged_bench"):
         return out

@@ -79,6 +79,7 @@ REQUIRED_ATTRS = [
     "add_layernorm", "add_rmsnorm", "softmax_xent",
     "quantize_int8", "dequant_matmul", "quantize_int8_rows", "sdpa_int8_cache",
     "quantize_int4", "dequant_matmul4", "unpack_int4",
+    "quantize_int8_stacked", "dequant_matmul_bmm",
     "conv2d", "conv2d_input_grad", "conv2d_kernel_grad",
     "einsum", "maximum", "minimum",
     "mod", "multiply", "not_equal", "power", "reshape", "subtract",

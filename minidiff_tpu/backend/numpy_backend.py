@@ -228,6 +228,30 @@ class NumpyBackend:
         return np.concatenate([lo, hi], axis=0).astype(np.int8)
 
     @staticmethod
+    def quantize_int8_stacked(w: np.ndarray):
+        """(E, K, N) float -> (q int8, s f32 (E, N)) per (expert, column)."""
+        if np.ndim(w) != 3:
+            raise ValueError(
+                "quantize_int8_stacked expects a 3-D weight bank")
+        w32 = np.asarray(w, np.float32)
+        amax = np.max(np.abs(w32), axis=1)
+        s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(w32 / s[:, None, :]), -127, 127).astype(np.int8)
+        return q, s
+
+    @staticmethod
+    def dequant_matmul_bmm(x: np.ndarray, q: np.ndarray,
+                           s: np.ndarray) -> np.ndarray:
+        """x (E, C, K) @ (q (E, K, N) int8 * s (E, N)) -> (E, C, N).
+
+        Oracle at x's own precision, like dequant_matmul."""
+        if np.ndim(q) != 3:
+            raise ValueError("dequant_matmul_bmm expects a 3-D int8 bank")
+        xd = np.asarray(x)
+        acc = np.matmul(xd, np.asarray(q, xd.dtype))
+        return (acc * np.asarray(s, xd.dtype)[:, None, :]).astype(xd.dtype)
+
+    @staticmethod
     def dequant_matmul4(x: np.ndarray, p: np.ndarray,
                         s: np.ndarray) -> np.ndarray:
         """x (..., K) @ (unpacked int4 * group scales) at x's precision."""

@@ -370,6 +370,27 @@ class TorchBackend:
         return (acc * s.to(x.dtype)).to(x.dtype)
 
     @staticmethod
+    def quantize_int8_stacked(w):
+        w = _t(w)
+        if w.ndim != 3:
+            raise ValueError(
+                "quantize_int8_stacked expects a 3-D weight bank")
+        w32 = w.to(torch.float32)
+        amax = torch.max(torch.abs(w32), dim=1).values       # (E, N)
+        s = torch.where(amax > 0, amax / 127.0, torch.ones_like(amax))
+        q = torch.clamp(torch.round(w32 / s[:, None, :]), -127,
+                        127).to(torch.int8)
+        return q, s
+
+    @staticmethod
+    def dequant_matmul_bmm(x, q, s):
+        x, q, s = _t(x), _t(q), _t(s)
+        if q.ndim != 3:
+            raise ValueError("dequant_matmul_bmm expects a 3-D int8 bank")
+        acc = torch.matmul(x, q.to(x.dtype))
+        return (acc * s.to(x.dtype)[:, None, :]).to(x.dtype)
+
+    @staticmethod
     def quantize_int4(w, group: int = 128):
         w = _t(w)
         if w.ndim != 2:

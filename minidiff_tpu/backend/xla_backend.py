@@ -212,6 +212,21 @@ class XlaBackend:
         return _q.dequant_matmul(x, q, s)
 
     @staticmethod
+    def quantize_int8_stacked(w: jax.Array):
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.quantize_int8_stacked(w)
+
+    @staticmethod
+    def dequant_matmul_bmm(x: jax.Array, q: jax.Array,
+                           s: jax.Array) -> jax.Array:
+        # one grid cell per (expert, N-tile): int8 expert bank in HBM,
+        # VMEM dequant, f32 MXU accumulation — kernels/quant.py
+        from minidiff_tpu.kernels import quant as _q
+
+        return _q.dequant_matmul_bmm(x, q, s)
+
+    @staticmethod
     def quantize_int4(w: jax.Array, group: int = 128):
         from minidiff_tpu.kernels import quant as _q
 

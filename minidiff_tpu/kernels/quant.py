@@ -245,6 +245,88 @@ def sdpa_int8_cache(q, k8, ks, v8, vs, pos, scale=None):
     return out.reshape(bq, h, c, hd)
 
 
+# ---------------------------------------------------------------------------
+# Stacked (batched) dequant-matmul: quantized MoE expert banks
+# ---------------------------------------------------------------------------
+#
+# MoE serving moves the weight problem from one matrix to a BANK: every
+# decode step streams all E experts' FFN weights (the tokens routed to
+# each expert contract against that expert's slice), so the expert bank
+# dominates a Mixtral-class model's per-token HBM bytes.  The batched
+# kernel runs one grid cell per (expert, N-tile): HBM sees int8 expert
+# slices only, dequantized in VMEM against that expert's per-column
+# scales, with f32 MXU accumulation — the 2-D dequant_matmul contract
+# lifted onto a leading expert axis.
+
+
+def quantize_int8_stacked(w: jax.Array):
+    """(E, K, N) float -> (q int8 (E, K, N), s f32 (E, N)) symmetric
+    per (expert, output-column)."""
+    if w.ndim != 3:
+        raise ValueError("quantize_int8_stacked expects a 3-D weight bank")
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=1)                  # (E, N)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w32 / s[:, None, :]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _dq_bmm_kernel(x_ref, q_ref, s_ref, o_ref):
+    w = q_ref[0].astype(x_ref.dtype)                      # (K, bn) exact
+    acc = jnp.dot(x_ref[0], w, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc * s_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn",))
+def _pallas_dequant_bmm(x: jax.Array, q: jax.Array, s: jax.Array,
+                        bn: int = _BN) -> jax.Array:
+    e, c, k = x.shape
+    _, _, n = q.shape
+    s3 = s.reshape(e, 1, n).astype(jnp.float32)
+    return pl.pallas_call(
+        _dq_bmm_kernel,
+        out_shape=jax.ShapeDtypeStruct((e, c, n), x.dtype),
+        grid=(e, n // bn),
+        in_specs=[
+            pl.BlockSpec((1, c, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, k, bn), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, c, bn), lambda i, j: (i, 0, j)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(x, q, s3)
+
+
+def _jnp_dequant_bmm(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    acc = jax.lax.dot_general(
+        x, q.astype(x.dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc_dtype,
+    )
+    return (acc * s[:, None, :].astype(acc_dtype)).astype(x.dtype)
+
+
+def dequant_matmul_bmm(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """x (E, C, K) float @ q (E, K, N) int8 * s (E, N) -> (E, C, N)."""
+    if x.ndim != 3 or q.ndim != 3:
+        raise ValueError("dequant_matmul_bmm expects 3-D x and weight bank")
+    if x.shape[0] != q.shape[0] or x.shape[2] != q.shape[1]:
+        raise ValueError(
+            f"dequant_matmul_bmm: x {x.shape} vs bank {q.shape}")
+    e, c, k = x.shape
+    n = q.shape[2]
+    if not _pallas_eligible(c, k, n, x.dtype):
+        return _jnp_dequant_bmm(x, q, s)
+    sub = _sublane(x.dtype)
+    cp = -(-c // sub) * sub
+    xp = x if cp == c else jnp.pad(x, ((0, 0), (0, cp - c), (0, 0)))
+    out = _pallas_dequant_bmm(xp, q, s)
+    return out if cp == c else out[:, :c]
+
+
 def dequant_matmul(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
     """x (..., K) float @ q (K, N) int8 scaled by s (N,) -> (..., N)."""
     if q.ndim != 2:

@@ -214,7 +214,13 @@ class MoEFeedForward(Module):
         pair on the MXU.  swiglu kind: w1's columns are PAIR-major
         gate/value (h = silu(a) * b), matching the dense SwiGLU layout."""
         ep = params["experts"]
-        h = md.matmul(expert_in, ep["w1"])
+        if "w1_q" in ep:
+            # int8-quantized bank (models.quant.quantize_for_serving):
+            # HBM streams int8 expert slices through the batched dequant
+            # kernel — the bank IS the dominant MoE serving stream
+            h = md.dequant_matmul_bmm(expert_in, ep["w1_q"], ep["w1_s"])
+        else:
+            h = md.matmul(expert_in, ep["w1"])
         if "b1" in ep:
             h = h + md.expand_dims(ep["b1"], 1)
         if self.mlp == "swiglu":
@@ -222,7 +228,10 @@ class MoEFeedForward(Module):
             h = F.silu(hp[..., 0]) * hp[..., 1]
         else:
             h = F.gelu(h)
-        out = md.matmul(h, ep["w2"])
+        if "w2_q" in ep:
+            out = md.dequant_matmul_bmm(h, ep["w2_q"], ep["w2_s"])
+        else:
+            out = md.matmul(h, ep["w2"])
         if "b2" in ep:
             out = out + md.expand_dims(ep["b2"], 1)
         return out

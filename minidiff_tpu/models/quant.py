@@ -14,7 +14,11 @@ untied lm head of models.TransformerLM.  What stays full precision:
 LayerNorm gains/biases, Linear biases, embeddings (the gather reads one
 row per token — quantizing the table saves nothing on the serving path
 and would perturb the tied-head logits), and anything not a 2-D matmul
-weight (stacked MoE expert banks are 3-D and route through tensordots).
+weight — EXCEPT stacked MoE expert banks: 3-D ``w1``/``w2`` leaves
+quantize per (expert, output-column) and stream through the batched
+``md.dequant_matmul_bmm`` kernel (the bank is a Mixtral-class model's
+dominant serving bytes).  The MoE router stays full precision (tiny,
+and int8 rounding there flips top-k routing decisions).
 
 The quantized tree drives every existing path unchanged: eager
 ``model.apply``, ``generate``/``generate_cached``, and the compiled
@@ -35,8 +39,8 @@ import minidiff_tpu.backend as backend
 if TYPE_CHECKING:
     from typing import Any
 
-__all__ = ["quantize_int8", "quantize_int4", "quantize_for_serving",
-           "quantized_bytes"]
+__all__ = ["quantize_int8", "quantize_int4", "quantize_int8_stacked",
+           "quantize_for_serving", "quantized_bytes"]
 
 
 def quantize_int8(w: "md.Tensor") -> "tuple[md.Tensor, md.Tensor]":
@@ -59,6 +63,14 @@ def quantize_int4(w: "md.Tensor", group: int = 128):
     with md.no_grad():
         p, s = backend.get_backend().quantize_int4(w._data, group=group)
         return md.Tensor(p), md.Tensor(s)
+
+
+def quantize_int8_stacked(w: "md.Tensor"):
+    """(E, K, N) float expert bank -> (q int8, s f32 (E, N)) symmetric
+    per (expert, output-column) — the MoE sibling of quantize_int8."""
+    with md.no_grad():
+        q, s = backend.get_backend().quantize_int8_stacked(w._data)
+        return md.Tensor(q), md.Tensor(s)
 
 
 def _is_quantizable(key: str, value: "Any", min_elements: int) -> bool:
@@ -86,7 +98,12 @@ def quantize_for_serving(params: "Any", min_elements: int = 128 * 128,
     if isinstance(params, dict):
         out = {}
         for k, v in params.items():
-            if _is_quantizable(k, v, min_elements):
+            if k == "router":
+                # the MoE router stays full precision: its (d, E) matmul
+                # is tiny, it is consumed as a bare "w" (not Linear.apply),
+                # and int8 rounding there flips top-k routing decisions
+                out[k] = v
+            elif _is_quantizable(k, v, min_elements):
                 kdim = v.shape[0]
                 if bits == 4 and kdim % 2 == 0 and kdim % group == 0:
                     p, s = quantize_int4(v, group=group)
@@ -94,6 +111,14 @@ def quantize_for_serving(params: "Any", min_elements: int = 128 * 128,
                 else:
                     q, s = quantize_int8(v)
                     out["w_q"], out["w_s"] = q, s
+            elif (k in ("w1", "w2") and isinstance(v, md.Tensor)
+                    and v.ndim == 3 and v.size >= min_elements):
+                # stacked MoE expert bank (E, K, N): per-(expert, column)
+                # int8 through the batched dequant kernel — the bank is a
+                # Mixtral-class model's dominant serving stream.  (int4
+                # stays a 2-D tier; banks take int8 at either bits.)
+                q, s = quantize_int8_stacked(v)
+                out[k + "_q"], out[k + "_s"] = q, s
             else:
                 out[k] = quantize_for_serving(v, min_elements, bits=bits,
                                               group=group)

@@ -1114,6 +1114,25 @@ dequant_matmul4 = wrapping.create_ternary_op_func(
     grad_z=None,
     tensor_only=True,
 )
+
+
+# Stacked (batched) sibling for quantized MoE expert banks:
+# x (E, C, K) @ (q (E, K, N) int8 * s (E, N)) -> (E, C, N).  Same
+# differentiability contract — grad in x only, through the frozen
+# dequantized bank.
+def _dequant_matmul_bmm_grad_x(x, q, s, grad):
+    wdt = (s.reshape((-1,))[:1] * grad.reshape((-1,))[:1]).dtype
+    w = q.astype(wdt) * md.expand_dims(s.astype(wdt), 1)   # (E, K, N)
+    return matmul_nt(grad.astype(wdt), w).astype(x.dtype)
+
+
+dequant_matmul_bmm = wrapping.create_ternary_op_func(
+    forward_func=as_tensor_func(backend_fn("dequant_matmul_bmm")),
+    grad_x=_dequant_matmul_bmm_grad_x,
+    grad_y=None,
+    grad_z=None,
+    tensor_only=True,
+)
 mod = wrapping.create_binary_op_func(
     forward_func=as_tensor_func(backend_fn("mod")),
     grad_x=lambda x, y, grad: md.where(x % y == 0, 0, grad),
@@ -1918,6 +1937,7 @@ __all__ = [
     "matmul_tn",
     "dequant_matmul",
     "dequant_matmul4",
+    "dequant_matmul_bmm",
     "sdpa_int8_cache",
     "maximum",
     "minimum",

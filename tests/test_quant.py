@@ -537,3 +537,120 @@ def test_lora_over_int4_base(backend):
     base = _np(model.apply(q4, x))
     fresh = _np(model.apply(adapted, x))
     np.testing.assert_array_equal(base, fresh)  # zero-init no-op
+
+
+# ---------------------------------------------------------------------------
+# Stacked (batched) dequant-matmul: quantized MoE expert banks
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_stacked_roundtrip(backend):
+    from minidiff_tpu.models.quant import quantize_int8_stacked
+
+    w = md.Tensor(np.random.randn(4, 96, 64))
+    q, s = quantize_int8_stacked(w)
+    assert str(q.dtype).endswith("int8")
+    assert q.shape == (4, 96, 64) and s.shape == (4, 64)
+    deq = _np(q).astype(np.float64) * _np(s)[:, None, :]
+    amax = np.max(np.abs(_np(w)), axis=1)
+    assert (np.abs(deq - _np(w)) <= amax[:, None, :] / 254 + 1e-12).all()
+
+
+def test_dequant_matmul_bmm_matches_explicit(backend):
+    from minidiff_tpu.models.quant import quantize_int8_stacked
+
+    x = md.Tensor(np.random.randn(4, 8, 96))
+    w = md.Tensor(np.random.randn(4, 96, 64))
+    q, s = quantize_int8_stacked(w)
+    got = md.dequant_matmul_bmm(x, q, s)
+    deq = _np(q).astype(np.float64) * _np(s)[:, None, :]
+    want = np.matmul(_np(x), deq)
+    np.testing.assert_allclose(_np(got), want, rtol=1e-6, atol=1e-8)
+
+
+def test_dequant_matmul_bmm_grad_x_vs_oracle(backend):
+    from minidiff_tpu.models.quant import quantize_int8_stacked
+
+    x = md.Tensor(np.random.randn(2, 4, 96), allow_grad=True)
+    w = md.Tensor(np.random.randn(2, 96, 64))
+    q, s = quantize_int8_stacked(w)
+    manual, auto = compute_grads(
+        x, q, s,
+        func=lambda a, b, c: md.sum(md.tanh(md.dequant_matmul_bmm(a, b, c))),
+        exclude=(q, s),
+    )
+    np.testing.assert_allclose(
+        _np(manual[0]), _np(auto[0]), rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_dequant_bmm_matches_jnp(monkeypatch):
+    _interpret_pallas(monkeypatch)
+    from minidiff_tpu.kernels import quant as Q
+
+    rng = np.random.RandomState(2)
+    e, c, k, n = 3, 8, 256, 512
+    x = jnp.asarray(rng.randn(e, c, k), jnp.float32)
+    w = jnp.asarray(rng.randn(e, k, n), jnp.float32)
+    q, s = Q.quantize_int8_stacked(w)
+    want = np.asarray(Q._jnp_dequant_bmm(x, q, s), np.float64)
+    got = np.asarray(Q._pallas_dequant_bmm(x, q, s), np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_for_serving_moe_banks(backend):
+    """Expert banks become w1_q/w1_s (stacked int8), the router stays
+    full precision, and the quantized MoE forward stays close to the
+    full-precision one with identical routing."""
+    from minidiff_tpu.models import MoETransformerLM
+    from minidiff_tpu.models.quant import (quantize_for_serving,
+                                           quantized_bytes)
+
+    np.random.seed(3)
+    model = MoETransformerLM(vocab_size=31, dim=32, num_heads=2,
+                             num_layers=1, num_experts=4, max_seq_len=16,
+                             k=2, capacity_factor=2.0, grouped=True,
+                             mlp_ratio=2)
+    params = model.init()
+    qp = quantize_for_serving(params, min_elements=512)
+    moe_q = qp["blocks"][0]["moe"]
+    assert set(moe_q["experts"]) >= {"w1_q", "w1_s", "w2_q", "w2_s"}
+    assert "w1" not in moe_q["experts"]
+    assert "w" in moe_q["router"]  # router untouched
+    assert quantized_bytes(qp) < quantized_bytes(params)
+
+    toks = md.Tensor(np.random.RandomState(4).randint(0, 31, (2, 16)))
+    with md.no_grad():
+        full = _np(model.apply(params, toks))
+        quant = _np(model.apply(qp, toks))
+    # int8 banks perturb logits boundedly; shapes and scale must agree
+    assert quant.shape == full.shape
+    assert np.max(np.abs(quant - full)) < 0.15 * (np.max(np.abs(full)) + 1)
+
+
+def test_mixtral_int8_compiled_decode_matches_eager():
+    """The quantized Mixtral serves through the compiled scan: eager
+    generate and generate_compiled agree token-for-token on the SAME
+    quantized tree (the int8 bank is just another parameter layout)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    from minidiff_tpu.models.decode import generate_compiled
+    from minidiff_tpu.models.hf import from_hf_mixtral
+    from minidiff_tpu.models.quant import quantize_for_serving
+    from minidiff_tpu.models.transformer import generate
+
+    md.set_backend("xla")
+    cfg = MixtralConfig(
+        vocab_size=97, hidden_size=32, intermediate_size=56,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, num_local_experts=4,
+        num_experts_per_tok=2, sliding_window=None)
+    torch.manual_seed(11)
+    hf = MixtralForCausalLM(cfg).double().eval()
+    model, params = from_hf_mixtral(hf)
+    qp = quantize_for_serving(params, min_elements=512)
+    prompt = np.random.RandomState(12).randint(3, 97, size=(2, 5))
+    ref = np.asarray(generate(model, qp, md.Tensor(prompt), 6))
+    got = np.asarray(generate_compiled(model, qp, md.Tensor(prompt), 6))
+    np.testing.assert_array_equal(got, ref)
