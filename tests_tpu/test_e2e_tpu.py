@@ -294,3 +294,33 @@ def test_paged_kernel_hardware_parity():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_moe_int8_bank_decode():
+    """Sparse-MoE serving on hardware (r5): grouped routing + int8
+    expert banks through the batched dequant kernel — compiled scan
+    decode matches the eager full-forward generate token for token on
+    the SAME quantized tree."""
+    from minidiff_tpu.models import (MoETransformerLM, generate_compiled,
+                                     quantize_for_serving)
+    from minidiff_tpu.models.transformer import generate_cached
+
+    np.random.seed(21)
+    # f32 params: the compiled path prefills the whole prompt in one
+    # routed forward while the eager path routes token-by-token — the
+    # expert matmul C dimension differs between them, and bf16 reduction
+    # order there could flip greedy ties; f32 still drives the int8-bank
+    # kernel (x dtype f32 is supported)
+    model = MoETransformerLM(
+        vocab_size=VOCAB, dim=256, num_heads=2, num_layers=2,
+        num_experts=8, k=2, max_seq_len=256, grouped=True, norm="rms",
+        rope=True, mlp="swiglu", mlp_hidden=512, mlp_bias=False,
+        renorm_gates=True, capacity_factor=4.0)
+    params = model.init()
+    qparams = quantize_for_serving(params, min_elements=4096)
+    assert "w1_q" in qparams["blocks"][0]["moe"]["experts"]
+    prompt = md.Tensor(np.random.RandomState(22).randint(1, VOCAB,
+                                                         size=(2, 6)))
+    got = generate_compiled(model, qparams, prompt, 6)
+    eager = generate_cached(model, qparams, prompt, 6)
+    np.testing.assert_array_equal(_np(got), _np(eager))

@@ -353,3 +353,19 @@ def test_zzz_no_kernel_compile_failures():
     from minidiff_tpu.kernels.matmul import kernel_failures
 
     assert kernel_failures() == {}
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_dequant_matmul_bmm_stacked(dtype):
+    """Batched expert-bank dequant kernel (r5): Pallas vs jnp on
+    hardware, one grid cell per (expert, N-tile)."""
+    from minidiff_tpu.kernels import quant as Q
+
+    x = _rand((4, 16, 1024), dtype, 3)
+    w = _rand((4, 1024, 512), jnp.float32, 4)
+    q, s = Q.quantize_int8_stacked(w)
+    got = Q._pallas_dequant_bmm(x, q, s)
+    want = Q._jnp_dequant_bmm(x, q, s)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        **_tol(dtype))
