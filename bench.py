@@ -63,6 +63,27 @@ def _row_allowed(name: str) -> bool:
     return True
 
 
+# ordered gate names of the _decode_throughput section: an early return on
+# budget exhaustion must name EVERY row it forfeits, not just the first
+# (r5 self-review: a timeout at decode_int8 silently dropped ten rows)
+_DECODE_ROWS = ("decode", "decode_int8", "decode_int8kv", "decode_int4",
+                "decode_int8kv_4k", "decode_big", "decode_moe_int8",
+                "paged_bench", "spec_server", "packed_bench", "moe_bench",
+                "moe_crossover", "decode_ssm")
+
+
+def _section_stopped(name: str) -> bool:
+    """True when the budget is spent — records ``name`` AND every later
+    row in the section, so the caller's early return under-reports
+    nothing."""
+    if _row_allowed(name):
+        return False
+    for later in _DECODE_ROWS[_DECODE_ROWS.index(name) + 1:]:
+        if later not in _SKIPPED:
+            _SKIPPED.append(later)
+    return True
+
+
 # flagship config: head_dim 128 (flash-eligible), bf16 compute
 VOCAB, DIM, HEADS, LAYERS, SEQ, BATCH = 512, 1024, 8, 4, 1024, 8
 LR = 1e-3
@@ -309,7 +330,7 @@ def _decode_throughput() -> dict:
     # crashed before the single json print.  A row that fails reports its
     # error string and the rest still run.
     out: dict = {}
-    if not _row_allowed("decode"):
+    if _section_stopped("decode"):
         return out
     try:
         t_fw, t_twin, ratio = T.chain_time_pair(run_fw, run_twin, prompt_np)
@@ -330,7 +351,7 @@ def _decode_throughput() -> dict:
     # decode so throughput drift cancels.
     from minidiff_tpu.models import quantize_for_serving
 
-    if not _row_allowed("decode_int8"):
+    if _section_stopped("decode_int8"):
         return out
     try:
         qparams = quantize_for_serving(params)
@@ -349,7 +370,7 @@ def _decode_throughput() -> dict:
 
     # int8 weights + int8 KV cache (fused sdpa_int8_cache kernel): the
     # remaining HBM stream is the quantized weights plus int8 cache lines
-    if not _row_allowed("decode_int8kv"):
+    if _section_stopped("decode_int8kv"):
         return out
     try:
         def run_int8kv(prompt_j):
@@ -365,7 +386,7 @@ def _decode_throughput() -> dict:
 
     # int4 weight-only (packed nibbles + group scales, dequant_matmul4):
     # half the int8 weight stream again; paired against int8
-    if not _row_allowed("decode_int4"):
+    if _section_stopped("decode_int4"):
         return out
     try:
         q4params = quantize_for_serving(params, bits=4)
@@ -384,7 +405,7 @@ def _decode_throughput() -> dict:
     # the halved KV stream to beat the dequant overhead (BENCH_r03 showed
     # 0.62x there); at a 4k cache the KV lines dominate the step's HBM
     # traffic and int8-KV must win.  b4 keeps prefill tractable.
-    if not _row_allowed("decode_int8kv_4k"):
+    if _section_stopped("decode_int8kv_4k"):
         return out
     try:
         model_lc = TransformerLM(vocab_size=T.VOCAB, dim=T.DIM,
@@ -419,7 +440,7 @@ def _decode_throughput() -> dict:
     # int4 ties int8 on speed (the i32-lane unpack VPU ceiling sits at
     # int8's HBM rate — see kernels/quant.py roofline note) and wins on
     # capacity.
-    if not _row_allowed("decode_big"):
+    if _section_stopped("decode_big"):
         return out
     try:
         model_big = TransformerLM(vocab_size=T.VOCAB, dim=2048,
@@ -469,7 +490,7 @@ def _decode_throughput() -> dict:
     # quantized MoE serving: the expert bank dominates a sparse model's
     # per-token weight stream; int8 banks through the batched dequant
     # kernel (md.dequant_matmul_bmm) should track the int8 dense win
-    if not _row_allowed("decode_moe_int8"):
+    if _section_stopped("decode_moe_int8"):
         return out
     try:
         from minidiff_tpu.models import MoETransformerLM
@@ -502,7 +523,7 @@ def _decode_throughput() -> dict:
         out["decode_moe_int8_error"] = str(e)[:120]
 
     # paged vs dense continuous-batching step programs + sequence packing
-    if not _row_allowed("paged_bench"):
+    if _section_stopped("paged_bench"):
         return out
     try:
         from benchmarks import serving_bench as SB
@@ -518,7 +539,7 @@ def _decode_throughput() -> dict:
         out["paged_bench_error"] = str(e)[:120]
     # speculative x continuous batching: self-draft ceiling (acceptance
     # 1.0) — prices the round mechanism against k+1 dense steps
-    if not _row_allowed("spec_server"):
+    if _section_stopped("spec_server"):
         return out
     try:
         from benchmarks import serving_bench as SBS
@@ -526,7 +547,7 @@ def _decode_throughput() -> dict:
         out.update(SBS.speculative_server(model_srv, params_srv))
     except Exception as e:
         out["spec_server_error"] = str(e)[:120]
-    if not _row_allowed("packed_bench"):
+    if _section_stopped("packed_bench"):
         return out
     try:
         from benchmarks import serving_bench as SB2
@@ -540,7 +561,7 @@ def _decode_throughput() -> dict:
         out["packed_bench_error"] = str(e)[:120]
 
     # grouped-dispatch MoE step vs the dense-FFN step at equal FLOPs
-    if not _row_allowed("moe_bench"):
+    if _section_stopped("moe_bench"):
         return out
     try:
         from benchmarks import moe_bench as MB
@@ -550,7 +571,7 @@ def _decode_throughput() -> dict:
         out["moe_bench_error"] = str(e)[:120]
     # grouped-vs-one-hot crossover at the scale the grouped design is FOR
     # (E=64: the one-hot dispatch tensordots cost ~2.5*T^2*d FLOPs there)
-    if not _row_allowed("moe_crossover"):
+    if _section_stopped("moe_crossover"):
         return out
     try:
         from benchmarks import moe_bench as MB3
@@ -561,7 +582,7 @@ def _decode_throughput() -> dict:
 
     # Mamba SSM compiled decode (O(1) state, no KV cache) at the same
     # d/L/batch — absolute throughput, not a ratio (different model class)
-    if not _row_allowed("decode_ssm"):
+    if _section_stopped("decode_ssm"):
         return out
     try:
         from minidiff_tpu.models import MambaLM, generate_compiled_ssm

@@ -123,7 +123,7 @@ def _timed_pair(step_a, pa, step_b, pb, toks) -> tuple:
     return t_a, t_b, ratio
 
 
-def grouped_crossover(experts: int) -> dict:
+def grouped_crossover(experts: int, _return_grouped: bool = False):
     """Grouped (slot-table gather) vs one-hot dispatch at a given E.
 
     The scalability argument for grouped routing is about LARGE expert
@@ -153,11 +153,16 @@ def grouped_crossover(experts: int) -> dict:
         0, VOCAB, size=(BATCH, SEQ)))
     t_g, t_o, ratio = _timed_pair(steps[True], params[True],
                                   steps[False], params[False], toks)
-    return {
+    result = {
         f"moe_grouped_e{experts}_step_ms": round(t_g * 1e3, 3),
         f"moe_onehot_e{experts}_step_ms": round(t_o * 1e3, 3),
         f"grouped_speedup_vs_onehot_e{experts}": round(ratio, 4),
     }
+    if _return_grouped:
+        # hand the warmed grouped step back so sweep() does not pay a
+        # second identical train-step compile per E (r5 self-review)
+        return result, steps[True], params[True]
+    return result
 
 
 def sweep(experts_list=(8, 32, 64)) -> dict:
@@ -172,7 +177,6 @@ def sweep(experts_list=(8, 32, 64)) -> dict:
     import minidiff_tpu as md
     from minidiff_tpu.models import SGD, TransformerLM, lm_loss, \
         make_train_step
-    from minidiff_tpu.models.moe import MoETransformerLM, make_moe_loss
 
     md.set_backend("xla")
     np.random.seed(0)
@@ -185,16 +189,8 @@ def sweep(experts_list=(8, 32, 64)) -> dict:
         0, VOCAB, size=(BATCH, SEQ)))
     out: dict = {}
     for e in experts_list:
-        out.update(grouped_crossover(e))
-        np.random.seed(0)
-        mg = MoETransformerLM(vocab_size=VOCAB, dim=DIM, num_heads=HEADS,
-                              num_layers=LAYERS, num_experts=e,
-                              max_seq_len=SEQ, k=1, capacity_factor=1.0,
-                              dtype=md.bfloat16, grouped=True)
-        mp = mg.init()
-        m_step = make_train_step(mg, SGD(1e-3),
-                                 loss_fn=make_moe_loss(0.01),
-                                 apply_fn=mg.apply_with_aux)
+        rows, m_step, mp = grouped_crossover(e, _return_grouped=True)
+        out.update(rows)
         t_m, t_d, ratio = _timed_pair(m_step, mp, d_step, dp, toks)
         out[f"moe_grouped_speedup_vs_dense_e{e}"] = round(ratio, 4)
         out["dense_ffn_step_ms"] = round(t_d * 1e3, 3)

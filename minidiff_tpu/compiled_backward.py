@@ -520,6 +520,13 @@ def try_run_cycle(grad_tensor, retain_grads, cleanup_mode,
     origin = grad_tensor._ho_origin
     if origin is None:
         return False
+    if origin.pos is None:
+        # POST-cycle grad (written by a completed replay): its eager
+        # counterpart is a tape-free allow_grad=False leaf, whose
+        # backward() is a silent no-op (tensor.py:221-224) — serving it
+        # as a no-op here keeps warm-replay behavior identical to eager
+        # instead of refusing (the grad itself stays untouched either way)
+        return True
 
     def _refuse(why):
         if origin.taped:

@@ -243,45 +243,13 @@ def from_hf_llama(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
         window=None if window is None else int(window),
         dtype=dtype,
     )
-    perm = _rope_perm(hd)
     blocks = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
-        # torch Linear stores (out, in): transpose to our (in, out)
-        wq = _permute_heads(sd[p + "self_attn.q_proj.weight"].T, h)
-        wk = _permute_heads(sd[p + "self_attn.k_proj.weight"].T, kv)
-        wv = sd[p + "self_attn.v_proj.weight"].T  # (d, kv*hd)
-        attn: "Dict[str, Any]" = {
-            "out": {"w": _tensor(sd[p + "self_attn.o_proj.weight"].T, dtype)},
-        }
-        if kv == h:
-            # fused qkv, HEAD-major (h, 3, hd) columns
-            qkv = np.stack(
-                [wq.reshape(d, h, hd), wk.reshape(d, h, hd),
-                 wv.reshape(d, h, hd)], axis=2,
-            ).reshape(d, 3 * d)
-            attn["qkv"] = {"w": _tensor(qkv, dtype)}
-        else:
-            # GQA: wq head-major; wkv interleaves (kv, 2, hd) per kv head
-            wkv = np.stack(
-                [wk.reshape(d, kv, hd), wv.reshape(d, kv, hd)], axis=2,
-            ).reshape(d, 2 * kv * hd)
-            attn["wq"] = {"w": _tensor(wq, dtype)}
-            attn["wkv"] = {"w": _tensor(wkv, dtype)}
-        if attn_bias:
-            bq = sd[p + "self_attn.q_proj.bias"].reshape(h, hd)[:, perm]
-            bk = sd[p + "self_attn.k_proj.bias"].reshape(kv, hd)[:, perm]
-            bv = sd[p + "self_attn.v_proj.bias"].reshape(kv, hd)
-            if kv == h:
-                attn["qkv"]["b"] = _tensor(
-                    np.stack([bq, bk, bv], axis=1).reshape(3 * d), dtype)
-            else:
-                attn["wq"]["b"] = _tensor(bq.reshape(d), dtype)
-                attn["wkv"]["b"] = _tensor(
-                    np.stack([bk, bv], axis=1).reshape(2 * kv * hd), dtype)
-            attn["out"]["b"] = _tensor(
-                sd[p + "self_attn.o_proj.bias"]
-                if p + "self_attn.o_proj.bias" in sd else np.zeros(d), dtype)
+        # torch Linear stores (out, in): _llama_attn_params transposes to
+        # our (in, out) and applies the RoPE/GQA head interleaves
+        attn = _llama_attn_params(sd, p, d, h, kv, dtype,
+                                  attn_bias=attn_bias)
         gate = sd[p + "mlp.gate_proj.weight"].T  # (d, I)
         up = sd[p + "mlp.up_proj.weight"].T
         inner = gate.shape[1]
@@ -311,11 +279,12 @@ def from_hf_llama(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
 
 
 def _llama_attn_params(sd, p: str, d: int, h: int, kv: int,
-                       dtype) -> "Dict[str, Any]":
-    """Map one layer's HF q/k/v/o projections (LLaMA module names, no
-    biases) onto our fused head-major attention tree — the shared piece of
-    the LLaMA and Mixtral converters (same RoPE column permutation, same
-    GQA interleave)."""
+                       dtype, attn_bias: bool = False) -> "Dict[str, Any]":
+    """Map one layer's HF q/k/v/o projections (LLaMA module names) onto
+    our fused head-major attention tree — the ONE home for this mapping,
+    shared by the LLaMA, Gemma, and Mixtral converters (same RoPE column
+    permutation, same GQA interleave; ``attn_bias`` adds the Qwen2-style
+    per-head-permuted projection biases)."""
     hd = d // h
     wq = _permute_heads(sd[p + "self_attn.q_proj.weight"].T, h)
     wk = _permute_heads(sd[p + "self_attn.k_proj.weight"].T, kv)
@@ -335,6 +304,21 @@ def _llama_attn_params(sd, p: str, d: int, h: int, kv: int,
         ).reshape(d, 2 * kv * hd)
         attn["wq"] = {"w": _tensor(wq, dtype)}
         attn["wkv"] = {"w": _tensor(wkv, dtype)}
+    if attn_bias:
+        perm = _rope_perm(hd)
+        bq = sd[p + "self_attn.q_proj.bias"].reshape(h, hd)[:, perm]
+        bk = sd[p + "self_attn.k_proj.bias"].reshape(kv, hd)[:, perm]
+        bv = sd[p + "self_attn.v_proj.bias"].reshape(kv, hd)
+        if kv == h:
+            attn["qkv"]["b"] = _tensor(
+                np.stack([bq, bk, bv], axis=1).reshape(3 * d), dtype)
+        else:
+            attn["wq"]["b"] = _tensor(bq.reshape(d), dtype)
+            attn["wkv"]["b"] = _tensor(
+                np.stack([bk, bv], axis=1).reshape(2 * kv * hd), dtype)
+        attn["out"]["b"] = _tensor(
+            sd[p + "self_attn.o_proj.bias"]
+            if p + "self_attn.o_proj.bias" in sd else np.zeros(d), dtype)
     return attn
 
 
@@ -671,29 +655,10 @@ def from_hf_gemma(hf_model, dtype=None) -> "Tuple[TransformerLM, Any]":
         norm="rms", norm_eps=float(cfg.rms_norm_eps), mlp=mlp_kind,
         dtype=dtype,
     )
-    perm = _rope_perm(hd)
     blocks = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}."
-        wq = _permute_heads(sd[p + "self_attn.q_proj.weight"].T, h)
-        wk = _permute_heads(sd[p + "self_attn.k_proj.weight"].T, kv)
-        wv = sd[p + "self_attn.v_proj.weight"].T
-        attn: "Dict[str, Any]" = {
-            "out": {"w": _tensor(sd[p + "self_attn.o_proj.weight"].T,
-                                 dtype)},
-        }
-        if kv == h:
-            qkv = np.stack(
-                [wq.reshape(d, h, hd), wk.reshape(d, h, hd),
-                 wv.reshape(d, h, hd)], axis=2,
-            ).reshape(d, 3 * d)
-            attn["qkv"] = {"w": _tensor(qkv, dtype)}
-        else:
-            wkv = np.stack(
-                [wk.reshape(d, kv, hd), wv.reshape(d, kv, hd)], axis=2,
-            ).reshape(d, 2 * kv * hd)
-            attn["wq"] = {"w": _tensor(wq, dtype)}
-            attn["wkv"] = {"w": _tensor(wkv, dtype)}
+        attn = _llama_attn_params(sd, p, d, h, kv, dtype)
         gate = sd[p + "mlp.gate_proj.weight"].T
         up = sd[p + "mlp.up_proj.weight"].T
         inner = gate.shape[1]

@@ -415,3 +415,39 @@ def test_cycle_second_root_variants_get_separate_executables():
             np.testing.assert_allclose(float(np.asarray(y.grad.detach())),
                                        g2y, rtol=1e-10)
     assert sum(len(e["cycles"]) for e in mcb._HO_CYCLES.values()) == 1
+
+
+def test_cycle_post_replay_backward_is_silent_noop():
+    """Eager semantics: after the second-order sweep, x.grad is a
+    tape-free leaf whose backward() silently no-ops.  A warm compiled
+    replay must behave identically — a second x.grad.backward() (or
+    y.grad.backward() after the cycle ran) keeps the post-cycle values
+    untouched instead of refusing (r5 self-review finding)."""
+    import minidiff_tpu.compiled_backward as mcb
+
+    md.set_backend("xla")
+    # eager reference: the second backward call changes nothing
+    x0, y0, f0 = _cycle_build(0.4, 0.9)
+    f0.backward(allow_higher_order=True)
+    x0.grad.backward()
+    g2x = float(np.asarray(x0.grad.detach()))
+    g2y = float(np.asarray(y0.grad.detach()))
+    x0.grad.backward()   # no-op on the tape-free grad
+    y0.grad.backward()   # ditto
+    np.testing.assert_allclose(float(np.asarray(x0.grad.detach())), g2x)
+    np.testing.assert_allclose(float(np.asarray(y0.grad.detach())), g2y)
+
+    mcb._HO_CYCLES.clear()
+    with md.reuse_graph():
+        for i in range(3):
+            x, y, f = _cycle_build(0.4, 0.9)
+            f.backward(allow_higher_order=True)
+            x.grad.backward()
+            # post-cycle: both grads now carry replay markers (warm
+            # iterations); their backward() must no-op like eager
+            x.grad.backward()
+            y.grad.backward()
+            np.testing.assert_allclose(
+                float(np.asarray(x.grad.detach())), g2x, rtol=1e-10)
+            np.testing.assert_allclose(
+                float(np.asarray(y.grad.detach())), g2y, rtol=1e-10)
