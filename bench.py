@@ -68,8 +68,8 @@ def _row_allowed(name: str) -> bool:
 # (r5 self-review: a timeout at decode_int8 silently dropped ten rows)
 _DECODE_ROWS = ("decode", "decode_int8", "decode_int8kv", "decode_int4",
                 "decode_int8kv_4k", "decode_big", "decode_moe_int8",
-                "paged_bench", "spec_server", "packed_bench", "moe_bench",
-                "moe_crossover", "decode_ssm")
+                "paged_bench", "spec_server", "spec_server_draft",
+                "packed_bench", "moe_bench", "moe_crossover", "decode_ssm")
 
 
 def _section_stopped(name: str) -> bool:
@@ -381,6 +381,12 @@ def _decode_throughput() -> dict:
                                                 prompt_np)
         out["decode_int8kv_tok_per_s"] = round(T.BATCH * T.NEW / t_qkv, 1)
         out["decode_int8kv_speedup_vs_int8"] = round(qkv_ratio, 4)
+        # int8-KV is a CAPACITY feature at this cache size (the speed win
+        # needs the KV stream to dominate — see the 4k row): lead with
+        # the cache-residency ratio (int8 line + f32 scale per hd row)
+        out["int8kv_cache_bytes_vs_bf16"] = round(
+            (T.HD + 4) / (2 * T.HD), 4) if hasattr(T, "HD") else round(
+            (128 + 4) / 256, 4)
     except Exception as e:
         out["decode_int8kv_error"] = str(e)[:120]
 
@@ -547,6 +553,16 @@ def _decode_throughput() -> dict:
         out.update(SBS.speculative_server(model_srv, params_srv))
     except Exception as e:
         out["spec_server_error"] = str(e)[:120]
+    # ... and the production shape: a 16x-smaller TRAINED draft, real
+    # acceptance (both models briefly trained on the synthetic task)
+    if _section_stopped("spec_server_draft"):
+        return out
+    try:
+        from benchmarks import serving_bench as SBD
+
+        out.update(SBD.speculative_server_trained_draft())
+    except Exception as e:
+        out["spec_server_draft_error"] = str(e)[:120]
     if _section_stopped("packed_bench"):
         return out
     try:

@@ -219,6 +219,51 @@ def speculative_server(model, params, draft=None, draft_params=None,
     }
 
 
+def speculative_server_trained_draft(vocab=512, dim=1024, heads=8,
+                                     layers=4, draft_dim=256,
+                                     draft_layers=1, steps=40,
+                                     max_batch=8, window=1024,
+                                     prompt_len=16, k=4, rounds=8):
+    """Speculative serving with a genuinely SMALLER trained draft.
+
+    The self-draft row prices the round mechanism at acceptance 1.0; this
+    row is the production shape: both models train ``steps`` short steps
+    on the synthetic identity task (learnable by any causal LM), so the
+    draft reaches high REAL acceptance while each proposal costs a
+    fraction of a target forward — where speculative decoding actually
+    pays.  Returns ``spec_server_draft_*`` rows (tok/s, measured
+    acceptance, ratio vs the dense step server).
+    """
+    import minidiff_tpu as md
+    from minidiff_tpu.models import (SGD, TransformerLM, lm_loss,
+                                     make_train_step,
+                                     synthetic_lm_batches)
+
+    md.set_backend("xla")
+    target = TransformerLM(vocab_size=vocab, dim=dim, num_heads=heads,
+                           num_layers=layers, max_seq_len=window,
+                           dtype=md.bfloat16)
+    draft = TransformerLM(vocab_size=vocab, dim=draft_dim,
+                          num_heads=max(1, heads // 4),
+                          num_layers=draft_layers, max_seq_len=window,
+                          dtype=md.bfloat16)
+    trained = []
+    for seed, model in ((3, target), (4, draft)):
+        np.random.seed(seed)
+        params = model.init()
+        step = make_train_step(model, SGD(3e-3), loss_fn=lm_loss)
+        state = None
+        for x, y in synthetic_lm_batches(8, 128, vocab, steps, seed=2):
+            params, state, _ = step(params, state, x, y)
+        trained.append(params)
+    tp, dp = trained
+    rows = speculative_server(target, tp, draft, dp, max_batch=max_batch,
+                              window=window, prompt_len=prompt_len, k=k,
+                              rounds=rounds)
+    return {key.replace("spec_server", "spec_server_draft"): v
+            for key, v in rows.items()}
+
+
 def dense_kv_bytes(srv) -> int:
     per = 0
     for cache in srv._state:
