@@ -221,7 +221,7 @@ def speculative_server(model, params, draft=None, draft_params=None,
 
 def speculative_server_trained_draft(vocab=512, dim=1024, heads=8,
                                      layers=4, draft_dim=256,
-                                     draft_layers=1, steps=40,
+                                     draft_layers=1, steps=150,
                                      max_batch=8, window=1024,
                                      prompt_len=16, k=4, rounds=8):
     """Speculative serving with a genuinely SMALLER trained draft.
@@ -235,7 +235,7 @@ def speculative_server_trained_draft(vocab=512, dim=1024, heads=8,
     acceptance, ratio vs the dense step server).
     """
     import minidiff_tpu as md
-    from minidiff_tpu.models import (SGD, TransformerLM, lm_loss,
+    from minidiff_tpu.models import (Adam, TransformerLM, lm_loss,
                                      make_train_step,
                                      synthetic_lm_batches)
 
@@ -251,8 +251,9 @@ def speculative_server_trained_draft(vocab=512, dim=1024, heads=8,
     for seed, model in ((3, target), (4, draft)):
         np.random.seed(seed)
         params = model.init()
-        step = make_train_step(model, SGD(3e-3), loss_fn=lm_loss)
-        state = None
+        opt = Adam(2e-3)  # 150 Adam steps: target ~94% / draft 100%
+        step = make_train_step(model, opt, loss_fn=lm_loss)
+        state = opt.init(params)
         for x, y in synthetic_lm_batches(8, 128, vocab, steps, seed=2):
             params, state, _ = step(params, state, x, y)
         trained.append(params)
